@@ -1,0 +1,56 @@
+"""Crawl configuration.
+
+Mirrors the reference runtime config surface (Config.scala:16-45) with the
+same defaults, re-interpreted for the batch-round model:
+
+  - ``scrape_parallelism`` (SCRAPE_PARALLELISM, default 100): per-host fetch
+    budget per round (reference: URLs taken per tick, HostCrawler.scala:171).
+  - ``max_retries`` (MAX_RETRIES, default 0): a failed URL is re-scheduled
+    while ``attempts <= max_retries`` (reference ``<=`` at
+    Supervisor.scala:100, so default 0 still allows one retry).
+  - ``max_rounds``: batch-model analogue of the reference's force-shutdown
+    guard (Supervisor.scala:263-278).
+
+Time-based knobs (scrape_interval / scrape_timeout / shutdown_timeout) have
+no batch-model meaning: a round IS a tick, and fetch is a table join, so
+they are kept only for documentation parity.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    scrape_parallelism: int = 100
+    max_retries: int = 0
+    max_rounds: int = 1000
+
+    # scale knobs (engine-only; no reference equivalent)
+    num_seen_buckets: int = 64          # hash buckets for the seen table
+    shuffle_partitions: int = 32
+    bloom_enabled: bool = False         # bloom sidecar pre-filter for R4
+    bloom_fpp: float = 0.01
+    hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
+    user_agent: str = "SpiderSparkBot"  # matched against robots.txt groups
+
+    # reference-parity documentation only (unused in batch model)
+    scrape_interval_ms: int = 500
+    scrape_timeout_ms: int = 20000
+    shutdown_timeout_ms: int = 15000
+
+    @staticmethod
+    def from_env() -> "CrawlConfig":
+        """Env-var driven construction, same variable names as the
+        reference (Config.scala:28-45)."""
+        e = os.environ
+        return CrawlConfig(
+            scrape_parallelism=int(e.get("SCRAPE_PARALLELISM", "100")),
+            max_retries=int(e.get("MAX_RETRIES", "0")),
+            max_rounds=int(e.get("MAX_ROUNDS", "1000")),
+            num_seen_buckets=int(e.get("NUM_SEEN_BUCKETS", "64")),
+            shuffle_partitions=int(e.get("SHUFFLE_PARTITIONS", "32")),
+            bloom_enabled=e.get("BLOOM_ENABLED", "0") in ("1", "true"),
+        )

@@ -1,0 +1,249 @@
+"""Link extraction from document spans — reference R13/R14.
+
+The reference parses fetched HTML with jsoup and extracts
+(ContentFilter.scala:41-127):
+
+  a) all ``<a href>`` absolutized            (extractAbsLinks, :80-85)
+  b) ANY tag with an href ending ``.html``   (extractAllHref, :87-93)
+  c) ``<link rel=canonical>`` in the body    (extractCanonicalLinksFromBody, :110-113)
+  d) ``<link rel=... hreflang=... href=...>``(extractHRefLang, :95-108)
+  e) first ``<link rel=canonical>`` in head  == the page's canonical URL
+     (canonicalLinkFromHead, :115-117); excluded from out-links (:66)
+
+then per link: robots-allowed AND wanted AND clean AND valid
+(ContentFilter.scala:60-78 — robots/wanted test the RAW url, clean_url runs
+after), set-deduped.
+
+Here the "HTML" lives in the ``spans`` array of the documents table
+(input_hint): text spans carry the markup; media spans pass through
+untouched. The heavy lifting is a compiled-regex tag scanner applied inside
+an Arrow-batched pandas UDF (``extract_udf``) — no row-at-a-time Python UDF.
+
+Golden-tested against ContentFilterSpec.scala:33-199.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+import pandas as pd
+
+from spider_spark.functions.urlnorm import (
+    clean_url_series,
+    is_valid_url,
+    url_host,
+    wanted_url_series,
+)
+
+# tag scanner: <name attr=val ...>. The attribute region must not cross a
+# '<' so that malformed unclosed tags (e.g. the reference fixtures' bare
+# "<body" — ContentFilterSpec.scala:47) don't swallow the following tag;
+# jsoup's tokenizer recovers the same way.
+_TAG_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>", re.S
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][\w:.\-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.S
+)
+_HEAD_RE = re.compile(r"<head[^>]*>(.*?)</head>", re.S | re.I)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+
+
+def _tags(html: str):
+    """Yield (tagname_lower, {attr_lower: value}) in document order."""
+    for m in _TAG_RE.finditer(html):
+        name = m.group(1).lower()
+        attrs = {}
+        for am in _ATTR_RE.finditer(m.group(2)):
+            key = am.group(1).lower()
+            val = am.group(2) or am.group(3) or am.group(4) or ""
+            if key not in attrs:
+                attrs[key] = val
+        yield name, attrs
+
+
+def _abs(href: str, base_url: str) -> str:
+    """jsoup ``absUrl``-alike: resolve against base, '' on failure."""
+    href = href.strip()
+    if not href:
+        return ""
+    if not base_url:
+        # no base: only already-absolute urls survive
+        return href if re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", href) else ""
+    try:
+        return urljoin(base_url, href)
+    except ValueError:
+        return ""
+
+
+def _split_head_body(html: str) -> tuple[str, str]:
+    html = _COMMENT_RE.sub("", html)
+    m = _HEAD_RE.search(html)
+    if m:
+        head = m.group(1)
+        body = html[: m.start()] + html[m.end() :]
+        return head, body
+    return "", html
+
+
+# -- the five extractors (reference order preserved; each validates) --------
+
+
+def extract_abs_links(html: str, base_url: str) -> list[str]:
+    """ContentFilter.extractAbsLinks — all <a href>, absolutized, valid."""
+    html = _COMMENT_RE.sub("", html)
+    out = []
+    for name, attrs in _tags(html):
+        if name == "a" and "href" in attrs:
+            u = _abs(attrs["href"], base_url)
+            if is_valid_url(u):
+                out.append(u)
+    return out
+
+
+def extract_all_href(html: str, base_url: str) -> list[str]:
+    """ContentFilter.extractAllHref — ANY tag with href ending '.html'."""
+    html = _COMMENT_RE.sub("", html)
+    out = []
+    for _name, attrs in _tags(html):
+        if "href" in attrs:
+            u = _abs(attrs["href"], base_url)
+            if is_valid_url(u) and u.endswith(".html"):
+                out.append(u)
+    return out
+
+
+def extract_hreflang(html: str, base_url: str) -> list[str]:
+    """ContentFilter.extractHRefLang — <link> w/ rel+hreflang+href attrs."""
+    html = _COMMENT_RE.sub("", html)
+    out = []
+    for name, attrs in _tags(html):
+        if name == "link" and "rel" in attrs and "hreflang" in attrs and "href" in attrs:
+            u = _abs(attrs["href"], base_url)
+            if is_valid_url(u):
+                out.append(u)
+    return out
+
+
+def _canonical_links(region_html: str, base_url: str) -> list[str]:
+    out = []
+    for name, attrs in _tags(region_html):
+        if name == "link" and attrs.get("rel") == "canonical" and "href" in attrs:
+            u = _abs(attrs["href"], base_url)
+            if is_valid_url(u):
+                out.append(u)
+    return out
+
+
+def canonical_link_from_head(html: str, base_url: str) -> str | None:
+    head, _body = _split_head_body(html)
+    links = _canonical_links(head, base_url)
+    return links[0] if links else None
+
+
+def extract_canonical_links_from_body(html: str, base_url: str) -> list[str]:
+    _head, body = _split_head_body(html)
+    return _canonical_links(body, base_url)
+
+
+# -- raw extraction (pre filter/clean) --------------------------------------
+
+
+def extract_raw(html: str, base_url: str) -> tuple[str | None, list[str]]:
+    """Returns (raw head-canonical, raw candidate links in reference order:
+    allHref ++ absLinks ++ bodyCanonicals ++ hreflang —
+    ContentFilter.scala:46-50), canonical already excluded (:66)."""
+    canonical = canonical_link_from_head(html, base_url)
+    links = (
+        extract_all_href(html, base_url)
+        + extract_abs_links(html, base_url)
+        + extract_canonical_links_from_body(html, base_url)
+        + extract_hreflang(html, base_url)
+    )
+    if canonical is not None:
+        links = [u for u in links if u != canonical]
+    return canonical, links
+
+
+# -- full R13+R14 pipeline over a pandas batch ------------------------------
+
+
+def extract_batch(
+    htmls: pd.Series,
+    base_urls: pd.Series,
+    robots_allowed=None,
+) -> pd.DataFrame:
+    """Vectorized site-content extraction for a batch of pages.
+
+    robots_allowed: optional callable (pd.Series[url], pd.Series[host]) ->
+    pd.Series[bool] applying the FETCHING host's rules to each link — the
+    reference passes the host actor's robotsCfg into ContentFilter
+    (ContentFilter.scala:75), i.e. link paths are checked against the rules
+    of the page's own host, whatever host the link points to.
+
+    Returns DataFrame(canonical_url: str|None, links: list[str]) aligned to
+    the input index. Links are cleaned (R22), set-deduped post-clean, and
+    sorted (the engine's deterministic intra-page order; the reference
+    returns an unordered Set — SiteScraper.scala:31)."""
+    base_list = [b if isinstance(b, str) else "" for b in base_urls]
+    raw = [
+        extract_raw(h if isinstance(h, str) else "", b)
+        for h, b in zip(htmls, base_list)
+    ]
+
+    # flatten links AND canonicals into ONE frame for vectorized filtering;
+    # both go through the identical robots∧wanted∧clean pipeline
+    # (ContentFilter.scala:60-78); the raw canonical was already excluded
+    # from the link list pre-clean (:66), exactly like the reference.
+    idx, urls, kinds = [], [], []
+    for i, (canon, links) in enumerate(raw):
+        for u in links:
+            idx.append(i)
+            urls.append(u)
+            kinds.append(0)
+        if canon is not None:
+            idx.append(i)
+            urls.append(canon)
+            kinds.append(1)
+    flat = pd.DataFrame(
+        {"i": idx, "url": pd.Series(urls, dtype="string"), "kind": kinds}
+    )
+    if len(flat):
+        keep = wanted_url_series(flat["url"])
+        if robots_allowed is not None:
+            host_list = [url_host(b) or "" for b in base_list]
+            host_of_page = pd.Series(
+                [host_list[i] for i in flat["i"]], index=flat.index, dtype="string"
+            )
+            keep &= robots_allowed(flat["url"], host_of_page).astype(bool)
+        flat = flat[keep.to_numpy(dtype=bool)]
+        flat = flat.assign(url=clean_url_series(flat["url"]))
+
+    links_by_page: dict[int, set[str]] = {}
+    canon_by_page: dict[int, str] = {}
+    for i, u, k in zip(flat["i"], flat["url"], flat["kind"]):
+        if k == 0:
+            links_by_page.setdefault(int(i), set()).add(str(u))
+        else:
+            canon_by_page[int(i)] = str(u)
+
+    canonicals = [canon_by_page.get(i) for i in range(len(raw))]
+    out_links = [sorted(links_by_page.get(i, set())) for i in range(len(raw))]
+    return pd.DataFrame({"canonical_url": canonicals, "links": out_links})
+
+
+def spans_to_html(spans) -> str:
+    """Concatenate the text of kind=='text' spans in offset order — the
+    page's markup. Media spans contribute nothing to link extraction but
+    their (kind, media_ref, offset) sequence is preserved verbatim by the
+    engine (span invariant, input_hint)."""
+    if spans is None:
+        return ""
+    txt = [
+        (s["offset"], s["text"])
+        for s in spans
+        if s is not None and s.get("kind") == "text" and s.get("text")
+    ]
+    txt.sort(key=lambda t: t[0])
+    return "".join(t[1] for t in txt)
