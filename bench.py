@@ -1,0 +1,123 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a synthetic-web
+crawl throughput measurement, and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls_fetched": n, "rounds": r, "urls_per_sec": x}}
+
+Each query is forced end-to-end with a noop-format write (full
+materialization, no driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_window_running_total",
+    "r3_namespace_semijoin",
+    "r4_seen_antijoin",
+    "r8_politeness_topk",
+    "r13_link_extract",
+    "r22_url_clean",
+    "r26_round_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_count",
+    "text_lang_id",
+    "ann_cosine_topk",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def bench_crawl(spark, cache_dir: str) -> dict:
+    """Crawl throughput on a deterministic synthetic web: the engine's
+    primary metric (URLs fetched+deduped per second)."""
+    import shutil
+
+    from spider_spark.config import CrawlConfig
+    from spider_spark.engine import CrawlEngine
+    from spider_spark.fixtures import synth_web, write_web
+
+    n_hosts = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "6"))
+    pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "1500"))
+    web_dir = os.path.join(cache_dir, f"benchweb_{n_hosts}_{pages}")
+    if not os.path.exists(os.path.join(web_dir, "documents.parquet")):
+        web = synth_web(
+            n_hosts=n_hosts,
+            pages_per_host=pages,
+            links_per_page=10,
+            seed=42,
+        )
+        write_web(web, web_dir)
+    work_dir = os.path.join(cache_dir, "benchwork")
+    shutil.rmtree(work_dir, ignore_errors=True)
+    cfg = CrawlConfig(scrape_parallelism=500, max_retries=0, max_rounds=50)
+    eng = CrawlEngine(spark, web_dir, work_dir, cfg)
+    t0 = time.time()
+    summary = eng.run()
+    wall = time.time() - t0
+    return {
+        "urls_fetched": summary.urls_fetched,
+        "rounds": summary.rounds,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(summary.urls_fetched / wall, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    from spider_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="spider_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    times = bench_queries(spark, sf_dir)
+    crawl = bench_crawl(spark, cache_dir)
+    total = round(sum(times.values()) + crawl["wall_sec"], 3)
+    out = {
+        "metric": "headline suite + synthetic-web crawl wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry against its oracle_sql() via DuckDB at a given sf and diff
+row-counts + values (columns sorted by name, rows sorted)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from spider_spark.session import get_spark
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(4)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str):
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"[FAIL-spark] {name}: {e}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"[FAIL-duck] {name}: {e}")
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if list(a.columns) != list(b.columns):
+            failures.append((name, f"cols {list(a.columns)} != {list(b.columns)}"))
+            print(f"[FAIL-cols] {name}: {list(a.columns)} vs {list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            failures.append((name, f"rows {len(a)} != {len(b)}"))
+            print(f"[FAIL-rows] {name}: {len(a)} vs {len(b)}")
+            continue
+        if not a.equals(b):
+            neq = (a != b).any(axis=1)
+            diff = pd.concat(
+                [a[neq].head(3).add_suffix("_spark"), b[neq].head(3).add_suffix("_duck")],
+                axis=1,
+            )
+            failures.append((name, f"{int(neq.sum())} differing rows"))
+            print(f"[FAIL-vals] {name}: {int(neq.sum())} differing rows\n{diff}")
+            continue
+        print(f"[OK] {name}: {len(a)} rows")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    # entry smoke
+    edf = entrymod.entry(spark)
+    n = edf.count()
+    print(f"entry(): {n} rows, schema {edf.schema.simpleString()}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")

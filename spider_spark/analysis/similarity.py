@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - ``cosine_topk``: brute-force cosine top-k against one query vector.
+    JVM-side only: zip_with product + aggregate sum, so the scan stays in
+    whole-stage codegen and prunes to the embedding column. O(n·d) per
+    query — the correctness baseline and still the right answer when the
+    query count is small relative to n.
+  - ``srp_bucket``: sign-random-projection LSH bucket ids — the scale
+    path. Documents hash to a b-bit bucket; a query probes only its
+    bucket (and optionally neighboring buckets), turning the 10^10-row
+    scan into a partition-pruned bucket lookup. Buckets are plain int
+    columns → usable as a partition/bucketing key in the lake layout.
+  - ``ann_topk_lsh``: query via bucket-join + exact re-rank inside the
+    candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_cosine(
+    df: DataFrame, query: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``cos_sim`` vs the literal query vector (rounded to 6 dp for
+    cross-engine comparability)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return df.withColumn("cos_sim", F.round(cos, 6))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine similarity (the baseline)."""
+    return (
+        with_cosine(df, query, vec_col)
+        .select(id_col, "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def srp_planes(dim: int, n_bits: int, seed: int = 17) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def with_srp_bucket(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucket id, computed with pure column
+    expressions (one dot product per plane via zip_with/aggregate)."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket + (bit * F.lit(int(1 << i)))
+    return df.withColumn("srp_bucket", bucket)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: prune to the query's SRP bucket, exact cosine
+    re-rank inside it. At scale ``srp_bucket`` is the table's bucketing
+    key, so this is a partition-pruned scan, not a full pass."""
+    qv = np.asarray(query, dtype=np.float64)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(plane, qv)) >= 0:
+            qbucket |= 1 << i
+    bucketed = with_srp_bucket(df, planes, vec_col)
+    return (
+        with_cosine(bucketed.filter(F.col("srp_bucket") == qbucket), query, vec_col)
+        .select(id_col, "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

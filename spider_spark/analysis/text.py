@@ -1,0 +1,84 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All column-expression based (JVM-side, whole-stage-codegen-friendly) so the
+same logic is expressible as ANSI SQL for the DuckDB oracle:
+
+  - language-ID (stopword-hit heuristic, deterministic rule chain)
+  - quality scoring (length / punctuation ratio / stopword ratio)
+  - token counting (whitespace + BPE-ish regex token count)
+  - document fingerprinting (whitespace-normalized md5)
+
+Operate on the ``documents`` test table (doc_id, text, lang, source,
+n_chars). At 100 TB these are embarrassingly parallel scan-projections: no
+shuffle, pushdown-friendly, and the md5/regexp work stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword sets per language for the heuristic
+EN_STOPS = ("the", "and", "of", "to", "is")
+DE_STOPS = ("der", "die", "und", "nicht", "ist")
+ES_STOPS = ("el", "la", "que", "de", "los")
+
+
+def _hits(col, words) -> "F.Column":
+    expr = F.lit(0)
+    for w in words:
+        expr = expr + F.when(col.rlike(rf"\b{w}\b"), 1).otherwise(0)
+    return expr
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-majority language guess (en/de/es/unknown)."""
+    t = F.lower(F.col(text_col))
+    en, de, es = _hits(t, EN_STOPS), _hits(t, DE_STOPS), _hits(t, ES_STOPS)
+    return df.withColumn(
+        "lang_guess",
+        F.when((en >= de) & (en >= es) & (en > 0), "en")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword quality features + a composite score."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    n_nopunct = F.length(F.regexp_replace(t, r"[^\w\s]", "")).cast("double")
+    punct_ratio = F.when(n > 0, (n - n_nopunct) / n).otherwise(F.lit(0.0))
+    words = F.size(F.split(t, r"\s+"))
+    stop_hits = _hits(F.lower(t), EN_STOPS).cast("double")
+    stop_ratio = F.when(words > 0, stop_hits / words.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n / F.lit(500.0), F.lit(1.0)) * F.lit(0.5)
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * F.lit(0.3)
+        + F.least(stop_ratio * 10, F.lit(1.0)) * F.lit(0.2)
+    )
+    return (
+        df.withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality", F.round(score, 6))
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword-regex token estimate."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    # BPE-ish: word pieces of <=4 chars, digits, punctuation each count
+    bpe = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    )
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-normalized lowercase md5 — the exact-dup fingerprint."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn("fp", F.md5(norm))

@@ -1,0 +1,631 @@
+"""The batch-iterative crawl engine — one DataFrame round per reference tick.
+
+Dataflow per round (SURVEY.md §3.4; all reference operator IDs R1-R28):
+
+  frontier ──R8 window top-K per host──▶ scheduled │ deferred
+  scheduled ──R10 left join documents on url──▶ fetched
+  fetched ──R11 X-Robots-Tag / R12 content-type / R15 error class──▶ classes
+  html rows ──R13/R14 pandas-UDF extraction (robots∧wanted∧clean∧valid)──▶ links
+  links ──R23 slash-strip ─ R3 broadcast semi-join namespace ─
+         R4 anti-join seen (optionally bloom-prefiltered) ─ inflight rules──▶ new
+  pages ──R17 coalesce(canonical,url) ─ R18 anti-join urls──▶ urls append
+  failures ──R16 attempts<=max_retries──▶ retries
+  frontier' = deferred ∪ seq-stamped(new ∪ retries);  seen' += new ∪ retries
+  checkpoint manifest (paths, counts, per-host lineage) per round
+
+Determinism contract (shared with the oracle, spider_spark/oracle.py):
+round-0 seeding is literally the same function (``oracle.seed_state``);
+result processing order is (host asc, batch position asc, link url asc);
+first eligible discoverer of a URL wins; retries re-enter at their parent's
+event position and append to the queue END (reference scrape() appends —
+HostCrawler.scala:150-151).
+
+Scale design (the 100 TB point):
+  - state tables are append-only parquet dirs per round (Iceberg-snapshot
+    stand-in); ``seen`` rows are schedule events, so attempts == count(*)
+    and dedup is a plain existence anti-join — no read-modify-write merge
+  - the only wide shuffles per round are: the host window (bounded output:
+    ≤ budget × hosts), the url-keyed joins (documents fetch, seen anti),
+    and the candidate dedup window; small dims (sources/robots/namespace)
+    broadcast; AQE handles skew splits; hot-host frontier queues use the
+    salted two-phase top-K (operators/politeness.py)
+  - no .collect() on data paths; only tiny dims and per-round counters
+    reach the driver
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spider_spark.config import CrawlConfig
+from spider_spark.functions.extract import extract_batch, spans_to_html
+from spider_spark.functions.robots import RobotsTable, parse_robots
+from spider_spark.oracle import seed_state
+from spider_spark.operators.dedup import (
+    anti_join_seen,
+    bloom_prefilter,
+    build_blooms,
+    with_bucket,
+)
+from spider_spark.operators.politeness import schedule_topk
+
+SEQ_STRIDE = 1 << 40  # per-round seq base; additions per host per round < 2^40
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("seq", LongType()),
+        StructField("sm", BooleanType()),  # sitemap-origin (not in seen)
+    ]
+)
+SEEN_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("round", IntegerType()),
+    ]
+)
+URLS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("source_id", StringType()),
+        StructField("round", IntegerType()),
+    ]
+)
+
+
+def make_extract_udf(robots_bc):
+    """R13/R14 as one Arrow-batched pandas UDF over (spans, url)."""
+
+    @F.pandas_udf("canonical_url string, links array<string>")
+    def extract_udf(spans: pd.Series, url: pd.Series) -> pd.DataFrame:
+        robots: RobotsTable = robots_bc.value
+        htmls = pd.Series([spans_to_html(s) for s in spans], index=spans.index)
+        return extract_batch(htmls, url, robots_allowed=robots.allowed_batch)
+
+    return extract_udf
+
+
+def make_robots_udf(robots_bc):
+    """R20 enqueue gate: target host's rules (HostCrawler.scala:146)."""
+
+    @F.pandas_udf("boolean")
+    def robots_ok(url: pd.Series, host: pd.Series) -> pd.Series:
+        return robots_bc.value.allowed_batch(url, host)
+
+    return robots_ok
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    scheduled: int = 0
+    errors: int = 0
+    dropped: int = 0
+    html: int = 0
+    plain_indexed: int = 0
+    new_scheduled: int = 0
+    retries: int = 0
+    indexed_urls: int = 0
+    frontier_next: int = 0
+    wall_sec: float = 0.0
+
+    def as_dict(self):
+        return dict(self.__dict__)
+
+
+@dataclass
+class CrawlSummary:
+    rounds: int
+    metrics: list = field(default_factory=list)
+    urls_fetched: int = 0
+    wall_sec: float = 0.0
+
+
+class CrawlEngine:
+    """Iterative batch crawler over fixture tables in ``input_dir``
+    (documents/sources/robots/sitemaps parquet — fixtures.write_web),
+    checkpointing state to ``work_dir``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        work_dir: str,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.work_dir = work_dir
+        self.cfg = cfg or CrawlConfig()
+        self.round = -1  # -1 = not initialized; 0 = seeded
+        self.metrics: list[dict] = []
+
+        self.documents = spark.read.parquet(
+            os.path.join(input_dir, "documents.parquet")
+        )
+        # tiny dims -> driver (R1 source scan is a handful of rows; robots/
+        # sitemaps are one row per host)
+        self.sources = [
+            (r["source_id"], r["name"], r["url"])
+            for r in spark.read.parquet(
+                os.path.join(input_dir, "sources.parquet")
+            ).collect()
+        ]
+        robots_rows = []
+        robots_path = os.path.join(input_dir, "robots.parquet")
+        if os.path.exists(robots_path):
+            robots_rows = [
+                (r["host"], r["body"])
+                for r in spark.read.parquet(robots_path).collect()
+            ]
+        self.robots = RobotsTable(
+            {h: parse_robots(b, self.cfg.user_agent) for h, b in robots_rows}
+        )
+        self.sitemaps = {}
+        sm_path = os.path.join(input_dir, "sitemaps.parquet")
+        if os.path.exists(sm_path):
+            self.sitemaps = {
+                r["sitemap_url"]: (r["kind"], list(r["urls"]))
+                for r in spark.read.parquet(sm_path).collect()
+            }
+        self._robots_bc = spark.sparkContext.broadcast(self.robots)
+        self._extract_udf = make_extract_udf(self._robots_bc)
+        self._robots_udf = make_robots_udf(self._robots_bc)
+        self.namespace: dict[str, str] = {}
+        self._ns_df: DataFrame | None = None
+
+    # ------------------------------------------------------------ paths
+
+    def _p(self, kind: str, r: int) -> str:
+        return os.path.join(self.work_dir, kind, f"round={r}")
+
+    def _manifest_path(self, r: int) -> str:
+        return os.path.join(self.work_dir, "checkpoints", f"round_{r}.json")
+
+    def _delta_paths(self, kind: str, upto: int) -> list[str]:
+        return [
+            p
+            for r in range(upto + 1)
+            if os.path.exists(p := self._p(kind, r))
+        ]
+
+    def _read_deltas(self, kind: str, schema: StructType) -> DataFrame:
+        paths = self._delta_paths(kind, self.round)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ------------------------------------------------------------ init
+
+    def initialize(self):
+        """Round 0: seeding — identical to the oracle via seed_state."""
+        queues, seen, _inflight, namespace = seed_state(
+            self.sources, self.robots, self.sitemaps.get
+        )
+        self.namespace = namespace
+        frontier_rows = [
+            (url, host, i, sm)
+            for host, q in queues.items()
+            for i, (url, sm) in enumerate(q)
+        ]
+        seen_rows = [
+            (url, _host_of(url), 0)
+            for url, n in seen.items()
+            for _ in range(n)
+        ]
+        spark = self.spark
+        spark.createDataFrame(frontier_rows, FRONTIER_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self._p("frontier", 0))
+        spark.createDataFrame(seen_rows, SEEN_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self._p("seen", 0))
+        self.round = 0
+        self._write_manifest(
+            RoundMetrics(round=0, frontier_next=len(frontier_rows))
+        )
+
+    def _ns(self) -> DataFrame:
+        if self._ns_df is None:
+            self._ns_df = self.spark.createDataFrame(
+                [(h, s) for h, s in self.namespace.items()],
+                StructType(
+                    [
+                        StructField("host", StringType()),
+                        StructField("source_id", StringType()),
+                    ]
+                ),
+            )
+        return self._ns_df
+
+    # ------------------------------------------------------------ rounds
+
+    def run_round(self) -> RoundMetrics:
+        assert self.round >= 0, "call initialize() first"
+        cfg = self.cfg
+        spark = self.spark
+        r = self.round + 1
+        t0 = time.time()
+        m = RoundMetrics(round=r)
+
+        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
+            self._p("frontier", r - 1)
+        )
+        scheduled, deferred = schedule_topk(
+            frontier, cfg.scrape_parallelism, cfg.hot_host_salt
+        )
+        scheduled = scheduled.persist()
+        m.scheduled = scheduled.count()
+        if m.scheduled == 0:
+            scheduled.unpersist()
+            m.wall_sec = time.time() - t0
+            return m
+
+        # crawl-order log (R27 lineage: position of every fetch)
+        scheduled.select(
+            F.lit(r).alias("round"), "host", "rn", "url", "sm"
+        ).write.mode("overwrite").parquet(self._p("order", r))
+
+        # ---- R10 fetch: equi-join against documents ----------------------
+        docs = self.documents
+        fetched = (
+            scheduled.alias("s")
+            .join(docs.alias("d"), F.col("s.url") == F.col("d.doc_id"), "left")
+            .select(
+                F.col("s.url").alias("url"),
+                F.col("s.host").alias("host"),
+                F.col("s.rn").alias("rn"),
+                F.col("s.sm").alias("sm"),
+                F.col("d.doc_id").alias("doc_id"),
+                F.col("d.spans").alias("spans"),
+                F.col("d.status").alias("status"),
+                F.col("d.content_type").alias("content_type"),
+                F.col("d.headers").alias("headers"),
+            )
+        )
+
+        # ---- R11/R12/R15 classification ----------------------------------
+        xro = F.try_element_at(
+            F.expr("filter(map_entries(headers), e -> lower(e.key) = 'x-robots-tag')"),
+            F.lit(1),
+        )["value"]
+        noindex = F.coalesce(F.lower(xro).rlike("noindex|none"), F.lit(False))
+        is_err = F.col("doc_id").isNull() | (F.col("status") < 0)
+        is_bad = (~is_err) & (F.col("status") != 200)
+        is_noidx = (~is_err) & (~is_bad) & noindex
+        ok = (~is_err) & (~is_bad) & (~is_noidx)
+        is_html = ok & F.col("content_type").startswith("text/html")
+        is_plain = ok & ~F.col("content_type").startswith("text/html")
+
+        fetched = fetched.withColumn(
+            "cls",
+            F.when(is_err, "err")
+            .when(is_bad, "bad")
+            .when(is_noidx, "noidx")
+            .when(is_html, "html")
+            .otherwise("plain"),
+        ).persist()
+
+        cls_counts = {
+            row["cls"]: row["count"]
+            for row in fetched.groupBy("cls").count().collect()
+        }
+        m.errors = cls_counts.get("err", 0)
+        m.dropped = cls_counts.get("bad", 0) + cls_counts.get("noidx", 0)
+        m.html = cls_counts.get("html", 0)
+        m.plain_indexed = cls_counts.get("plain", 0)
+
+        # span invariant sink: fetched docs verbatim (kind,text,media_ref,offset)
+        fetched.filter(F.col("doc_id").isNotNull()).select(
+            "doc_id", "spans", F.lit(r).alias("round")
+        ).write.mode("overwrite").parquet(self._p("fetched", r))
+
+        # ---- R13/R14 extraction ------------------------------------------
+        ext = (
+            fetched.filter(F.col("cls") == "html")
+            .select("url", "host", "rn", "spans")
+            .withColumn("ext", self._extract_udf("spans", "url"))
+            .select(
+                "url",
+                "host",
+                "rn",
+                F.col("ext.canonical_url").alias("canonical_url"),
+                F.col("ext.links").alias("links"),
+            )
+            .persist()
+        )
+
+        # ---- R17/R18 index output ----------------------------------------
+        indexed = (
+            ext.select(
+                F.coalesce("canonical_url", "url").alias("url"), "host", "rn"
+            )
+            .unionByName(
+                fetched.filter(F.col("cls") == "plain").select(
+                    "url", "host", "rn"
+                )
+            )
+        )
+        w_first = Window.partitionBy("url").orderBy("host", "rn")
+        existing_urls = self._read_deltas("urls", URLS_SCHEMA)
+        new_urls = (
+            indexed.withColumn("_k", F.row_number().over(w_first))
+            .filter(F.col("_k") == 1)
+            .drop("_k")
+            .join(existing_urls.select("url"), "url", "left_anti")
+            .join(F.broadcast(self._ns()), "host", "left")
+            .select("url", "source_id", F.lit(r).alias("round"))
+        )
+        new_urls.write.mode("overwrite").parquet(self._p("urls", r))
+        m.indexed_urls = spark.read.schema(URLS_SCHEMA).parquet(
+            self._p("urls", r)
+        ).count()
+
+        # ---- candidate links ---------------------------------------------
+        links = ext.select(
+            F.col("host").alias("phost"),
+            F.col("rn").alias("prn"),
+            F.explode("links").alias("raw_url"),
+        )
+        cand = (
+            links.withColumn("url", F.regexp_replace("raw_url", "/$", ""))  # R23
+            .withColumn("chost", F.expr("parse_url(url, 'HOST')"))
+            .drop("raw_url")
+        )
+        # R3 namespace semi-join (broadcast — namespace is seed-host sized)
+        cand = cand.join(
+            F.broadcast(self._ns().select("host").withColumnRenamed("host", "chost")),
+            "chost",
+            "left_semi",
+        )
+        # R4 seen anti-join (bloom pre-filter optional; exactness preserved)
+        seen_all = self._read_deltas("seen", SEEN_SCHEMA)
+        if cfg.bloom_enabled:
+            blooms = build_blooms(
+                with_bucket(seen_all, cfg.num_seen_buckets),
+                cfg.num_seen_buckets,
+                cfg.bloom_fpp,
+            )
+            probed = bloom_prefilter(cand, blooms, cfg.num_seen_buckets)
+            definite_new = probed.filter(~F.col("maybe_seen")).drop(
+                "maybe_seen", "bucket"
+            )
+            to_check = probed.filter(F.col("maybe_seen")).drop(
+                "maybe_seen", "bucket"
+            )
+            cand = definite_new.unionByName(anti_join_seen(to_check, seen_all))
+        else:
+            cand = anti_join_seen(cand, seen_all)
+
+        # inflight rules (currentlyScraping, Supervisor.scala:173):
+        # (a) deferred sitemap-origin rows are in flight -> drop
+        cand = cand.join(
+            deferred.filter(F.col("sm")).select("url"), "url", "left_anti"
+        )
+        # (b) sitemap rows fetched THIS round count as in-flight until their
+        # own result event; link may re-enqueue only if the sitemap row's
+        # event (shost, srn) precedes the parent's (phost, prn)
+        sm_sched = scheduled.filter(F.col("sm")).select(
+            "url",
+            F.col("host").alias("shost"),
+            F.col("rn").alias("srn"),
+        )
+        cand = (
+            cand.join(sm_sched, "url", "left")
+            .filter(
+                F.col("shost").isNull()
+                | (F.col("shost") < F.col("phost"))
+                | (
+                    (F.col("shost") == F.col("phost"))
+                    & (F.col("srn") < F.col("prn"))
+                )
+            )
+            .drop("shost", "srn")
+        )
+        # first eligible discoverer wins (oracle processing order)
+        w_cand = Window.partitionBy("url").orderBy("phost", "prn")
+        cand = (
+            cand.withColumn("_k", F.row_number().over(w_cand))
+            .filter(F.col("_k") == 1)
+            .drop("_k")
+            .persist()
+        )
+
+        # ---- R16 retries --------------------------------------------------
+        failures = fetched.filter(F.col("cls") == "err").select(
+            "url", "host", "rn"
+        )
+        attempts = (
+            seen_all.join(failures.select("url"), "url", "left_semi")
+            .groupBy("url")
+            .agg(F.count("*").alias("attempts"))
+        )
+        retries = (
+            failures.join(attempts, "url", "left")
+            .filter(
+                F.col("attempts").isNotNull()
+                & (F.col("attempts") <= F.lit(cfg.max_retries))
+            )
+            .select("url", "host", "rn")
+            .persist()
+        )
+        m.retries = retries.count()
+
+        # ---- frontier' + seen delta --------------------------------------
+        # enqueue gate R20 (target host rules); counting happens regardless
+        # (Supervisor.scala:200 vs HostCrawler.scala:146)
+        cand = cand.withColumn("allowed", self._robots_udf("url", "chost"))
+        cand_events = cand.select(
+            F.col("chost").alias("thost"), "url", "phost", "prn", "allowed"
+        )
+        retry_events = retries.select(
+            F.col("host").alias("thost"),
+            "url",
+            F.col("host").alias("phost"),
+            F.col("rn").alias("prn"),
+            F.lit(True).alias("allowed"),
+        )
+        additions = cand_events.unionByName(retry_events)
+        w_seq = Window.partitionBy("thost").orderBy("phost", "prn", "url")
+        enqueued = (
+            additions.filter(F.col("allowed"))
+            .withColumn(
+                "seq", F.lit(r * SEQ_STRIDE) + F.row_number().over(w_seq)
+            )
+            .select(
+                "url",
+                F.col("thost").alias("host"),
+                "seq",
+                F.lit(False).alias("sm"),
+            )
+        )
+        new_frontier = deferred.select("url", "host", "seq", "sm").unionByName(
+            enqueued
+        )
+        new_frontier.write.mode("overwrite").parquet(self._p("frontier", r))
+        m.frontier_next = spark.read.schema(FRONTIER_SCHEMA).parquet(
+            self._p("frontier", r)
+        ).count()
+
+        seen_delta = additions.select(
+            "url", F.col("thost").alias("host"), F.lit(r).alias("round")
+        )
+        seen_delta.write.mode("overwrite").parquet(self._p("seen", r))
+        m.new_scheduled = spark.read.schema(SEEN_SCHEMA).parquet(
+            self._p("seen", r)
+        ).count()
+
+        for df in (scheduled, fetched, ext, cand, retries):
+            df.unpersist()
+
+        self.round = r
+        m.wall_sec = time.time() - t0
+        self.metrics.append(m.as_dict())
+        self._write_manifest(m)
+        return m
+
+    # ------------------------------------------------------------ loop
+
+    def run(self, max_rounds: int | None = None) -> CrawlSummary:
+        if self.round < 0:
+            self.initialize()
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        t0 = time.time()
+        mets = []
+        while self.round < limit:
+            m = self.run_round()
+            mets.append(m.as_dict())
+            if m.scheduled == 0:
+                break
+        total_fetched = sum(x["scheduled"] for x in mets)
+        return CrawlSummary(
+            rounds=self.round,
+            metrics=mets,
+            urls_fetched=total_fetched,
+            wall_sec=time.time() - t0,
+        )
+
+    # ------------------------------------------------------------ state IO
+
+    def _write_manifest(self, m: RoundMetrics):
+        os.makedirs(os.path.join(self.work_dir, "checkpoints"), exist_ok=True)
+        # per-partition lineage: frontier rows per host partition
+        lineage = {}
+        fp = self._p("frontier", m.round)
+        if os.path.exists(fp):
+            lineage = {
+                row["host"]: row["count"]
+                for row in self.spark.read.schema(FRONTIER_SCHEMA)
+                .parquet(fp)
+                .groupBy("host")
+                .count()
+                .collect()
+            }
+        manifest = {
+            "round": m.round,
+            "tables": {
+                k: self._delta_paths(k, m.round)
+                for k in ("frontier", "seen", "urls", "order", "fetched")
+            },
+            "metrics": m.as_dict(),
+            "frontier_by_host": lineage,
+        }
+        with open(self._manifest_path(m.round), "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    @staticmethod
+    def resume(
+        spark: SparkSession,
+        input_dir: str,
+        work_dir: str,
+        cfg: CrawlConfig | None = None,
+    ) -> "CrawlEngine":
+        """Exact mid-crawl resume from the latest checkpoint manifest."""
+        eng = CrawlEngine(spark, input_dir, work_dir, cfg)
+        ckpt_dir = os.path.join(work_dir, "checkpoints")
+        rounds = sorted(
+            int(f.split("_")[1].split(".")[0])
+            for f in os.listdir(ckpt_dir)
+            if f.startswith("round_")
+        )
+        if not rounds:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+        eng.round = rounds[-1]
+        # namespace is a pure function of the (immutable) input tables
+        _q, _s, _i, eng.namespace = seed_state(
+            eng.sources, eng.robots, eng.sitemaps.get
+        )
+        # drop any partially-written future state
+        for kind in ("frontier", "seen", "urls", "order", "fetched"):
+            base = os.path.join(work_dir, kind)
+            if os.path.isdir(base):
+                for d in os.listdir(base):
+                    rr = int(d.split("=")[1])
+                    if rr > eng.round:
+                        shutil.rmtree(os.path.join(base, d))
+        return eng
+
+    # ------------------------------------------------------------ outputs
+
+    def urls_df(self) -> DataFrame:
+        return self._read_deltas("urls", URLS_SCHEMA)
+
+    def seen_df(self) -> DataFrame:
+        return self._read_deltas("seen", SEEN_SCHEMA)
+
+    def order_df(self) -> DataFrame:
+        paths = self._delta_paths("order", self.round)
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "round int, host string, rn int, url string, sm boolean"
+            )
+        return self.spark.read.parquet(*paths)
+
+    def fetched_df(self) -> DataFrame:
+        paths = self._delta_paths("fetched", self.round)
+        assert paths, "no fetched docs"
+        return self.spark.read.parquet(*paths)
+
+
+def _host_of(url: str) -> str:
+    from spider_spark.functions.urlnorm import url_host
+
+    return url_host(url) or ""

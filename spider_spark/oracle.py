@@ -1,0 +1,262 @@
+"""Pure-Python reference simulator ("the oracle").
+
+Re-enacts the reference crawler's semantics (Supervisor/HostCrawler/
+SiteScraper/Indexer message flow, SURVEY.md §3) over a fixture Web, in the
+deterministic synchronous-round model both this oracle and the Spark engine
+share. Crawl-order equality vs the actor system is defined *per host*
+(FIFO × tick × budget — the only order the reference itself makes
+deterministic; its cross-host interleaving is scheduler noise), with
+sorted-URL intra-page link order.
+
+Round discipline (shared spec):
+  round 0 (seeding, per source in list order; reference Main.scala:30):
+    - per new host: parse robots (fail-open), expand sitemaps
+      (probe <proto>://host/sitemap.xml + robots-declared, recursive,
+      SitemapInspector.scala:22-58), set-dedup → SORTED → robots-filter →
+      enqueue UNCLEANED, into inflight but NOT seen
+      (Supervisor.scala SitemapFinished :75-76 adds only currentlyScraping)
+    - seed: slash-stripped (NOT clean_url'd — Supervisor.scala:197), then
+      scrape(): skip if inflight; skip if host ∉ namespace; else seen+=1,
+      inflight+=, robots-gated enqueue (gate at HostCrawler.scala:146 —
+      counting happens even when the enqueue is robots-dropped)
+  round r ≥ 1:
+    - per host (sorted): batch = first K of queue (HostCrawler.scala:171)
+    - process results in global order (host sorted, batch position):
+        * missing doc / status<0  → ScrapeFailure: inflight-=;
+          attempts<=max_retries → scrape() again (appends to queue END,
+          attempts+=1); unknown url (sitemap-seeded) → drop
+          (Supervisor.scala:93-125)
+        * status != 200           → NoIndex (SiteScraper.scala:101-103)
+        * X-Robots-Tag noindex/none (any key case) → NoIndex
+          (ResponseFilter.scala:14-36)
+        * non-text/html           → Index, zero links
+          (ContentFilter.scala:35-38)
+        * html → extract+filter+clean links (R13/R14), index under
+          coalesce(canonical, url) (Indexer.scala:52), then per link
+          (sorted): slash-strip → skip if seen → skip if host ∉ namespace →
+          scrape() (Supervisor.scala:127-166); finally inflight -= url
+    - terminate when every queue is empty (R26)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from spider_spark.config import CrawlConfig
+from spider_spark.fixtures import Web
+from spider_spark.functions.extract import extract_batch, spans_to_html
+from spider_spark.functions.robots import RobotsTable, parse_robots
+from spider_spark.functions.urlnorm import strip_trailing_slash, url_host
+
+
+@dataclass
+class CrawlResult:
+    seen: dict  # url -> attempts (reference scrapeCounts)
+    urls: dict  # indexed url -> (source_id, round)
+    order: dict  # host -> [url, ...] in fetch order
+    fetched: list  # [(round, host, pos, url)]
+    rounds: int = 0
+    metrics: list = field(default_factory=list)
+
+
+def expand_sitemaps(web: Web, start_urls: list[str]) -> list[str]:
+    """Recursive sitemap expansion with cycle guard (R21)."""
+    out: list[str] = []
+    visited: set[str] = set()
+
+    def visit(sm_url: str):
+        if sm_url in visited:
+            return
+        visited.add(sm_url)
+        entry = web.sitemaps.get(sm_url)
+        if entry is None:
+            return  # fetch failure -> empty (SitemapInspector.scala:29-35)
+        kind, urls = entry
+        if kind == "index":
+            for child in urls:
+                visit(child)
+        else:
+            out.extend(urls)
+
+    for sm in start_urls:
+        visit(sm)
+    return out
+
+
+def _noindex(headers: dict) -> bool:
+    for k, v in (headers or {}).items():
+        if k.lower() == "x-robots-tag":
+            lv = (v or "").lower()
+            return "noindex" in lv or "none" in lv
+    return False
+
+
+def seed_state(
+    sources: list,
+    robots: RobotsTable,
+    sitemaps_fetch,
+):
+    """Round-0 seeding, shared verbatim by oracle and Spark engine so their
+    initial state is identical by construction.
+
+    sources: [(source_id, name, seed_url)] in reference Start order
+    sitemaps_fetch: callable(sitemap_url) -> (kind, urls) | None
+
+    Returns (queues: host -> [(url, is_sitemap_origin)], seen: url->attempts,
+    inflight: set, namespace: host->source_id).
+    """
+    seen: dict[str, int] = {}
+    inflight: set[str] = set()
+    queues: dict[str, list[tuple[str, bool]]] = {}
+    namespace: dict[str, str] = {}
+
+    def expand(start_urls):
+        out, visited = [], set()
+
+        def visit(sm_url):
+            if sm_url in visited:
+                return
+            visited.add(sm_url)
+            entry = sitemaps_fetch(sm_url)
+            if entry is None:
+                return
+            kind, urls = entry
+            if kind == "index":
+                for child in urls:
+                    visit(child)
+            else:
+                out.extend(urls)
+
+        for sm in start_urls:
+            visit(sm)
+        return out
+
+    for source_id, _name, seed_url in sources:
+        host = url_host(seed_url)
+        if not host:
+            continue
+        new_host = host not in namespace
+        namespace[host] = source_id
+        if new_host:
+            proto = seed_url.split("://", 1)[0]
+            sm_start = [f"{proto}://{host}/sitemap.xml"] + robots.sitemaps_for(host)
+            sm_urls = sorted(
+                {u for u in expand(sm_start) if robots.is_allowed(host, u)}
+            )
+            for u in sm_urls:  # uncleaned, inflight only — NOT seen
+                inflight.add(u)
+                queues.setdefault(host, []).append((u, True))
+        # Supervisor.scrape for the seed (slash-strip only, no clean_url)
+        u = strip_trailing_slash(seed_url)
+        if u in inflight:
+            continue
+        seen[u] = seen.get(u, 0) + 1
+        inflight.add(u)
+        if robots.is_allowed(host, u):
+            queues.setdefault(host, []).append((u, False))
+    return queues, seen, inflight, namespace
+
+
+def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
+    cfg = cfg or CrawlConfig()
+    robots = RobotsTable(
+        {h: parse_robots(b, cfg.user_agent) for h, b in web.robots.items()}
+    )
+
+    urls_out: dict[str, tuple[str, int]] = {}
+    order: dict[str, list[str]] = {}
+    fetched_log: list[tuple[int, str, int, str]] = []
+    metrics: list[dict] = []
+
+    q0, seen, inflight, namespace = seed_state(
+        web.sources, robots, web.sitemaps.get
+    )
+    queues: dict[str, list[str]] = {h: [u for u, _sm in q] for h, q in q0.items()}
+
+    def scrape(url: str, rnd: int):
+        """Supervisor.scrape (Supervisor.scala:168-210)."""
+        u = strip_trailing_slash(url)
+        if u in inflight:
+            return
+        host = url_host(u)
+        if not host or host not in namespace:
+            return
+        seen[u] = seen.get(u, 0) + 1
+        inflight.add(u)
+        if robots.is_allowed(host, u):  # HostCrawler.scala:146
+            queues.setdefault(host, []).append(u)
+
+    # ---- fetch rounds -----------------------------------------------------
+    rnd = 0
+    while any(queues.values()) and rnd < cfg.max_rounds:
+        rnd += 1
+        batches: list[tuple[str, list[str]]] = []
+        for host in sorted(h for h, q in queues.items() if q):
+            q = queues[host]
+            batch, queues[host] = q[: cfg.scrape_parallelism], q[cfg.scrape_parallelism :]
+            batches.append((host, batch))
+            order.setdefault(host, []).extend(batch)
+            for pos, u in enumerate(batch):
+                fetched_log.append((rnd, host, pos, u))
+
+        n_new = 0
+        for host, batch in batches:
+            for u in batch:
+                doc = web.documents.get(u)
+                if doc is None or doc.status < 0:
+                    # ScrapeFailure path
+                    inflight.discard(u)
+                    attempts = seen.get(u)
+                    if attempts is not None and attempts <= cfg.max_retries:
+                        scrape(u, rnd)
+                    continue
+                if doc.status != 200 or _noindex(doc.headers):
+                    inflight.discard(u)  # NoIndex
+                    continue
+                if not doc.content_type.startswith("text/html"):
+                    canonical, links = None, []
+                else:
+                    html = spans_to_html(doc.spans)
+                    res = extract_batch(
+                        pd.Series([html]),
+                        pd.Series([u]),
+                        robots_allowed=robots.allowed_batch,
+                    )
+                    canonical = res["canonical_url"].iloc[0]
+                    if canonical is not None and pd.isna(canonical):
+                        canonical = None
+                    links = list(res["links"].iloc[0])
+                # Indexer.handleUrl: insert-if-absent (Indexer.scala:75-101)
+                indexed = canonical if canonical else u
+                if indexed not in urls_out:
+                    urls_out[indexed] = (namespace.get(host, ""), rnd)
+                # IndexFinished: schedule new links (sorted intra-page order)
+                for link in links:
+                    lu = strip_trailing_slash(link)
+                    if lu in seen:
+                        continue
+                    lh = url_host(lu)
+                    if lh not in namespace:
+                        continue
+                    before = len(seen)
+                    scrape(link, rnd)
+                    n_new += len(seen) - before
+                inflight.discard(u)
+        metrics.append(
+            {
+                "round": rnd,
+                "scheduled": sum(len(b) for _h, b in batches),
+                "new_urls": n_new,
+            }
+        )
+
+    return CrawlResult(
+        seen=seen,
+        urls=urls_out,
+        order=order,
+        fetched=fetched_log,
+        rounds=rnd,
+        metrics=metrics,
+    )

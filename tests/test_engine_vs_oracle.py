@@ -1,0 +1,146 @@
+"""Engine-vs-oracle equivalence — the north_rule correctness gate:
+per-host crawl order, URL-seen set (with attempt counts), and indexed-URL
+set must match the reference-semantics simulator exactly, plus the span
+invariant on fetched docs."""
+
+import collections
+
+import pytest
+
+from spider_spark.config import CrawlConfig
+from spider_spark.engine import CrawlEngine
+from spider_spark.fixtures import demo_web, synth_web, write_web
+from spider_spark.oracle import crawl as oracle_crawl
+
+
+def engine_run(spark, web, cfg, tmp_path, tag):
+    input_dir = write_web(web, str(tmp_path / f"web_{tag}"))
+    eng = CrawlEngine(spark, input_dir, str(tmp_path / f"work_{tag}"), cfg)
+    summary = eng.run()
+    return eng, summary
+
+
+def engine_order(eng):
+    rows = eng.order_df().collect()
+    order = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda x: (x["host"], x["round"], x["rn"])):
+        order[r["host"]].append(r["url"])
+    return dict(order)
+
+
+def engine_seen(eng):
+    rows = eng.seen_df().collect()
+    seen = collections.Counter()
+    for r in rows:
+        seen[r["url"]] += 1
+    return dict(seen)
+
+
+def engine_urls(eng):
+    return {r["url"]: r["source_id"] for r in eng.urls_df().collect()}
+
+
+def assert_match(eng, oracle_res, namespace_sources=None):
+    assert engine_order(eng) == {
+        h: o for h, o in oracle_res.order.items() if o
+    }, "per-host crawl order mismatch"
+    assert engine_seen(eng) == oracle_res.seen, "seen-set mismatch"
+    assert engine_urls(eng) == {
+        u: sid for u, (sid, _r) in oracle_res.urls.items()
+    }, "indexed urls mismatch"
+
+
+@pytest.mark.parametrize("budget,max_retries", [(3, 1), (100, 0), (1, 2)])
+def test_demo_web_matches_oracle(spark, tmp_path, budget, max_retries):
+    web = demo_web()
+    cfg = CrawlConfig(
+        scrape_parallelism=budget, max_retries=max_retries, max_rounds=200
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, summary = engine_run(
+        spark, web, cfg, tmp_path, f"demo_{budget}_{max_retries}"
+    )
+    assert_match(eng, oracle_res)
+    assert summary.rounds == oracle_res.rounds
+
+
+def test_synth_web_matches_oracle(spark, tmp_path):
+    web = synth_web(n_hosts=3, pages_per_host=40, links_per_page=5, seed=7)
+    cfg = CrawlConfig(scrape_parallelism=10, max_retries=1, max_rounds=200)
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "synth")
+    assert_match(eng, oracle_res)
+
+
+def test_span_invariant(spark, tmp_path):
+    """Every fetched doc's span sequence (kind, text, media_ref,
+    offset-order) equals the fixture exactly (input_hint invariant)."""
+    web = demo_web()
+    cfg = CrawlConfig(scrape_parallelism=100, max_retries=0)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "spans")
+    for row in eng.fetched_df().collect():
+        fix = web.documents[row["doc_id"]]
+        got = [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in sorted(row["spans"], key=lambda s: s["offset"])
+        ]
+        want = [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in sorted(fix.spans, key=lambda s: s["offset"])
+        ]
+        assert got == want, f"span mismatch for {row['doc_id']}"
+
+
+def test_bloom_path_equivalent(spark, tmp_path):
+    """R4 with bloom sidecar pre-filter must be result-identical."""
+    web = synth_web(n_hosts=2, pages_per_host=30, links_per_page=4, seed=9)
+    cfg_plain = CrawlConfig(scrape_parallelism=8, max_retries=0)
+    cfg_bloom = CrawlConfig(
+        scrape_parallelism=8, max_retries=0, bloom_enabled=True, num_seen_buckets=8
+    )
+    eng_a, _ = engine_run(spark, web, cfg_plain, tmp_path, "nobloom")
+    eng_b, _ = engine_run(spark, web, cfg_bloom, tmp_path, "bloom")
+    assert engine_seen(eng_a) == engine_seen(eng_b)
+    assert engine_order(eng_a) == engine_order(eng_b)
+    assert engine_urls(eng_a) == engine_urls(eng_b)
+
+
+def test_salted_topk_equivalent(spark, tmp_path):
+    """Hot-host salted two-phase politeness must be order-identical."""
+    web = synth_web(n_hosts=2, pages_per_host=30, links_per_page=4, seed=11)
+    eng_a, _ = engine_run(
+        spark, web, CrawlConfig(scrape_parallelism=5), tmp_path, "nosalt"
+    )
+    eng_b, _ = engine_run(
+        spark,
+        web,
+        CrawlConfig(scrape_parallelism=5, hot_host_salt=4),
+        tmp_path,
+        "salt",
+    )
+    assert engine_order(eng_a) == engine_order(eng_b)
+
+
+def test_resume_mid_crawl(spark, tmp_path):
+    """Checkpoint/resume: stop after 2 rounds, resume, final state equals
+    an uninterrupted run (north_rule: exact resume mid-crawl)."""
+    web = synth_web(n_hosts=2, pages_per_host=30, links_per_page=4, seed=13)
+    cfg = CrawlConfig(scrape_parallelism=6, max_retries=1)
+    input_dir = write_web(web, str(tmp_path / "web_resume"))
+
+    full = CrawlEngine(spark, input_dir, str(tmp_path / "work_full"), cfg)
+    full.run()
+
+    part = CrawlEngine(spark, input_dir, str(tmp_path / "work_part"), cfg)
+    part.initialize()
+    part.run_round()
+    part.run_round()
+    resumed = CrawlEngine.resume(
+        spark, input_dir, str(tmp_path / "work_part"), cfg
+    )
+    assert resumed.round == 2
+    resumed.run()
+
+    assert engine_seen(full) == engine_seen(resumed)
+    assert engine_order(full) == engine_order(resumed)
+    assert engine_urls(full) == engine_urls(resumed)
