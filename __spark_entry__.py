@@ -404,6 +404,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return D.ngram_jaccard(pairs, docs, n=2)
 
+    # threshold 0.40: driver embeddings are near-orthogonal random vectors
+    # (max pairwise cos ≈ 0.6), so a "real" 0.95 near-dup bar matches zero
+    # rows at every sf; 0.40 keeps the operator's output non-trivial
+    def dedup_embedding_cosine(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return S.embedding_near_dup(emb, threshold=0.40)
+
+    def dedup_embedding_lsh(spark, sf):  # rows-only oracle (SRP recall < 1)
+        emb = _t(spark, sf, "embeddings")
+        planes = S.srp_planes(64, 4)
+        return S.embedding_near_dup(emb, threshold=0.40, planes=planes)
+
     def ann_lsh_buckets(spark, sf):  # rows-only oracle (random planes)
         emb = _t(spark, sf, "embeddings")
         planes = S.srp_planes(64, 6)
@@ -449,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_lsh_buckets": ann_lsh_buckets,
         "multimodal_meta": multimodal_meta,
     }
@@ -626,6 +640,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
+        """,
+        "dedup_embedding_cosine": """
+            SELECT id_a, id_b, cos_sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cos_sim >= 0.40
         """,
         "ann_cosine_topk": """
             SELECT vec_id, printf('%.4f', cos_r) AS cos_sim FROM (

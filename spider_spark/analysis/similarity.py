@@ -83,6 +83,45 @@ def with_srp_bucket(
     return df.withColumn("srp_bucket", bucket)
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    ``planes=None``: brute-force O(n²) self-join — the exactness baseline
+    (and the DuckDB-checkable oracle form). With SRP ``planes``: both
+    sides bucket on sign-random-projections first and the self-join runs
+    per bucket — near-identical vectors agree on (almost) every sign bit,
+    so the candidate pair count drops ~2^b-fold while the cosine test
+    stays exact. At 10^10 rows the bucket is the lake bucketing key, so
+    the join is co-located (no global shuffle of the full table)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if planes is not None:
+        a = with_srp_bucket(a, planes, "_va").withColumnRenamed(
+            "srp_bucket", "_bkt"
+        )
+        b = with_srp_bucket(b, planes, "_vb").withColumnRenamed(
+            "srp_bucket", "_bkt"
+        )
+        pairs = a.join(b, "_bkt").drop("_bkt")
+    else:
+        pairs = a.crossJoin(b)
+    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    va = F.col("_va").cast("array<double>")
+    vb = F.col("_vb").cast("array<double>")
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: list[float],

@@ -156,6 +156,7 @@ class CrawlEngine:
         self.work_dir = work_dir
         self.cfg = cfg or CrawlConfig()
         self.round = -1  # -1 = not initialized; 0 = seeded
+        self._last_frontier_next = -1
         self.metrics: list[dict] = []
 
         self.documents = spark.read.parquet(
@@ -213,6 +214,18 @@ class CrawlEngine:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
 
+    @staticmethod
+    def _parquet_rows(path: str) -> int:
+        """Row count from parquet footers only — no Spark job, no data read."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
     # ------------------------------------------------------------ init
 
     def initialize(self):
@@ -239,8 +252,10 @@ class CrawlEngine:
             "overwrite"
         ).parquet(self._p("seen", 0))
         self.round = 0
+        self._last_frontier_next = len(frontier_rows)
         self._write_manifest(
-            RoundMetrics(round=0, frontier_next=len(frontier_rows))
+            RoundMetrics(round=0, frontier_next=len(frontier_rows)),
+            lineage=_count_by(frontier_rows, 1),
         )
 
     def _ns(self) -> DataFrame:
@@ -266,6 +281,13 @@ class CrawlEngine:
         t0 = time.time()
         m = RoundMetrics(round=r)
 
+        # quiescence check from the previous round's bookkeeping — a frontier
+        # row always schedules (rn <= budget exists whenever rows exist), so
+        # empty frontier ⟺ nothing to schedule, no Spark job needed (R26)
+        if self._last_frontier_next == 0:
+            m.wall_sec = time.time() - t0
+            return m
+
         frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._p("frontier", r - 1)
         )
@@ -273,11 +295,6 @@ class CrawlEngine:
             frontier, cfg.scrape_parallelism, cfg.hot_host_salt
         )
         scheduled = scheduled.persist()
-        m.scheduled = scheduled.count()
-        if m.scheduled == 0:
-            scheduled.unpersist()
-            m.wall_sec = time.time() - t0
-            return m
 
         # crawl-order log (R27 lineage: position of every fetch)
         scheduled.select(
@@ -332,6 +349,7 @@ class CrawlEngine:
         m.dropped = cls_counts.get("bad", 0) + cls_counts.get("noidx", 0)
         m.html = cls_counts.get("html", 0)
         m.plain_indexed = cls_counts.get("plain", 0)
+        m.scheduled = sum(cls_counts.values())
 
         # span invariant sink: fetched docs verbatim (kind,text,media_ref,offset)
         fetched.filter(F.col("doc_id").isNotNull()).select(
@@ -375,9 +393,7 @@ class CrawlEngine:
             .select("url", "source_id", F.lit(r).alias("round"))
         )
         new_urls.write.mode("overwrite").parquet(self._p("urls", r))
-        m.indexed_urls = spark.read.schema(URLS_SCHEMA).parquet(
-            self._p("urls", r)
-        ).count()
+        m.indexed_urls = self._parquet_rows(self._p("urls", r))
 
         # ---- candidate links ---------------------------------------------
         links = ext.select(
@@ -497,29 +513,34 @@ class CrawlEngine:
                 F.lit(False).alias("sm"),
             )
         )
-        new_frontier = deferred.select("url", "host", "seq", "sm").unionByName(
-            enqueued
+        new_frontier = (
+            deferred.select("url", "host", "seq", "sm")
+            .unionByName(enqueued)
+            .persist()
         )
         new_frontier.write.mode("overwrite").parquet(self._p("frontier", r))
-        m.frontier_next = spark.read.schema(FRONTIER_SCHEMA).parquet(
-            self._p("frontier", r)
-        ).count()
+        # per-host lineage off the cached frontier (also yields the row count
+        # — no separate re-read job)
+        lineage = {
+            row["host"]: row["count"]
+            for row in new_frontier.groupBy("host").count().collect()
+        }
+        m.frontier_next = sum(lineage.values())
 
         seen_delta = additions.select(
             "url", F.col("thost").alias("host"), F.lit(r).alias("round")
         )
         seen_delta.write.mode("overwrite").parquet(self._p("seen", r))
-        m.new_scheduled = spark.read.schema(SEEN_SCHEMA).parquet(
-            self._p("seen", r)
-        ).count()
+        m.new_scheduled = self._parquet_rows(self._p("seen", r))
 
-        for df in (scheduled, fetched, ext, cand, retries):
+        for df in (scheduled, fetched, ext, cand, retries, new_frontier):
             df.unpersist()
 
         self.round = r
+        self._last_frontier_next = m.frontier_next
         m.wall_sec = time.time() - t0
         self.metrics.append(m.as_dict())
-        self._write_manifest(m)
+        self._write_manifest(m, lineage=lineage)
         return m
 
     # ------------------------------------------------------------ loop
@@ -545,20 +566,11 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ state IO
 
-    def _write_manifest(self, m: RoundMetrics):
+    def _write_manifest(self, m: RoundMetrics, lineage: dict | None = None):
         os.makedirs(os.path.join(self.work_dir, "checkpoints"), exist_ok=True)
-        # per-partition lineage: frontier rows per host partition
-        lineage = {}
-        fp = self._p("frontier", m.round)
-        if os.path.exists(fp):
-            lineage = {
-                row["host"]: row["count"]
-                for row in self.spark.read.schema(FRONTIER_SCHEMA)
-                .parquet(fp)
-                .groupBy("host")
-                .count()
-                .collect()
-            }
+        # per-partition lineage: frontier rows per host partition (computed
+        # by the caller off the cached frontier — no extra Spark job)
+        lineage = lineage or {}
         manifest = {
             "round": m.round,
             "tables": {
@@ -589,6 +601,8 @@ class CrawlEngine:
         if not rounds:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
         eng.round = rounds[-1]
+        with open(eng._manifest_path(eng.round)) as f:
+            eng._last_frontier_next = json.load(f)["metrics"]["frontier_next"]
         # namespace is a pure function of the (immutable) input tables
         _q, _s, _i, eng.namespace = seed_state(
             eng.sources, eng.robots, eng.sitemaps.get
@@ -629,3 +643,10 @@ def _host_of(url: str) -> str:
     from spider_spark.functions.urlnorm import url_host
 
     return url_host(url) or ""
+
+
+def _count_by(rows: list[tuple], idx: int) -> dict:
+    out: dict = {}
+    for row in rows:
+        out[row[idx]] = out.get(row[idx], 0) + 1
+    return out

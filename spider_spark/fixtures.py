@@ -306,5 +306,9 @@ def web_to_tables(web: Web) -> dict[str, pa.Table]:
 def write_web(web: Web, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for name, table in web_to_tables(web).items():
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        # small row groups: a parquet row group is Spark's minimum split
+        # granularity, so one giant group would serialize the documents scan
+        pq.write_table(
+            table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=4096
+        )
     return out_dir
