@@ -34,6 +34,7 @@ class CrawlConfig:
     bloom_enabled: bool = False         # bloom sidecar pre-filter for R4
     bloom_fpp: float = 0.01
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
+    store_fetched_per_round: bool = False  # span sink each round vs once at end
     user_agent: str = "SpiderSparkBot"  # matched against robots.txt groups
 
     # reference-parity documentation only (unused in batch model)

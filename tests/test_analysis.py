@@ -1,0 +1,110 @@
+"""Tests for the training-data-pipeline operators (analysis/*).
+
+Semantic checks at tiny scale: exact dedup finds planted duplicates,
+MinHash-LSH recalls exact duplicates (guaranteed: identical shingle sets
+⇒ identical signatures ⇒ same bands), SimHash hamming-0 for identical
+texts, embedding near-dup brute-force vs planted near-identical vectors,
+SRP-LSH recall of identical vectors, token/fingerprint determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.analysis import dedup as D
+from spider_spark.analysis import similarity as S
+from spider_spark.analysis import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),  # exact dup
+        ("d3", "the quick brown fox jumps over the lazy cat"),  # near dup
+        ("d4", "completely different content about spark engines"),
+        ("d5", "  The Quick  Brown Fox jumps over the lazy dog "),  # ws/case
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs)
+    # d1/d2/d5 normalize to one fingerprint (case+whitespace folded)
+    dup = [r for r in groups.collect() if r["n_docs"] > 1]
+    assert len(dup) == 1 and dup[0]["n_docs"] == 3
+
+
+def test_minhash_lsh_recalls_exact_dups(docs):
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=16, bands=8, shingle_w=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("d1", "d2") in got  # identical text -> identical signature
+
+
+def test_ngram_jaccard_scores(docs):
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=16, bands=8, shingle_w=2)
+    scored = D.ngram_jaccard(pairs, docs, n=2)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in scored.collect()}
+    assert j.get(("d1", "d2")) == pytest.approx(1.0)
+    for (a, b), v in j.items():
+        assert 0.0 <= v <= 1.0
+
+
+def test_simhash_identical_zero_distance(docs):
+    near = D.simhash_near_duplicates(docs, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    assert ("d1", "d2") in got
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # 100: exact copy of 0; 101: tiny perturbation of 1
+    rows.append((100, [float(x) for x in base[0]]))
+    rows.append((101, [float(x) for x in base[1] + 1e-4 * rng.standard_normal(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_bruteforce(vecs):
+    pairs = S.embedding_near_dup(vecs, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got and (1, 101) in got
+    assert len(got) == 2  # random 16-dim vectors never reach 0.999
+
+
+def test_embedding_near_dup_lsh_recalls_identicals(vecs):
+    planes = S.srp_planes(16, 4)
+    pairs = S.embedding_near_dup(vecs, threshold=0.999, planes=planes)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # identical vectors share every SRP sign bit -> guaranteed same bucket
+    assert (0, 100) in got
+
+
+def test_cosine_topk_self_first(vecs):
+    row = vecs.filter(F.col("vec_id") == 3).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    top = S.cosine_topk(vecs, q, k=3).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_ann_lsh_bucket_contains_query(vecs):
+    planes = S.srp_planes(16, 3)
+    row = vecs.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    top = S.ann_topk_lsh(vecs, q, planes, k=5)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert 0 in ids and 100 in ids  # query and its exact copy bucket together
+
+
+def test_text_ops_deterministic(docs):
+    fp1 = {r["doc_id"]: r["fp"] for r in T.fingerprint(docs).collect()}
+    fp2 = {r["doc_id"]: r["fp"] for r in T.fingerprint(docs).collect()}
+    assert fp1 == fp2
+    assert fp1["d1"] == fp1["d2"] == fp1["d5"]
+    toks = {r["doc_id"]: r["ws_tokens"] for r in T.token_count(docs).collect()}
+    assert toks["d1"] == 9
