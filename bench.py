@@ -63,20 +63,21 @@ def bench_crawl(spark, cache_dir: str) -> dict:
     from spider_spark.engine import CrawlEngine
     from spider_spark.fixtures import synth_web, write_web
 
-    n_hosts = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "6"))
-    pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "1500"))
-    web_dir = os.path.join(cache_dir, f"benchweb_{n_hosts}_{pages}")
+    n_hosts = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "8"))
+    pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "3000"))
+    web_dir = os.path.join(cache_dir, f"benchweb2_{n_hosts}_{pages}")
     if not os.path.exists(os.path.join(web_dir, "documents.parquet")):
         web = synth_web(
             n_hosts=n_hosts,
             pages_per_host=pages,
             links_per_page=10,
+            sitemap_frac=0.3,
             seed=42,
         )
         write_web(web, web_dir)
     work_dir = os.path.join(cache_dir, "benchwork")
     shutil.rmtree(work_dir, ignore_errors=True)
-    cfg = CrawlConfig(scrape_parallelism=500, max_retries=0, max_rounds=50)
+    cfg = CrawlConfig(scrape_parallelism=20000, max_retries=0, max_rounds=50)
     eng = CrawlEngine(spark, web_dir, work_dir, cfg)
     t0 = time.time()
     summary = eng.run()

@@ -63,7 +63,7 @@ from spider_spark.operators.dedup import (
     build_blooms,
     with_bucket,
 )
-from spider_spark.operators.politeness import schedule_topk
+from spider_spark.operators.politeness import fifo_rank, schedule_topk
 
 SEQ_STRIDE = 1 << 40  # per-round seq base; additions per host per round < 2^40
 
@@ -176,6 +176,30 @@ class CrawlEngine:
         self.documents = spark.read.parquet(
             os.path.join(input_dir, "documents.parquet")
         )
+        # one-time slim projection for the per-round fetch join: html is
+        # pre-rendered from spans (JVM array ops), the X-Robots-Tag verdict
+        # pre-evaluated, and the (large) span structs never enter the round
+        # loop — the sandbox persist() stands in for what a bucketed-by-
+        # doc_id lake layout gives on a cluster (co-located probe, no
+        # re-scan/re-shuffle of payloads every round)
+        xro = F.try_element_at(
+            F.expr(
+                "filter(map_entries(headers), e -> lower(e.key) = 'x-robots-tag')"
+            ),
+            F.lit(1),
+        )["value"]
+        self.docs_fetch = (
+            self.documents.select(
+                "doc_id",
+                "status",
+                "content_type",
+                F.coalesce(F.lower(xro).rlike("noindex|none"), F.lit(False)).alias(
+                    "noindex"
+                ),
+                html_from_spans("spans").alias("html"),
+            )
+            .persist()
+        )
         # tiny dims -> driver (R1 source scan is a handful of rows; robots/
         # sitemaps are one row per host)
         self.sources = [
@@ -248,28 +272,37 @@ class CrawlEngine:
             self.sources, self.robots, self.sitemaps.get
         )
         self.namespace = namespace
-        frontier_rows = [
-            (url, host, i, sm)
-            for host, q in queues.items()
-            for i, (url, sm) in enumerate(q)
-        ]
-        seen_rows = [
-            (url, _host_of(url), 0)
-            for url, n in seen.items()
-            for _ in range(n)
-        ]
+        # pandas frames take the Arrow fast path into the JVM — a plain
+        # list-of-tuples createDataFrame pickles row-by-row, which is
+        # minutes-slow for sitemap-heavy seed frontiers
+        frontier_rows = pd.DataFrame(
+            [
+                (url, host, i, sm)
+                for host, q in queues.items()
+                for i, (url, sm) in enumerate(q)
+            ],
+            columns=["url", "host", "seq", "sm"],
+        )
+        seen_rows = pd.DataFrame(
+            [(url, _host_of(url), 0) for url, n in seen.items() for _ in range(n)],
+            columns=["url", "host", "round"],
+        )
         spark = self.spark
-        spark.createDataFrame(frontier_rows, FRONTIER_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self._p("frontier", 0))
-        spark.createDataFrame(seen_rows, SEEN_SCHEMA).coalesce(1).write.mode(
+        npart = max(1, len(frontier_rows) // 250_000)
+        spark.createDataFrame(frontier_rows, FRONTIER_SCHEMA).coalesce(
+            npart
+        ).write.mode("overwrite").parquet(self._p("frontier", 0))
+        spark.createDataFrame(seen_rows, SEEN_SCHEMA).coalesce(npart).write.mode(
             "overwrite"
         ).parquet(self._p("seen", 0))
         self.round = 0
         self._last_frontier_next = len(frontier_rows)
         self._write_manifest(
             RoundMetrics(round=0, frontier_next=len(frontier_rows)),
-            lineage=_count_by(frontier_rows, 1),
+            lineage={
+                str(k): int(v)
+                for k, v in frontier_rows["host"].value_counts().items()
+            },
         )
 
     def _ns(self) -> DataFrame:
@@ -317,8 +350,8 @@ class CrawlEngine:
             m.phases[name] = round(time.time() - tp, 2)
             tp = time.time()
 
-        # ---- R10 fetch: equi-join against documents ----------------------
-        docs = self.documents
+        # ---- R10 fetch: equi-join against the slim cached documents ------
+        docs = self.docs_fetch
         fetched = (
             scheduled.alias("s")
             .join(docs.alias("d"), F.col("s.url") == F.col("d.doc_id"), "left")
@@ -328,19 +361,15 @@ class CrawlEngine:
                 F.col("s.rn").alias("rn"),
                 F.col("s.sm").alias("sm"),
                 F.col("d.doc_id").alias("doc_id"),
-                F.col("d.spans").alias("spans"),
                 F.col("d.status").alias("status"),
                 F.col("d.content_type").alias("content_type"),
-                F.col("d.headers").alias("headers"),
+                F.col("d.noindex").alias("noindex"),
+                F.col("d.html").alias("html"),
             )
         )
 
         # ---- R11/R12/R15 classification ----------------------------------
-        xro = F.try_element_at(
-            F.expr("filter(map_entries(headers), e -> lower(e.key) = 'x-robots-tag')"),
-            F.lit(1),
-        )["value"]
-        noindex = F.coalesce(F.lower(xro).rlike("noindex|none"), F.lit(False))
+        noindex = F.coalesce(F.col("noindex"), F.lit(False))
         is_err = F.col("doc_id").isNull() | (F.col("status") < 0)
         is_bad = (~is_err) & (F.col("status") != 200)
         is_noidx = (~is_err) & (~is_bad) & noindex
@@ -390,9 +419,13 @@ class CrawlEngine:
         # pure function of order × documents, so run()/finalize() writes it
         # once at crawl end instead of re-shipping span payloads every round.
         if cfg.store_fetched_per_round:
-            fetched.filter(F.col("doc_id").isNotNull()).select(
-                "doc_id", "spans", F.lit(r).alias("round")
-            ).write.mode("overwrite").parquet(self._p("fetched", r))
+            self.documents.join(
+                fetched.filter(F.col("doc_id").isNotNull()).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ).select("doc_id", "spans", F.lit(r).alias("round")).write.mode(
+                "overwrite"
+            ).parquet(self._p("fetched", r))
             phase("fetched_sink")
 
         # ---- R13/R14 extraction ------------------------------------------
@@ -403,7 +436,7 @@ class CrawlEngine:
         ext_par = self.spark.sparkContext.defaultParallelism * 2
         ext = (
             fetched.filter(F.col("cls") == "html")
-            .select("url", "host", "rn", html_from_spans("spans").alias("html"))
+            .select("url", "host", "rn", "html")
             .repartition(ext_par)
             .withColumn("ext", self._extract_udf("html", "url"))
             .select(
@@ -562,12 +595,14 @@ class CrawlEngine:
             F.lit(True).alias("allowed"),
         )
         additions = cand_events.unionByName(retry_events)
-        w_seq = Window.partitionBy("thost").orderBy("phost", "prn", "url")
+        # per-host FIFO append order — the skew-proof exact rank, not a
+        # single-task-per-host window (operators/politeness.fifo_rank)
         enqueued = (
-            additions.filter(F.col("allowed"))
-            .withColumn(
-                "seq", F.lit(r * SEQ_STRIDE) + F.row_number().over(w_seq)
+            fifo_rank(
+                additions.filter(F.col("allowed")),
+                self.spark.sparkContext.defaultParallelism,
             )
+            .withColumn("seq", F.lit(r * SEQ_STRIDE) + F.col("rank"))
             .select(
                 "url",
                 F.col("thost").alias("host"),
@@ -609,7 +644,9 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ loop
 
-    def run(self, max_rounds: int | None = None) -> CrawlSummary:
+    def run(
+        self, max_rounds: int | None = None, finalize: bool = True
+    ) -> CrawlSummary:
         if self.round < 0:
             self.initialize()
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
@@ -621,7 +658,7 @@ class CrawlEngine:
             if m.scheduled == 0:
                 break
         total_fetched = sum(x["scheduled"] for x in mets)
-        if not self.cfg.store_fetched_per_round:
+        if finalize and not self.cfg.store_fetched_per_round:
             self.finalize_fetched()
         return CrawlSummary(
             rounds=self.round,
@@ -733,8 +770,3 @@ def _host_of(url: str) -> str:
     return url_host(url) or ""
 
 
-def _count_by(rows: list[tuple], idx: int) -> dict:
-    out: dict = {}
-    for row in rows:
-        out[row[idx]] = out.get(row[idx], 0) + 1
-    return out

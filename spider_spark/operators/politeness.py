@@ -64,6 +64,54 @@ def schedule_topk(
     return scheduled, deferred
 
 
+def fifo_rank(
+    df: DataFrame,
+    num_partitions: int,
+    host_col: str = "thost",
+    key_cols: tuple = ("phost", "prn", "url"),
+    out: str = "rank",
+) -> DataFrame:
+    """Exact per-host FIFO rank (1-based), skew-proof.
+
+    ``row_number() OVER (PARTITION BY host ORDER BY keys)`` puts one host's
+    ENTIRE queue through a single task — a hot host becomes the stage
+    straggler at cluster scale. This computes the identical rank in three
+    bounded steps:
+
+      1. range-partition by (host, *keys): rows of one host land in key
+         order across consecutive partitions, each ≈ total/num_partitions
+         regardless of host skew
+      2. local rank within (partition, host) — group size bounded by the
+         range partition, never by the host
+      3. add per-(partition, host) offsets (cumulative counts over the
+         tiny (partitions × hosts) aggregate, broadcast back)
+
+    Where the range boundaries fall cannot change the result: offsets
+    adapt to whatever split the sampler picked, and the key tuple is
+    unique per row, so the composed rank equals the single-window rank
+    exactly — determinism and FIFO order are preserved.
+    """
+    d = df.repartitionByRange(num_partitions, host_col, *key_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid", host_col).orderBy(*key_cols)
+    d = d.withColumn("_lrank", F.row_number().over(w_local))
+    counts = d.groupBy("_pid", host_col).agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).drop("_n")
+    return (
+        d.join(F.broadcast(offsets), ["_pid", host_col])
+        .withColumn(out, F.col("_lrank") + F.col("_off"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
 def deferred_by_cutoff(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:
     """deferred = frontier rows beyond each host's scheduled cutoff.
 

@@ -38,14 +38,14 @@ def test_exact_duplicates(docs):
 
 def test_minhash_lsh_recalls_exact_dups(docs):
     pairs = D.minhash_lsh_candidates(docs, num_hashes=16, bands=8, shingle_w=2)
-    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
     assert ("d1", "d2") in got  # identical text -> identical signature
 
 
 def test_ngram_jaccard_scores(docs):
     pairs = D.minhash_lsh_candidates(docs, num_hashes=16, bands=8, shingle_w=2)
     scored = D.ngram_jaccard(pairs, docs, n=2)
-    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in scored.collect()}
+    j = {(r["id_l"], r["id_r"]): r["jaccard"] for r in scored.collect()}
     assert j.get(("d1", "d2")) == pytest.approx(1.0)
     for (a, b), v in j.items():
         assert 0.0 <= v <= 1.0
@@ -53,7 +53,7 @@ def test_ngram_jaccard_scores(docs):
 
 def test_simhash_identical_zero_distance(docs):
     near = D.simhash_near_duplicates(docs, max_hamming=0)
-    got = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    got = {(r["id_l"], r["id_r"]) for r in near.collect()}
     assert ("d1", "d2") in got
 
 

@@ -1,0 +1,54 @@
+"""schedule_topk / fifo_rank operator tests (reference R8 + skew path)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spider_spark.operators.politeness import (
+    deferred_by_cutoff,
+    fifo_rank,
+    schedule_topk,
+)
+
+
+def test_fifo_rank_equals_single_window(spark):
+    rng = random.Random(1)
+    rows = [
+        (f"h{rng.randrange(5)}", f"ph{rng.randrange(7)}", rng.randrange(1000), f"u{i}")
+        for i in range(5000)
+    ]
+    # heavy skew: one host gets 5x the rows
+    rows += [("h0", f"ph{rng.randrange(7)}", rng.randrange(1000), f"x{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "thost string, phost string, prn int, url string")
+    w = Window.partitionBy("thost").orderBy("phost", "prn", "url")
+    expect = {
+        (r["thost"], r["url"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {
+        (r["thost"], r["url"]): r["rank"] for r in fifo_rank(df, 8).collect()
+    }
+    assert got == expect
+
+
+def test_schedule_topk_split(spark):
+    rows = [(f"u{h}{i}", f"h{h}", i, False) for h in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, host string, seq long, sm boolean")
+    scheduled, deferred = schedule_topk(df, budget=4)
+    s = scheduled.collect()
+    assert len(s) == 12 and all(r["rn"] <= 4 for r in s)
+    d = deferred.collect()
+    assert len(d) == 18 and all(r["seq"] >= 4 for r in d)
+    # FIFO: scheduled are exactly the lowest seqs per host
+    for h in range(3):
+        assert sorted(r["seq"] for r in s if r["host"] == f"h{h}") == [0, 1, 2, 3]
+
+
+def test_deferred_cutoff_host_under_budget(spark):
+    rows = [("a1", "a", 1, False), ("a2", "a", 2, False), ("b1", "b", 5, False)]
+    df = spark.createDataFrame(rows, "url string, host string, seq long, sm boolean")
+    scheduled, deferred = schedule_topk(df, budget=10)
+    assert deferred.count() == 0 and scheduled.count() == 3
