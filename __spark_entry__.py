@@ -159,6 +159,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("o_custkey", "o_orderkey", "rn")
         )
 
+    def r10_fetch_join(spark, sf):
+        # fetch = left outer equi-join (frontier x documents); missing doc
+        # -> error path. Stand-in: orders LEFT JOIN customer (synthetic
+        # misses via filtered right side)
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer").filter(F.col("c_custkey") % 3 != 0)
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+            .select(
+                "o_orderkey",
+                F.coalesce("c_name", F.lit("MISSING")).alias("fetched_name"),
+            )
+        )
+
+    def r15_error_classifier(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.when(F.col("event_type") == "error", "retryable")
+            .when(F.col("value") < 10, "drop")
+            .when(F.col("event_type") == "purchase", "index_no_links")
+            .otherwise("parse")
+            .alias("cls"),
+        )
+
+    def r24_url_validity(spark, sf):
+        ev = _with_url(_t(spark, sf, "events"))
+        bad = ev.withColumn(
+            "url2",
+            F.when(F.col("event_id") % 17 == 0, F.lit("not a url")).otherwise(
+                F.col("url")
+            ),
+        )
+        return bad.filter(
+            F.col("url2").rlike(r"^(https?|ftp)://([A-Za-z0-9-]+\.)+[A-Za-z]{2,}(:[0-9]{1,5})?(/[^ ]*)?$")
+        ).select("event_id", F.col("url2").alias("valid_url"))
+
     def r11_response_filter(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.filter(
@@ -440,7 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_seen_antijoin": r4_seen_antijoin,
         "r6_visit_counts": r6_visit_counts,
         "r8_politeness_topk": r8_politeness_topk,
+        "r10_fetch_join": r10_fetch_join,
         "r11_response_filter": r11_response_filter,
+        "r15_error_classifier": r15_error_classifier,
+        "r24_url_validity": r24_url_validity,
         "r12_content_gate": r12_content_gate,
         "r13_link_extract": r13_link_extract,
         "r16_retry_budget": r16_retry_budget,
@@ -500,6 +540,30 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY o_custkey
                                           ORDER BY o_orderdate, o_orderkey) AS rn
                 FROM orders) WHERE rn <= 3
+        """,
+        "r10_fetch_join": """
+            SELECT o_orderkey,
+                   coalesce(c_name, 'MISSING') AS fetched_name
+            FROM orders LEFT JOIN
+                 (SELECT * FROM customer WHERE c_custkey % 3 != 0) c
+                 ON o_custkey = c_custkey
+        """,
+        "r15_error_classifier": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN 'retryable'
+                        WHEN value < 10 THEN 'drop'
+                        WHEN event_type = 'purchase' THEN 'index_no_links'
+                        ELSE 'parse' END AS cls
+            FROM events
+        """,
+        "r24_url_validity": f"""
+            SELECT event_id, url2 AS valid_url FROM (
+                SELECT event_id,
+                       CASE WHEN event_id % 17 = 0 THEN 'not a url'
+                            ELSE {url} END AS url2
+                FROM events)
+            WHERE regexp_matches(url2,
+                '^(https?|ftp)://([A-Za-z0-9-]+\\.)+[A-Za-z]{{2,}}(:[0-9]{{1,5}})?(/[^ ]*)?$')
         """,
         "r11_response_filter": """
             SELECT doc_id, lang FROM documents
