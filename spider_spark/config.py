@@ -32,7 +32,9 @@ class CrawlConfig:
     num_seen_buckets: int = 64          # hash buckets for the seen table
     shuffle_partitions: int = 32
     bloom_enabled: bool = False         # bloom sidecar pre-filter for R4
-    bloom_fpp: float = 0.01
+    bloom_fpp: float = 0.01             # (one-shot adaptive build only)
+    bloom_bits_per_bucket: int = 1 << 20  # fixed geometry for incremental OR-merge
+    bloom_hashes: int = 7
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     user_agent: str = "SpiderSparkBot"  # matched against robots.txt groups

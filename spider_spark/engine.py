@@ -60,8 +60,8 @@ from spider_spark.oracle import seed_state
 from spider_spark.operators.dedup import (
     anti_join_seen,
     bloom_prefilter,
-    build_blooms,
-    with_bucket,
+    build_bloom_delta,
+    merge_blooms,
 )
 from spider_spark.operators.politeness import fifo_rank, schedule_topk
 
@@ -491,14 +491,13 @@ class CrawlEngine:
             "chost",
             "left_semi",
         )
-        # R4 seen anti-join (bloom pre-filter optional; exactness preserved)
+        # R4 seen anti-join (bloom pre-filter optional; exactness preserved).
+        # The bloom sidecar is INCREMENTAL: fixed-geometry per-bucket bitmaps
+        # checkpointed per round; each round hashes only its seen-delta and
+        # OR-merges — O(delta), never O(seen).
         seen_all = self._read_deltas("seen", SEEN_SCHEMA)
         if cfg.bloom_enabled:
-            blooms = build_blooms(
-                with_bucket(seen_all, cfg.num_seen_buckets),
-                cfg.num_seen_buckets,
-                cfg.bloom_fpp,
-            )
+            blooms = self._load_blooms(r - 1, seen_all)
             probed = bloom_prefilter(cand, blooms, cfg.num_seen_buckets)
             definite_new = probed.filter(~F.col("maybe_seen")).drop(
                 "maybe_seen", "bucket"
@@ -632,6 +631,19 @@ class CrawlEngine:
         m.new_scheduled = self._parquet_rows(self._p("seen", r))
         phase("seen")
 
+        if cfg.bloom_enabled:
+            # advance the bloom sidecar: hash only this round's delta, OR
+            # into the previous checkpoint
+            delta_blooms = build_bloom_delta(
+                self.spark.read.schema(SEEN_SCHEMA).parquet(self._p("seen", r)),
+                cfg.num_seen_buckets,
+                cfg.bloom_bits_per_bucket,
+                cfg.bloom_hashes,
+            )
+            merged = merge_blooms(self._load_blooms(r - 1, seen_all), delta_blooms)
+            merged.write.mode("overwrite").parquet(self._p("blooms", r))
+            phase("blooms")
+
         for df in (scheduled, fetched, ext, cand, retries, new_frontier):
             df.unpersist()
 
@@ -641,6 +653,22 @@ class CrawlEngine:
         self.metrics.append(m.as_dict())
         self._write_manifest(m, lineage=lineage)
         return m
+
+    def _load_blooms(self, upto_round: int, seen_all: DataFrame) -> DataFrame:
+        """Latest bloom checkpoint ≤ upto_round, else bootstrap from the
+        full seen set (happens once, at the first bloom-enabled round)."""
+        from spider_spark.operators.dedup import BLOOM_SCHEMA as _BS
+
+        for rr in range(upto_round, -1, -1):
+            p = self._p("blooms", rr)
+            if os.path.exists(p):
+                return self.spark.read.schema(_BS).parquet(p)
+        return build_bloom_delta(
+            seen_all,
+            self.cfg.num_seen_buckets,
+            self.cfg.bloom_bits_per_bucket,
+            self.cfg.bloom_hashes,
+        )
 
     # ------------------------------------------------------------ loop
 
@@ -728,7 +756,7 @@ class CrawlEngine:
             eng.sources, eng.robots, eng.sitemaps.get
         )
         # drop any partially-written future state
-        for kind in ("frontier", "seen", "urls", "order", "fetched"):
+        for kind in ("frontier", "seen", "urls", "order", "fetched", "blooms"):
             base = os.path.join(work_dir, kind)
             if os.path.isdir(base):
                 for d in os.listdir(base):

@@ -39,6 +39,15 @@ def anti_join_seen(candidates: DataFrame, seen_urls: DataFrame) -> DataFrame:
 
 
 # ----------------------------------------------------------- bloom sidecar
+#
+# Two build modes:
+#   * build_blooms: size-adaptive one-shot build over the full seen set —
+#     simple, but O(|seen|) every round, which is wrong at a 10^10 frontier.
+#   * build_bloom_delta + merge_blooms: FIXED-geometry bitmaps (same
+#     n_bits/n_hashes for every bucket, forever) so each round only hashes
+#     its newly-seen urls and the per-bucket bitmaps merge by bitwise OR —
+#     O(|delta|) per round, and the sidecar is an ordinary parquet table
+#     checkpointed/restored with the rest of the crawl state.
 
 
 def _hash2(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -90,6 +99,60 @@ def build_blooms(
         seen.select("url", "bucket")
         .groupBy("bucket")
         .applyInPandas(build, schema=BLOOM_SCHEMA)
+    )
+
+
+def build_bloom_delta(
+    seen_delta: DataFrame, num_buckets: int, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Fixed-geometry bloom bitmaps for this round's newly-seen urls only.
+    n_bits must be a power of two (mask-indexing); geometry must match all
+    prior rounds' bitmaps for OR-merging."""
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        h1, h2 = _hash2(pdf["url"])
+        mask = np.uint64(n_bits - 1)
+        for k in range(n_hashes):
+            idx = ((h1 + np.uint64(k) * h2) & mask).astype(np.int64)
+            np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bitmap": [bits.tobytes()],
+                "n_bits": [n_bits],
+                "n_hashes": [n_hashes],
+            }
+        )
+
+    return (
+        with_bucket(seen_delta.select("url"), num_buckets)
+        .groupBy("bucket")
+        .applyInPandas(build, schema=BLOOM_SCHEMA)
+    )
+
+
+def merge_blooms(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Bitwise-OR per-bucket merge of two fixed-geometry bloom tables
+    (bucket-aligned cogroup; buckets present on one side pass through)."""
+
+    def orr(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        if a.empty:
+            return b
+        if b.empty:
+            return a
+        bits = np.frombuffer(a["bitmap"].iloc[0], dtype=np.uint8) | np.frombuffer(
+            b["bitmap"].iloc[0], dtype=np.uint8
+        )
+        out = a.iloc[[0]].copy()
+        out["bitmap"] = [bits.tobytes()]
+        return out
+
+    return (
+        prev.groupBy("bucket")
+        .cogroup(delta.groupBy("bucket"))
+        .applyInPandas(orr, schema=BLOOM_SCHEMA)
     )
 
 
