@@ -101,6 +101,27 @@ def test_ann_lsh_bucket_contains_query(vecs):
     assert 0 in ids and 100 in ids  # query and its exact copy bucket together
 
 
+def test_multimodal_metadata_and_stub(spark):
+    import pytest as _pytest
+
+    from spider_spark.analysis import multimodal as M
+
+    refs = spark.createDataFrame(
+        [("img://a/1",), ("aud://b/2",), ("weird",)], "media_ref string"
+    )
+    meta = {r["media_ref"]: r for r in M.media_metadata(refs).collect()}
+    assert meta["img://a/1"]["media_kind"] == "img"
+    assert meta["weird"]["media_kind"] == "unknown"
+    assert all(len(r["sha1"]) == 40 for r in meta.values())
+
+    with _pytest.raises(NotImplementedError):
+        M.decode_image_features(refs)  # real decode is stubbed
+    feats = M.decode_image_features(refs, fake=True).collect()
+    assert len(feats) == 3 and all(len(r["features"]) == 8 for r in feats)
+    again = M.decode_image_features(refs, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))  # deterministic
+
+
 def test_text_ops_deterministic(docs):
     fp1 = {r["doc_id"]: r["fp"] for r in T.fingerprint(docs).collect()}
     fp2 = {r["doc_id"]: r["fp"] for r in T.fingerprint(docs).collect()}
