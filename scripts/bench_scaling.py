@@ -101,7 +101,7 @@ def run_once(
         "--master",
         f"local[{cores}]",
         "--conf",
-        "spark.driver.memory=16g",
+        "spark.driver.memory=24g",
         "--py-files",
         zip_path,
         os.path.join(REPO, "scripts", "crawl_job.py"),
