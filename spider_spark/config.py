@@ -37,6 +37,7 @@ class CrawlConfig:
     bloom_hashes: int = 7
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
     store_fetched_per_round: bool = False  # span sink each round vs once at end
+    sanity_check: bool = True           # R28 scrape-sanity anti-join per round
     user_agent: str = "SpiderSparkBot"  # matched against robots.txt groups
 
     # reference-parity documentation only (unused in batch model)

@@ -138,6 +138,8 @@ class RoundMetrics:
     retries: int = 0
     indexed_urls: int = 0
     frontier_next: int = 0
+    sanity_unscheduled: int = 0  # R28: fetched non-sitemap urls ∉ seen (must be 0)
+    sitemap_fetches: int = 0     # R28 warn analogue: sitemap-origin fetches
     wall_sec: float = 0.0
     phases: dict = field(default_factory=dict)
 
@@ -396,6 +398,7 @@ class CrawlEngine:
                 F.sum((F.col("cls") == "bad").cast("long")).alias("bad"),
                 F.sum((F.col("cls") == "noidx").cast("long")).alias("noidx"),
                 F.sum((F.col("cls") == "html").cast("long")).alias("html"),
+                F.sum(F.col("sm").cast("long")).alias("sm"),
             )
             .persist()
         )
@@ -412,7 +415,30 @@ class CrawlEngine:
         m.html = int(cls_counts["html"] or 0)
         m.scheduled = int(cls_counts["total"] or 0)
         m.plain_indexed = m.scheduled - m.errors - m.dropped - m.html
+        m.sitemap_fetches = int(cls_counts["sm"] or 0)
         phase("fetch_classify")
+
+        # ---- R28 scrape-sanity (Supervisor.scala:139-144) ----------------
+        # every fetched non-sitemap url must already be in scrapeCounts
+        # (seen); sitemap-origin rows are exactly the reference's warn case
+        # (inflight but never counted). Holds by construction (additions
+        # write to frontier and seen atomically per round) — this is the
+        # cheap cross-check: scheduled is budget-bounded, so the anti-join
+        # probe side is small; gate off for max-throughput runs.
+        seen_all = self._read_deltas("seen", SEEN_SCHEMA)
+        if cfg.sanity_check:
+            m.sanity_unscheduled = (
+                fetched.filter(~F.col("sm"))
+                .select("url")
+                .join(seen_all.select("url"), "url", "left_anti")
+                .count()
+            )
+            if m.sanity_unscheduled:
+                raise AssertionError(
+                    f"R28 scrape-sanity: {m.sanity_unscheduled} fetched "
+                    f"urls in round {r} were never scheduled into seen"
+                )
+            phase("sanity")
 
         # span invariant sink: fetched docs verbatim (kind,text,media_ref,
         # offset). Off the per-round path by default — the fetched set is a
@@ -495,7 +521,6 @@ class CrawlEngine:
         # The bloom sidecar is INCREMENTAL: fixed-geometry per-bucket bitmaps
         # checkpointed per round; each round hashes only its seen-delta and
         # OR-merges — O(delta), never O(seen).
-        seen_all = self._read_deltas("seen", SEEN_SCHEMA)
         if cfg.bloom_enabled:
             blooms = self._load_blooms(r - 1, seen_all)
             probed = bloom_prefilter(cand, blooms, cfg.num_seen_buckets)
@@ -596,12 +621,12 @@ class CrawlEngine:
         additions = cand_events.unionByName(retry_events)
         # per-host FIFO append order — the skew-proof exact rank, not a
         # single-task-per-host window (operators/politeness.fifo_rank)
+        ranked = fifo_rank(
+            additions.filter(F.col("allowed")),
+            self.spark.sparkContext.defaultParallelism,
+        )
         enqueued = (
-            fifo_rank(
-                additions.filter(F.col("allowed")),
-                self.spark.sparkContext.defaultParallelism,
-            )
-            .withColumn("seq", F.lit(r * SEQ_STRIDE) + F.col("rank"))
+            ranked.withColumn("seq", F.lit(r * SEQ_STRIDE) + F.col("rank"))
             .select(
                 "url",
                 F.col("thost").alias("host"),
@@ -646,6 +671,7 @@ class CrawlEngine:
 
         for df in (scheduled, fetched, ext, cand, retries, new_frontier):
             df.unpersist()
+        ranked._fifo_rank_cache.unpersist()
 
         self.round = r
         self._last_frontier_next = m.frontier_next
@@ -655,19 +681,58 @@ class CrawlEngine:
         return m
 
     def _load_blooms(self, upto_round: int, seen_all: DataFrame) -> DataFrame:
-        """Latest bloom checkpoint ≤ upto_round, else bootstrap from the
-        full seen set (happens once, at the first bloom-enabled round)."""
+        """Bloom checkpoint covering exactly rounds 0..upto_round.
+
+        Only a checkpoint found AT ``upto_round`` is trusted as-is. An older
+        checkpoint (possible when bloom_enabled was off for some rounds of a
+        resumed run) is missing the intervening rounds' seen deltas — using
+        it would let bloom_prefilter mark already-seen urls definitely-unseen
+        and bypass the exact anti-join, breaking the R4 exactness guarantee.
+        Those rounds' deltas are OR-merged in; with no checkpoint at all,
+        bootstrap from the full seen set (once, at the first bloom round).
+        Geometry (n_bits/n_hashes) of a restored checkpoint is validated
+        against cfg before use."""
         from spider_spark.operators.dedup import BLOOM_SCHEMA as _BS
 
+        cfg = self.cfg
         for rr in range(upto_round, -1, -1):
             p = self._p("blooms", rr)
-            if os.path.exists(p):
-                return self.spark.read.schema(_BS).parquet(p)
+            if not os.path.exists(p):
+                continue
+            blooms = self.spark.read.schema(_BS).parquet(p)
+            bad = blooms.filter(
+                (F.col("n_bits") != cfg.bloom_bits_per_bucket)
+                | (F.col("n_hashes") != cfg.bloom_hashes)
+            ).head(1)
+            if bad:
+                raise ValueError(
+                    f"bloom checkpoint {p} geometry {bad[0]['n_bits']}x"
+                    f"{bad[0]['n_hashes']} != cfg "
+                    f"{cfg.bloom_bits_per_bucket}x{cfg.bloom_hashes}; "
+                    "rebuild with matching config or disable blooms"
+                )
+            if rr == upto_round:
+                return blooms
+            # stale checkpoint: fold in the missed rounds' seen deltas
+            missed = [
+                mp
+                for mr in range(rr + 1, upto_round + 1)
+                if os.path.exists(mp := self._p("seen", mr))
+            ]
+            if missed:
+                delta = build_bloom_delta(
+                    self.spark.read.schema(SEEN_SCHEMA).parquet(*missed),
+                    cfg.num_seen_buckets,
+                    cfg.bloom_bits_per_bucket,
+                    cfg.bloom_hashes,
+                )
+                blooms = merge_blooms(blooms, delta)
+            return blooms
         return build_bloom_delta(
             seen_all,
-            self.cfg.num_seen_buckets,
-            self.cfg.bloom_bits_per_bucket,
-            self.cfg.bloom_hashes,
+            cfg.num_seen_buckets,
+            cfg.bloom_bits_per_bucket,
+            cfg.bloom_hashes,
         )
 
     # ------------------------------------------------------------ loop
@@ -697,8 +762,12 @@ class CrawlEngine:
 
     def finalize_fetched(self):
         """One-shot span-invariant sink: every fetched doc's spans verbatim,
-        tagged with the round it was (last) fetched in. Equivalent to the
-        per-round sink but ships the span payload exactly once."""
+        tagged with the round it was (LAST) fetched in — one row per url,
+        shipping the span payload exactly once. NOTE: the per-round sink
+        (store_fetched_per_round) keeps one row per (url, round) fetch
+        event, so for urls fetched more than once (retries of status<0
+        docs) the two sinks differ in multiplicity; consumers that need
+        per-event rows must enable the per-round sink."""
         order = self.order_df()
         if "round" not in order.columns or not order.head(1):
             return
@@ -755,13 +824,17 @@ class CrawlEngine:
         _q, _s, _i, eng.namespace = seed_state(
             eng.sources, eng.robots, eng.sitemaps.get
         )
-        # drop any partially-written future state
+        # drop any partially-written future state; fetched/final too — it
+        # may reflect a prior, longer run and is rebuilt by run() finalize
+        final = os.path.join(work_dir, "fetched", "final")
+        if os.path.isdir(final):
+            shutil.rmtree(final)
         for kind in ("frontier", "seen", "urls", "order", "fetched", "blooms"):
             base = os.path.join(work_dir, kind)
             if os.path.isdir(base):
                 for d in os.listdir(base):
                     if not d.startswith("round="):
-                        continue  # e.g. fetched/final (rebuilt by run())
+                        continue
                     rr = int(d.split("=")[1])
                     if rr > eng.round:
                         shutil.rmtree(os.path.join(base, d))

@@ -135,13 +135,27 @@ def build_bloom_delta(
 
 def merge_blooms(prev: DataFrame, delta: DataFrame) -> DataFrame:
     """Bitwise-OR per-bucket merge of two fixed-geometry bloom tables
-    (bucket-aligned cogroup; buckets present on one side pass through)."""
+    (bucket-aligned cogroup; buckets present on one side pass through).
+
+    Geometry (n_bits, n_hashes) must match per bucket: same-length bitmaps
+    built with different n_hashes would merge silently and later yield
+    false NEGATIVES when probed with the wrong hash count — seen urls
+    classified definite-new and re-enqueued. Mismatch raises."""
 
     def orr(key, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
         if a.empty:
             return b
         if b.empty:
             return a
+        if (
+            int(a["n_bits"].iloc[0]) != int(b["n_bits"].iloc[0])
+            or int(a["n_hashes"].iloc[0]) != int(b["n_hashes"].iloc[0])
+        ):
+            raise ValueError(
+                f"bloom geometry mismatch in bucket {key}: "
+                f"{int(a['n_bits'].iloc[0])}x{int(a['n_hashes'].iloc[0])} vs "
+                f"{int(b['n_bits'].iloc[0])}x{int(b['n_hashes'].iloc[0])}"
+            )
         bits = np.frombuffer(a["bitmap"].iloc[0], dtype=np.uint8) | np.frombuffer(
             b["bitmap"].iloc[0], dtype=np.uint8
         )

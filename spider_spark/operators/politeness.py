@@ -37,6 +37,7 @@ def schedule_topk(
     frontier shuffle+sort): instead derive it with ``deferred_by_cutoff``
     below — a broadcast-join filter with zero wide shuffle.
     """
+    assert budget >= 1, "politeness budget must be >= 1"
     if salt > 1:
         # phase 1: cheap pre-prune inside salted slices (no global sort of
         # a hot host's queue); keeps a superset of the true top-K.
@@ -90,12 +91,22 @@ def fifo_rank(
     adapt to whatever split the sampler picked, and the key tuple is
     unique per row, so the composed rank equals the single-window rank
     exactly — determinism and FIFO order are preserved.
+
+    ``d`` embeds ``spark_partition_id()`` on top of a sampling-based range
+    partitioning and is consumed TWICE (counts/offsets, and the join probe
+    side); correctness requires both consumers to read the same partition
+    assignment, so ``d`` is persisted here — one materialization, not an
+    exchange-reuse accident. The cache handle rides on the returned
+    DataFrame as ``_fifo_rank_cache`` for the caller to unpersist once the
+    result is materialized.
     """
-    d = df.repartitionByRange(num_partitions, host_col, *key_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    d = (
+        df.repartitionByRange(num_partitions, host_col, *key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_local = Window.partitionBy("_pid", host_col).orderBy(*key_cols)
-    d = d.withColumn("_lrank", F.row_number().over(w_local))
+    ranked = d.withColumn("_lrank", F.row_number().over(w_local))
     counts = d.groupBy("_pid", host_col).agg(F.count("*").alias("_n"))
     w_off = (
         Window.partitionBy(host_col)
@@ -105,11 +116,13 @@ def fifo_rank(
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
     ).drop("_n")
-    return (
-        d.join(F.broadcast(offsets), ["_pid", host_col])
+    result = (
+        ranked.join(F.broadcast(offsets), ["_pid", host_col])
         .withColumn(out, F.col("_lrank") + F.col("_off"))
         .drop("_pid", "_lrank", "_off")
     )
+    result._fifo_rank_cache = d
+    return result
 
 
 def deferred_by_cutoff(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:
@@ -121,11 +134,15 @@ def deferred_by_cutoff(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:
     seed namespace — inherently small), so this is a broadcast hash join
     + filter: a narrow scan of the frontier, no shuffle, no global sort.
     Hosts with queue ≤ budget get cutoff = max(seq) ⇒ empty deferred set,
-    and hosts absent from ``scheduled`` keep all rows (cutoff null).
+    and hosts absent from ``scheduled`` keep all rows (cutoff null) — with
+    budget ≥ 1 every nonempty host schedules at least one row, so a null
+    cutoff can only mean the host was never scheduled and its whole queue
+    must stay deferred, never be dropped. (Ties with the cutoff seq cannot
+    lose rows: seq is unique per host by construction.)
     """
     cutoff = scheduled.groupBy("host").agg(F.max("seq").alias("_cut"))
     return (
         frontier.join(F.broadcast(cutoff), "host", "left")
-        .filter(F.col("_cut").isNotNull() & (F.col("seq") > F.col("_cut")))
+        .filter(F.col("_cut").isNull() | (F.col("seq") > F.col("_cut")))
         .drop("_cut")
     )

@@ -58,6 +58,16 @@ def test_adaptive_build_no_false_negatives(spark):
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_merge_blooms_geometry_mismatch_raises(spark):
+    import pytest
+
+    a = _urls_df(spark, ["https://a.example.com/1"])
+    ba = build_bloom_delta(a, NB, BITS, HASHES)
+    bb = build_bloom_delta(a, NB, BITS, HASHES + 1)  # same bits, wrong hashes
+    with pytest.raises(Exception, match="geometry mismatch"):
+        merge_blooms(ba, bb).collect()
+
+
 def test_anti_join_seen_exact(spark):
     cand = _urls_df(spark, ["u1", "u2", "u3"])
     seen = _urls_df(spark, ["u2", "u2", "u4"])

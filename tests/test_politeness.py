@@ -52,3 +52,18 @@ def test_deferred_cutoff_host_under_budget(spark):
     df = spark.createDataFrame(rows, "url string, host string, seq long, sm boolean")
     scheduled, deferred = schedule_topk(df, budget=10)
     assert deferred.count() == 0 and scheduled.count() == 3
+
+
+def test_deferred_cutoff_keeps_unscheduled_hosts(spark):
+    """A host absent from scheduled (null cutoff) must keep ALL its frontier
+    rows — dropping them would be permanent URL loss."""
+    frontier = spark.createDataFrame(
+        [("a1", "a", 1, False), ("b1", "b", 5, False), ("b2", "b", 6, False)],
+        "url string, host string, seq long, sm boolean",
+    )
+    scheduled = spark.createDataFrame(
+        [("a1", "a", 1, False, 1)],
+        "url string, host string, seq long, sm boolean, rn int",
+    )
+    kept = {r["url"] for r in deferred_by_cutoff(frontier, scheduled).collect()}
+    assert kept == {"b1", "b2"}
