@@ -4,11 +4,13 @@
 budget × namespace semi-join) over sf0.001.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2 (reference IDs R2-R26 where SQL-expressible on the driver's
+SURVEY.md §2 (reference IDs R1-R28 where SQL-expressible on the driver's
 test tables) plus the training-data-pipeline operators (dedup families,
-similarity search, text analysis, multimodal metadata). Non-SQL-expressible
-ops (MinHash/SimHash LSH, SRP buckets, multimodal stubs) have queries()
-entries only → driver records the weaker rows-only check.
+similarity search, text analysis, multimodal metadata). EVERY query has a
+DuckDB oracle — including the MinHash/SimHash/ngram LSH family and the
+SRP-bucketed embedding ops, whose hashing is md5-derived specifically so
+both engines compute identical values (spider_spark/functions/hashing.py,
+analysis/oracles.py generate the SQL from the same constants).
 
 Column names and types are aligned pairwise (driver hashes values after
 sorting columns by name): every aggregate/computed column is aliased
@@ -62,6 +64,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ----------------------------------------------------- synthetic URL column
 
+# shared Spark/DuckDB recipe: coarse page URLs (collisions by design) so
+# set-membership operators (R5/R18/R28) have non-trivial overlap
+_PAGE_SQL = (
+    "'https://h' || CAST(user_id % 5 AS VARCHAR) || '.example.com/page' || "
+    "CAST(event_id % 97 AS VARCHAR)"
+)
+
+
+def _with_page(events: DataFrame) -> DataFrame:
+    return events.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit(".example.com/page"),
+            (F.col("event_id") % 97).cast("string"),
+        ),
+    )
+
+
 # shared Spark/DuckDB recipe: deterministic URL-ish strings from events so
 # the URL operators (R2/R22/R25) run on driver-provided tables
 _URL_SQL = (
@@ -106,6 +128,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from spider_spark.analysis import multimodal as M
     from spider_spark.analysis import similarity as S
     from spider_spark.analysis import text as T
+    from spider_spark.operators.expand import expand_reachable
+    from spider_spark.operators.politeness import fifo_rank
+
+    def r1_seed_scan(spark, sf):
+        # R1 seed scan: tiny source-dim scan -> one Start row per source
+        # (Main.scala:26-30); region is the driver's source-sized dim
+        reg = _t(spark, sf, "region")
+        return reg.select(
+            F.col("r_regionkey").cast("long").alias("source_id"),
+            F.col("r_name").alias("name"),
+            F.concat(
+                F.lit("https://"),
+                F.lower(F.regexp_replace("r_name", " ", "-")),
+                F.lit(".example.com"),
+            ).alias("seed_url"),
+        )
+
+    def r5_inflight_dedup(spark, sf):
+        # R5: candidates dropped when in-flight (click pages) and again
+        # when already seen (purchase pages) — the two-stage dedup of
+        # Supervisor.scala:173 + :212-213 on overlapping page urls
+        ev = _with_page(_t(spark, sf, "events"))
+        cand = ev.filter(F.col("event_type") == "view").select(
+            "event_id", "url"
+        )
+        inflight = ev.filter(F.col("event_type") == "click").select("url")
+        seen = ev.filter(F.col("event_type") == "purchase").select("url")
+        return (
+            cand.join(inflight, "url", "left_anti")
+            .join(seen, "url", "left_anti")
+            .select("event_id", "url")
+        )
+
+    def r7_fifo_rank(spark, sf):
+        # R7: the engine's skew-proof exact FIFO rank (range-partition +
+        # local rank + offsets) vs an independent single-window oracle
+        ev = _t(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("thost"), "ts", "event_id"
+        )
+        ranked = fifo_rank(
+            ev,
+            spark.sparkContext.defaultParallelism,
+            host_col="thost",
+            key_cols=("ts", "event_id"),
+        )
+        return ranked.select(
+            F.col("thost").alias("user_id"),
+            "event_id",
+            F.col("rank").cast("long").alias("rk"),
+        )
+
+    def r14_link_pipeline(spark, sf):
+        # R14: the full link filter+clean chain as ONE unit —
+        # clean (R22) -> slash-strip (R23) -> validity (R24) -> wanted (R25)
+        ev = _with_url(_t(spark, sf, "events"))
+        url2 = (
+            F.when(F.col("event_id") % 17 == 0, F.lit("not a url"))
+            .when(F.col("event_id") % 13 == 0, F.concat("url", F.lit("/warenkorb")))
+            .when(F.col("event_id") % 19 == 0, F.concat("url", F.lit("/")))
+            .otherwise(F.col("url"))
+        )
+        cleaned = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(url2, "#.*$", ""), ";jsessionid=[^/?#]*", ""
+            ),
+            r"\?nn=1&",
+            "?",
+        )
+        stripped = F.regexp_replace(cleaned, "/$", "")
+        return (
+            ev.select("event_id", stripped.alias("link"))
+            .filter(
+                F.col("link").rlike(
+                    r"^(https?|ftp)://([A-Za-z0-9-]+\.)+[A-Za-z]{2,}(:[0-9]{1,5})?(/[^ ]*)?$"
+                )
+                & ~F.col("link").contains("!search?")
+                & ~F.col("link").contains("/SiteGlobals/Forms/")
+                & ~F.col("link").contains("?show=image")
+                & ~F.col("link").rlike("/warenkorb|/addToCart")
+            )
+        )
+
+    def r18_index_upsert(spark, sf):
+        # R18: check-then-insert as first-wins dedup + anti-join vs the
+        # existing urls table (Indexer.scala:75-101)
+        ev = _with_page(_t(spark, sf, "events"))
+        w = Window.partitionBy("url").orderBy("ts", "event_id")
+        first = (
+            ev.withColumn("_k", F.row_number().over(w))
+            .filter(F.col("_k") == 1)
+            .select("url", F.col("event_id").alias("first_event_id"))
+        )
+        existing = ev.filter(F.col("event_id") % 5 == 0).select("url")
+        return first.join(existing, "url", "left_anti")
+
+    def r21_sitemap_expand(spark, sf):
+        # R21: depth-bounded iterative expansion over a synthetic
+        # sitemap-index tree (node k's parent is k div 2, root 1) using the
+        # engine's distributed self-join flatten; oracle is a recursive CTE
+        ev = _t(spark, sf, "events")
+        edges = ev.filter(F.col("event_id") >= 2).select(
+            F.expr("event_id div 2").cast("long").alias("parent"),
+            F.col("event_id").alias("child"),
+        )
+        roots = spark.createDataFrame([(1,)], "node long")
+        out = expand_reachable(edges, roots, max_depth=8)
+        return out.select("node", F.col("depth").cast("long").alias("depth"))
+
+    def r27_run_stats(spark, sf):
+        # R27: per-day run manifest (fetches, active hosts, errors, value)
+        ev = _t(spark, sf, "events")
+        return ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.countDistinct("user_id").cast("long").alias("n_hosts"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "n_errors"
+            ),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+
+    def r28_scrape_sanity(spark, sf):
+        # R28: indexed ⊆ scheduled sanity report (Supervisor.scala:139-144)
+        # — per host, how many indexed pages were never scheduled
+        ev = _with_page(_t(spark, sf, "events"))
+        indexed = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "url"
+        ).distinct()
+        sched = (
+            ev.filter(F.col("value") >= 50)
+            .select("url")
+            .distinct()
+            .withColumn("_s", F.lit(1))
+        )
+        return (
+            indexed.join(sched, "url", "left")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_indexed"),
+                F.sum(F.when(F.col("_s").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unscheduled"),
+            )
+        )
 
     def r2_host_extract(spark, sf):
         ev = _with_url(_t(spark, sf, "events"))
@@ -424,17 +593,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("vec_id", F.format_string("%.4f", "cos_r").alias("cos_sim"))
         )
 
-    def dedup_minhash_lsh(spark, sf):  # rows-only oracle
+    def dedup_minhash_lsh(spark, sf):
         docs = _t(spark, sf, "documents")
         return D.minhash_lsh_candidates(
             docs, num_hashes=16, bands=8, shingle_w=2
         )
 
-    def dedup_simhash(spark, sf):  # rows-only oracle
+    def dedup_simhash(spark, sf):
         docs = _t(spark, sf, "documents")
         return D.simhash_near_duplicates(docs, max_hamming=8)
 
-    def dedup_ngram_jaccard(spark, sf):  # rows-only oracle
+    def dedup_ngram_jaccard(spark, sf):
         docs = _t(spark, sf, "documents")
         pairs = D.minhash_lsh_candidates(
             docs, num_hashes=16, bands=8, shingle_w=2
@@ -448,12 +617,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         return S.embedding_near_dup(emb, threshold=0.40)
 
-    def dedup_embedding_lsh(spark, sf):  # rows-only oracle (SRP recall < 1)
+    def dedup_embedding_lsh(spark, sf):
         emb = _t(spark, sf, "embeddings")
         planes = S.srp_planes(64, 4)
         return S.embedding_near_dup(emb, threshold=0.40, planes=planes)
 
-    def ann_lsh_buckets(spark, sf):  # rows-only oracle (random planes)
+    def ann_lsh_buckets(spark, sf):
         emb = _t(spark, sf, "embeddings")
         planes = S.srp_planes(64, 6)
         return (
@@ -462,7 +631,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("n_vecs"))
         )
 
-    def multimodal_meta(spark, sf):  # rows-only oracle (stubbed decode)
+    def ann_topk_lsh(spark, sf):
+        # the actual ANN query path: prune to the query's SRP bucket, exact
+        # cosine re-rank inside it (stable 4-dp rank + %.4f format for
+        # cross-engine value comparison, like ann_cosine_topk)
+        emb = _t(spark, sf, "embeddings")
+        planes = S.srp_planes(64, 6)
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+        query = [float(x) for x in qrow[0]["embedding"]]
+        # strict left-fold dot product — the exact association order of the
+        # Spark aggregate() fold and the oracle SQL's expanded sum, so the
+        # sign (and thus the bucket) can never diverge across engines
+        qbucket = 0
+        for i, plane in enumerate(planes):
+            s = 0.0
+            for a, b in zip(query, plane):
+                s += a * float(b)
+            if s >= 0:
+                qbucket |= 1 << i
+        bucketed = S.with_srp_bucket(emb, planes).filter(
+            F.col("srp_bucket") == qbucket
+        )
+        scored = S.with_cosine(bucketed, query).select(
+            "vec_id", F.round("cos_sim", 4).alias("cos_r")
+        )
+        return (
+            scored.orderBy(F.desc("cos_r"), F.col("vec_id"))
+            .limit(10)
+            .select(
+                "vec_id", F.format_string("%.4f", "cos_r").alias("cos_sim")
+            )
+        )
+
+    def multimodal_meta(spark, sf):  # stubbed decode; metadata is real
         ev = _t(spark, sf, "events")
         refs = ev.select(
             F.concat(F.lit("img://"), F.col("event_id").cast("string")).alias(
@@ -472,6 +673,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.media_metadata(refs)
 
     return {
+        "r1_seed_scan": r1_seed_scan,
+        "r5_inflight_dedup": r5_inflight_dedup,
+        "r7_fifo_rank": r7_fifo_rank,
+        "r14_link_pipeline": r14_link_pipeline,
+        "r18_index_upsert": r18_index_upsert,
+        "r21_sitemap_expand": r21_sitemap_expand,
+        "r27_run_stats": r27_run_stats,
+        "r28_scrape_sanity": r28_scrape_sanity,
+        "ann_topk_lsh": ann_topk_lsh,
         "r2_host_extract": r2_host_extract,
         "r3_namespace_semijoin": r3_namespace_semijoin,
         "r4_seen_antijoin": r4_seen_antijoin,
@@ -509,8 +719,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_spark.analysis import oracles as O
+    from spider_spark.analysis import similarity as S
+
     url = _URL_SQL
+    page = _PAGE_SQL
     return {
+        "r1_seed_scan": """
+            SELECT CAST(r_regionkey AS BIGINT) AS source_id, r_name AS name,
+                   'https://' || lower(replace(r_name, ' ', '-'))
+                   || '.example.com' AS seed_url
+            FROM region
+        """,
+        "r5_inflight_dedup": f"""
+            SELECT event_id, url FROM (
+                SELECT event_id, {page} AS url FROM events
+                WHERE event_type = 'view') c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events e WHERE e.event_type = 'click'
+                  AND {page.replace('user_id', 'e.user_id').replace('event_id', 'e.event_id')} = c.url)
+              AND NOT EXISTS (
+                SELECT 1 FROM events e WHERE e.event_type = 'purchase'
+                  AND {page.replace('user_id', 'e.user_id').replace('event_id', 'e.event_id')} = c.url)
+        """,
+        "r7_fifo_rank": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rk
+            FROM events
+        """,
+        "r14_link_pipeline": f"""
+            SELECT event_id, link FROM (
+                SELECT event_id,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               CASE WHEN event_id % 17 = 0 THEN 'not a url'
+                                    WHEN event_id % 13 = 0 THEN {url} || '/warenkorb'
+                                    WHEN event_id % 19 = 0 THEN {url} || '/'
+                                    ELSE {url} END,
+                               '#.*$', ''),
+                             ';jsessionid=[^/?#]*', ''),
+                           '\\?nn=1&', '?'),
+                         '/$', '') AS link
+                FROM events)
+            WHERE regexp_matches(link,
+                '^(https?|ftp)://([A-Za-z0-9-]+\\.)+[A-Za-z]{{2,}}(:[0-9]{{1,5}})?(/[^ ]*)?$')
+              AND NOT contains(link, '!search?')
+              AND NOT contains(link, '/SiteGlobals/Forms/')
+              AND NOT contains(link, '?show=image')
+              AND NOT regexp_matches(link, '/warenkorb|/addToCart')
+        """,
+        "r18_index_upsert": f"""
+            SELECT url, first_event_id FROM (
+                SELECT url, event_id AS first_event_id,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY ts, event_id) AS _k
+                FROM (SELECT *, {page} AS url FROM events)) f
+            WHERE _k = 1
+              AND NOT EXISTS (
+                SELECT 1 FROM events e WHERE e.event_id % 5 = 0
+                  AND {page.replace('user_id', 'e.user_id').replace('event_id', 'e.event_id')} = f.url)
+        """,
+        "r21_sitemap_expand": """
+            WITH RECURSIVE reach(node, depth) AS (
+                SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT e.child, r.depth + 1
+                FROM reach r
+                JOIN (SELECT event_id AS child, event_id // 2 AS parent
+                      FROM events WHERE event_id >= 2) e
+                  ON e.parent = r.node
+                WHERE r.depth < 8
+            )
+            SELECT node, depth FROM reach
+        """,
+        "r27_run_stats": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_fetches,
+                   count(DISTINCT user_id) AS n_hosts,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY 1
+        """,
+        "r28_scrape_sanity": f"""
+            SELECT user_id, count(*) AS n_indexed,
+                   count(*) FILTER (WHERE s.url IS NULL) AS n_unscheduled
+            FROM (SELECT DISTINCT user_id, {page} AS url FROM events
+                  WHERE event_type = 'purchase') i
+            LEFT JOIN (SELECT DISTINCT {page} AS url FROM events
+                       WHERE value >= 50) s USING (url)
+            GROUP BY user_id
+        """,
+        "dedup_minhash_lsh": O.minhash_lsh_sql(
+            "documents", num_hashes=16, bands=8, shingle_w=2
+        ),
+        "dedup_simhash": O.simhash_pairs_sql("documents", max_hamming=8),
+        "dedup_ngram_jaccard": O.ngram_jaccard_sql(
+            "documents", num_hashes=16, bands=8, shingle_w=2, n=2
+        ),
+        "dedup_embedding_lsh": O.embedding_lsh_sql(
+            S.srp_planes(64, 4), threshold=0.40
+        ),
+        "ann_lsh_buckets": O.srp_histogram_sql(S.srp_planes(64, 6)),
+        "ann_topk_lsh": O.ann_topk_lsh_sql(S.srp_planes(64, 6), k=10),
+        "multimodal_meta": """
+            SELECT media_ref,
+                   coalesce(nullif(regexp_extract(media_ref, '^([a-z]+)://', 1),
+                                   ''), 'unknown') AS media_kind,
+                   CAST(0 AS BIGINT) AS n_bytes,
+                   sha256(media_ref) AS sha256
+            FROM (SELECT 'img://' || CAST(event_id AS VARCHAR) AS media_ref
+                  FROM events)
+        """,
         "r2_host_extract": f"""
             SELECT regexp_extract({url}, '^[a-z]+://([^/?#]+)', 1) AS host,
                    count(*) AS n_urls

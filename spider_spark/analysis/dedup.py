@@ -6,29 +6,37 @@ Four families, scale-ranked:
     key; at 100 TB this is the cheapest possible dedup (combine-heavy).
   - MinHash + LSH: shingle → k minhashes → b bands → band-bucket join.
     Only documents sharing a band bucket are compared, so the candidate
-    join is |buckets|-bounded instead of O(n²). Vectorized numpy inside a
-    pandas UDF (signature), then pure DataFrame explode/join.
+    join is |buckets|-bounded instead of O(n²).
   - SimHash: 64-bit weighted token hash; near-dup = small Hamming
     distance, found via the 4×16-bit band trick (pigeonhole: hamming<=3
     implies at least one identical 16-bit quarter).
   - n-gram Jaccard: exact verification on LSH candidates (the
     re-rank/verify stage after either LSH).
 
+Everything runs JVM-side in whole-stage codegen — no Python UDFs anywhere:
+shingling/minhash are array HOFs (transform/array_min), simhash is an
+explode + two grouped aggregations, and all hashing is the portable
+md5-derived uint32 of functions/hashing.py, so each pipeline has an exact
+DuckDB oracle (same md5 bytes, same exact 64-bit integer arithmetic).
+
 All pair-generating joins are self-joins keyed on a bucket column with
-``id_l < id_r`` to halve the output; bucket keys are short ints/longs so
-the shuffles are compact.
+``id_l < id_r`` to halve the output; bucket keys are short strings/ints so
+the shuffles are compact. A mega-cluster of byte-identical documents would
+still pair quadratically inside one bucket — run ``exact_duplicates``
+first and keep one representative per exact-fingerprint group before any
+LSH family (the standard pre-group step at crawl scale).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE = (1 << 61) - 1
+from spider_spark.functions.hashing import (
+    MERSENNE61,
+    md5_u32_sql,
+    minhash_params,
+)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,48 +53,56 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _stable64(tokens: list[str]) -> np.ndarray:
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-    return out
+# --------------------------------------------------------------- MinHash
 
 
-def _shingle_hashes(text: str, w: int) -> np.ndarray:
-    toks = text.lower().split()
-    if len(toks) < w:
-        toks = toks + [""] * (w - len(toks))
-    shingles = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
-    return _stable64(shingles)
+def _tokens_expr(text_col: str) -> str:
+    """Lowercased whitespace tokens, empties dropped — the shared
+    tokenization (Python ``text.lower().split()`` semantics)."""
+    return (
+        f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
+        f"x -> x != '')"
+    )
 
 
-def make_minhash_udf(num_hashes: int, shingle_w: int, seed: int = 7):
-    """Pandas UDF: text -> array<bigint> of minhash signature values.
-
-    Permutations h_i(x) = (a_i·x + b_i) mod M (Mersenne 2^61-1), numpy-
-    vectorized over all shingles × hashes at once."""
-    rng = np.random.RandomState(seed)
-    A = rng.randint(1, MERSENNE, size=num_hashes, dtype=np.uint64)
-    B = rng.randint(0, MERSENNE, size=num_hashes, dtype=np.uint64)
-
-    @F.pandas_udf("array<long>")
-    def minhash(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            sh = _shingle_hashes(t or "", shingle_w) & np.uint64(MERSENNE)
-            if len(sh) == 0:
-                out.append([0] * num_hashes)
-                continue
-            # (H, S) matrix; uint64 products wrap mod 2^64 before the
-            # Mersenne mod — deterministic and well-mixed, which is all
-            # LSH banding needs (not a strict universal family)
-            vals = (A[:, None] * sh[None, :] + B[:, None]) % np.uint64(MERSENNE)
-            out.append((vals.min(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist())
-        return pd.Series(out)
-
-    return minhash
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "sig",
+    num_hashes: int = 32,
+    shingle_w: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Adds ``out``: array<bigint> minhash signature, computed entirely
+    JVM-side (tokens → padded → w-shingles → md5-u32 → per-permutation
+    array_min). Short texts pad with '' so at least one shingle exists."""
+    w = shingle_w
+    a_s, b_s = minhash_params(num_hashes, seed)
+    d = df.withColumn("_mh_toks", F.expr(_tokens_expr(text_col)))
+    d = d.withColumn(
+        "_mh_toks",
+        F.expr(
+            f"CASE WHEN size(_mh_toks) >= {w} THEN _mh_toks "
+            f"ELSE concat(_mh_toks, array_repeat('', {w} - size(_mh_toks))) END"
+        ),
+    )
+    d = d.withColumn(
+        "_mh_h32",
+        F.expr(
+            f"transform(sequence(0, size(_mh_toks) - {w}), "
+            f"i -> {md5_u32_sql(f'array_join(slice(_mh_toks, i + 1, {w}), chr(32))', 8)})"
+        ),
+    )
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(_mh_h32, "
+                f"h -> ({a}L * h + {b}L) % {MERSENNE61}L))"
+            )
+            for a, b in zip(a_s, b_s)
+        ]
+    )
+    return d.withColumn(out, sig).drop("_mh_toks", "_mh_h32")
 
 
 def minhash_lsh_candidates(
@@ -100,17 +116,25 @@ def minhash_lsh_candidates(
     """Near-dup candidate pairs via banded MinHash-LSH.
 
     Returns (id_l, id_r, n_bands_hit). rows_per_band = num_hashes//bands;
-    Jaccard threshold ≈ (1/bands)^(1/rows_per_band)."""
+    Jaccard threshold ≈ (1/bands)^(1/rows_per_band). Band bucket keys are
+    md5 prefixes of the comma-joined band slice — engine-portable and
+    fixed-width (16 hex chars), so the self-join shuffles compact keys."""
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    mh = make_minhash_udf(num_hashes, shingle_w)
-    sig = df.select(
-        F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig")
-    )
+    sig = with_minhash_signature(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
+        "_t",
+        num_hashes=num_hashes,
+        shingle_w=shingle_w,
+    ).select("doc_id", "sig")
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.hash(*[F.col("sig")[b * rpb + i] for i in range(rpb)]).alias("bh"),
+            F.expr(
+                "substring(md5(concat_ws(',', "
+                + ", ".join(f"sig[{b * rpb + i}]" for i in range(rpb))
+                + ")), 1, 16)"
+            ).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -134,30 +158,55 @@ def minhash_lsh_candidates(
     )
 
 
-def make_simhash_udf(seed: int = 11):
-    """Pandas UDF: text -> 64-bit simhash (weighted token bit vote)."""
+# --------------------------------------------------------------- SimHash
 
-    @F.pandas_udf("long")
-    def simhash(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            toks = (t or "").lower().split()
-            if not toks:
-                out[i] = 0
-                continue
-            uniq, counts = np.unique(np.array(toks), return_counts=True)
-            hs = _stable64(list(uniq))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            h = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                h |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(h)
-        return pd.Series(out)
 
-    return simhash
+def with_simhash_halves(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sh_lo, sh_hi): 64-bit weighted-token simhash as two uint32
+    halves. Two halves instead of one int64 keeps every bit operation in
+    overflow-free signed range on every engine (no 1<<63 edge cases).
+
+    Shape: explode tokens → count per (doc, token) → 64 sign-vote sums in
+    one grouped aggregation → bit-pack. Two shuffles keyed by doc_id, all
+    codegen; docs with no tokens get (0, 0) like the reference behavior."""
+    toks = F.expr(_tokens_expr(text_col))
+    t = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_tok"))
+    tc = (
+        t.groupBy("doc_id", "_tok")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_lo", F.expr(md5_u32_sql("_tok", 8)))
+        .withColumn("_hi", F.expr(md5_u32_sql("_tok", 12)))
+    )
+    vote_aggs = [
+        F.expr(
+            f"sum(CASE WHEN (shiftright({half}, {b}) & 1) = 1 "
+            f"THEN _c ELSE -_c END) AS _v{name}{b}"
+        )
+        for half, name in (("_lo", "l"), ("_hi", "h"))
+        for b in range(32)
+    ]
+    votes = tc.groupBy("doc_id").agg(*vote_aggs)
+    pack = lambda name: F.expr(
+        " + ".join(
+            f"(CASE WHEN _v{name}{b} > 0 THEN {1 << b}L ELSE 0L END)"
+            for b in range(32)
+        )
+    )
+    sigs = votes.select(
+        "doc_id", pack("l").alias("sh_lo"), pack("h").alias("sh_hi")
+    )
+    # docs whose token list is empty never enter the explode -> simhash 0
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(sigs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("sh_lo", F.lit(0)).alias("sh_lo"),
+            F.coalesce("sh_hi", F.lit(0)).alias("sh_hi"),
+        )
+    )
 
 
 def simhash_near_duplicates(
@@ -168,25 +217,29 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via the 4-band
     pigeonhole join (any pair within distance 3 shares a 16-bit quarter)."""
-    sh = make_simhash_udf()
-    sigs = df.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("sh"))
+    sigs = with_simhash_halves(df, text_col, id_col)
+    quarter = [
+        F.expr("sh_lo & 65535"),
+        F.expr("shiftright(sh_lo, 16) & 65535"),
+        F.expr("sh_hi & 65535"),
+        F.expr("shiftright(sh_hi, 16) & 65535"),
+    ]
     quarters = sigs.select(
         "doc_id",
-        "sh",
+        "sh_lo",
+        "sh_hi",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftrightunsigned(F.col("sh"), q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("qv"),
-                    )
+                    F.struct(F.lit(q).alias("q"), quarter[q].alias("qv"))
                     for q in range(4)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "sh", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
+    ).select(
+        "doc_id", "sh_lo", "sh_hi",
+        F.col("b.q").alias("q"), F.col("b.qv").alias("qv"),
+    )
     l, r = quarters.alias("l"), quarters.alias("r")
     pairs = (
         l.join(
@@ -198,15 +251,24 @@ def simhash_near_duplicates(
         .select(
             F.col("l.doc_id").alias("id_l"),
             F.col("r.doc_id").alias("id_r"),
-            F.col("l.sh").alias("sh_l"),
-            F.col("r.sh").alias("sh_r"),
+            F.col("l.sh_lo").alias("lo_l"),
+            F.col("l.sh_hi").alias("hi_l"),
+            F.col("r.sh_lo").alias("lo_r"),
+            F.col("r.sh_hi").alias("hi_r"),
         )
         .dropDuplicates(["id_l", "id_r"])
     )
-    hamming = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r")))
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_l", "id_r", "hamming")
+    hamming = F.bit_count(
+        F.col("lo_l").bitwiseXOR(F.col("lo_r"))
+    ) + F.bit_count(F.col("hi_l").bitwiseXOR(F.col("hi_r")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
 
 
 def ngram_jaccard(

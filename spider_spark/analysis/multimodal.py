@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 MEDIA_META_SCHEMA = (
-    "media_ref string, media_kind string, n_bytes long, sha1 string"
+    "media_ref string, media_kind string, n_bytes long, sha256 string"
 )
 IMAGE_FEATURE_SCHEMA = (
     "media_ref string, width int, height int, features array<float>"
@@ -46,20 +46,20 @@ def media_metadata(df: DataFrame, ref_col: str = "media_ref", payload_col: str |
             if payload_col and payload_col in pdf:
                 payload = pdf[payload_col]
                 n_bytes = payload.map(lambda b: len(b) if b is not None else 0)
-                sha1 = payload.map(
-                    lambda b: hashlib.sha1(b or b"").hexdigest()
+                sha256 = payload.map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
                 )
             else:
                 n_bytes = pd.Series(0, index=pdf.index)
-                sha1 = refs.map(
-                    lambda r: hashlib.sha1(r.encode()).hexdigest()
+                sha256 = refs.map(
+                    lambda r: hashlib.sha256(r.encode()).hexdigest()
                 )
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
                     "media_kind": kind,
                     "n_bytes": n_bytes.astype("int64"),
-                    "sha1": sha1,
+                    "sha256": sha256,
                 }
             )
 

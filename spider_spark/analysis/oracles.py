@@ -1,0 +1,252 @@
+"""DuckDB oracle SQL for the analysis operators.
+
+Each function returns ANSI-ish DuckDB SQL computing byte-for-byte the same
+result as the corresponding Spark pipeline in analysis/dedup.py and
+analysis/similarity.py. This works because every hash is md5-derived
+(functions/hashing.py: Spark conv-over-hex == DuckDB md5_number_lower
+masks) and all integer arithmetic is kept inside exact signed-64-bit range
+on both engines. The SQL is generated from the SAME parameters
+(minhash_params seed, SRP planes seed) used by the Spark side, so constants
+can never drift apart.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spider_spark.functions.hashing import (
+    MERSENNE61,
+    md5_u32_duckdb,
+    minhash_params,
+)
+
+# shared tokenizer (Python str.split semantics: lower, split on \s+, drop empties)
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(coalesce({col}, '')), '\\s+'), "
+    "x -> x <> '')"
+)
+
+
+def minhash_sig_cte(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_w: int = 2,
+    seed: int = 7,
+) -> str:
+    """CTE chain ending in ``sig(doc_id, sig)`` — minhash signatures."""
+    w = shingle_w
+    a_s, b_s = minhash_params(num_hashes, seed)
+    toks = _TOKS.format(col=text_col)
+    h32 = md5_u32_duckdb(f"array_to_string(t[i+1:i+{w}], ' ')", 8)
+    sig_items = ",\n         ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MERSENNE61}))"
+        for a, b in zip(a_s, b_s)
+    )
+    return f"""
+    toks AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ), padded AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {w} THEN t
+                  ELSE list_concat(t, list_transform(range({w} - len(t)), x -> ''))
+             END AS t
+      FROM toks
+    ), hashes AS (
+      SELECT doc_id,
+             list_transform(range(0, len(t) - {w} + 1), i -> {h32}) AS h
+      FROM padded
+    ), sig AS (
+      SELECT doc_id, [{sig_items}] AS sig FROM hashes
+    )"""
+
+
+def minhash_lsh_sql(
+    table: str = "documents",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_w: int = 2,
+) -> str:
+    """Full minhash-LSH candidate pairs: (id_l, id_r, n_bands_hit)."""
+    rpb = num_hashes // bands
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, substring(md5("
+        + " || ',' || ".join(
+            f"CAST(sig[{b * rpb + i + 1}] AS VARCHAR)" for i in range(rpb)
+        )
+        + "), 1, 16) AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {minhash_sig_cte(table, num_hashes=num_hashes, shingle_w=shingle_w)},
+    buckets AS (
+      {band_selects}
+    )
+    SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*) AS n_bands_hit
+    FROM buckets l
+    JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+    """
+
+
+def simhash_sig_cte(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """CTE chain ending in ``sigs(doc_id, sh_lo, sh_hi)``."""
+    toks = _TOKS.format(col=text_col)
+    lo = md5_u32_duckdb("tok", 8)
+    hi = md5_u32_duckdb("tok", 12)
+    vote_items = ",\n             ".join(
+        f"sum(CASE WHEN ({half} >> {b}) & 1 = 1 THEN c ELSE -c END) AS _v{n}{b}"
+        for half, n in (("lo", "l"), ("hi", "h"))
+        for b in range(32)
+    )
+    pack = lambda n: " + ".join(
+        f"(CASE WHEN _v{n}{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+    toks AS (
+      SELECT {id_col} AS doc_id, unnest({toks}) AS tok FROM {table}
+    ), tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ), th AS (
+      SELECT doc_id, c, {lo} AS lo, {hi} AS hi FROM tc
+    ), votes AS (
+      SELECT doc_id,
+             {vote_items}
+      FROM th GROUP BY doc_id
+    ), sigs0 AS (
+      SELECT doc_id, {pack('l')} AS sh_lo, {pack('h')} AS sh_hi FROM votes
+    ), sigs AS (
+      SELECT d.{id_col} AS doc_id,
+             coalesce(s.sh_lo, 0) AS sh_lo, coalesce(s.sh_hi, 0) AS sh_hi
+      FROM {table} d LEFT JOIN sigs0 s ON d.{id_col} = s.doc_id
+    )"""
+
+
+def simhash_pairs_sql(table: str = "documents", max_hamming: int = 8) -> str:
+    """Simhash near-dup pairs: (id_l, id_r, hamming)."""
+    return f"""
+    WITH {simhash_sig_cte(table)},
+    quarters AS (
+      SELECT doc_id, sh_lo, sh_hi, q.q AS q,
+             CASE q.q WHEN 0 THEN sh_lo & 65535
+                      WHEN 1 THEN (sh_lo >> 16) & 65535
+                      WHEN 2 THEN sh_hi & 65535
+                      ELSE (sh_hi >> 16) & 65535 END AS qv
+      FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS q) q
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
+             l.sh_lo AS lo_l, l.sh_hi AS hi_l,
+             r.sh_lo AS lo_r, r.sh_hi AS hi_r
+      FROM quarters l
+      JOIN quarters r ON l.q = r.q AND l.qv = r.qv AND l.doc_id < r.doc_id
+    )
+    SELECT id_l, id_r, hamming FROM (
+      SELECT id_l, id_r,
+             CAST(bit_count(xor(lo_l, lo_r)) + bit_count(xor(hi_l, hi_r))
+                  AS INTEGER) AS hamming
+      FROM pairs)
+    WHERE hamming <= {max_hamming}
+    """
+
+
+def ngram_jaccard_sql(
+    table: str = "documents",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_w: int = 2,
+    n: int = 2,
+) -> str:
+    """Jaccard verification over the minhash-LSH candidate pairs:
+    (id_l, id_r, n_bands_hit, jaccard). Gram tokenization mirrors the
+    Spark side exactly (trim+split, NOT empty-filtered)."""
+    lsh = minhash_lsh_sql(table, num_hashes, bands, shingle_w).strip()
+    return f"""
+    WITH cand AS ({lsh}),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {n}
+                  THEN list_distinct(list_transform(range(0, len(t) - {n} + 1),
+                       i -> array_to_string(t[i+1:i+{n}], ' ')))
+                  ELSE [] END AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM {table})
+    )
+    SELECT c.id_l, c.id_r, c.n_bands_hit,
+           round(CAST(len(list_filter(gl.g, x -> list_contains(gr.g, x))) AS DOUBLE)
+                 / (len(gl.g) + len(gr.g)
+                    - len(list_filter(gl.g, x -> list_contains(gr.g, x)))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN grams gl ON gl.doc_id = c.id_l
+    JOIN grams gr ON gr.doc_id = c.id_r
+    """
+
+
+# ------------------------------------------------------------------- SRP
+
+
+def srp_bucket_expr(planes: np.ndarray, vec_expr: str = "e") -> str:
+    """Bucket id from sign-random-projection planes, with the dot product
+    expanded as an explicit left-to-right sum — the same association order
+    as Spark's aggregate() fold, so the doubles agree bitwise."""
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = " + ".join(
+            f"{vec_expr}[{j + 1}] * ({float(x)!r})" for j, x in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN (0.0 + {dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def srp_bucket_cte(planes: np.ndarray, table: str = "embeddings") -> str:
+    """CTE ``b(vec_id, e, srp_bucket)`` over an embeddings table."""
+    return f"""
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}
+    ), b AS (
+      SELECT vec_id, e, {srp_bucket_expr(planes)} AS srp_bucket FROM v
+    )"""
+
+
+def srp_histogram_sql(planes: np.ndarray, table: str = "embeddings") -> str:
+    return f"""
+    WITH {srp_bucket_cte(planes, table)}
+    SELECT srp_bucket, count(*) AS n_vecs FROM b GROUP BY 1
+    """
+
+
+def embedding_lsh_sql(
+    planes: np.ndarray, threshold: float, table: str = "embeddings"
+) -> str:
+    """SRP-bucketed near-dup pairs: (id_a, id_b, cos_sim)."""
+    return f"""
+    WITH {srp_bucket_cte(planes, table)}
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             round(list_cosine_similarity(a.e, b2.e), 4) AS cos_sim
+      FROM b a JOIN b b2
+        ON a.srp_bucket = b2.srp_bucket AND a.vec_id < b2.vec_id)
+    WHERE cos_sim >= {threshold}
+    """
+
+
+def ann_topk_lsh_sql(
+    planes: np.ndarray, k: int = 10, query_vec_id: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """Bucket-pruned approximate top-k: (vec_id, cos_sim as %.4f string)."""
+    return f"""
+    WITH {srp_bucket_cte(planes, table)}
+    SELECT vec_id, printf('%.4f', cos_r) AS cos_sim FROM (
+      SELECT vec_id,
+             round(list_cosine_similarity(e,
+                 (SELECT e FROM b WHERE vec_id = {query_vec_id})), 4) AS cos_r
+      FROM b
+      WHERE srp_bucket = (SELECT srp_bucket FROM b WHERE vec_id = {query_vec_id})
+      ORDER BY cos_r DESC, vec_id
+      LIMIT {k})
+    """

@@ -133,10 +133,14 @@ def ann_topk_lsh(
     """Approximate top-k: prune to the query's SRP bucket, exact cosine
     re-rank inside it. At scale ``srp_bucket`` is the table's bucketing
     key, so this is a partition-pruned scan, not a full pass."""
-    qv = np.asarray(query, dtype=np.float64)
+    # strict left-fold dot (same association order as the aggregate() fold
+    # used for data vectors) so the query's bucket matches its own row's
     qbucket = 0
     for i, plane in enumerate(planes):
-        if float(np.dot(plane, qv)) >= 0:
+        s = 0.0
+        for a, b in zip(query, plane):
+            s += float(a) * float(b)
+        if s >= 0:
             qbucket |= 1 << i
     bucketed = with_srp_bucket(df, planes, vec_col)
     return (

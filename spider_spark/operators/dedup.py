@@ -12,6 +12,12 @@ engine's equivalent is:
     with applyInPandas (numpy bit ops), probed via a bucket-aligned
     cogroup — false positives only fall through to the exact anti-join,
     so the final set is still exact.
+
+All url hashing happens JVM-side as ``xxhash64`` columns BEFORE any pandas
+stage — the Python side only does numpy bit arithmetic on already-hashed
+int64 batches (no per-row hashlib loops). The two probe hashes use seeds
+independent of the bucket hash so that bucket assignment (hash(url) % NB)
+does not correlate with bit positions inside the bucket's bitmap.
 """
 
 from __future__ import annotations
@@ -25,11 +31,32 @@ from pyspark.sql import functions as F
 
 BLOOM_SCHEMA = "bucket long, bitmap binary, n_bits long, n_hashes int"
 
+# xxhash64 seeds for the two bloom probe hashes (double-hashing scheme);
+# distinct from the default-seed bucket hash
+_H1_SEED = 101
+_H2_SEED = 202
+
 
 def with_bucket(df: DataFrame, num_buckets: int, url_col: str = "url") -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_buckets))
     )
+
+
+def with_probe_hashes(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds _h1/_h2: two independent 64-bit hashes per url, computed in
+    whole-stage codegen. _h2 is forced odd (full cycle mod power-of-two)."""
+    return df.withColumn(
+        "_h1", F.xxhash64(F.col(url_col), F.lit(_H1_SEED))
+    ).withColumn(
+        "_h2", F.expr(f"xxhash64({url_col}, {_H2_SEED}) | 1")
+    )
+
+
+def _probe_arrays(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    h1 = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+    h2 = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+    return h1, h2
 
 
 def anti_join_seen(candidates: DataFrame, seen_urls: DataFrame) -> DataFrame:
@@ -50,21 +77,15 @@ def anti_join_seen(candidates: DataFrame, seen_urls: DataFrame) -> DataFrame:
 #     checkpointed/restored with the rest of the crawl state.
 
 
-def _hash2(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per url (double-hashing scheme).
-
-    Process-stable (unlike Python ``hash``, which is salted per
-    interpreter and would corrupt cross-executor bloom probes): derived
-    from blake2b digests, vectorized via a single bytes buffer."""
-    import hashlib
-
-    h1 = np.empty(len(urls), dtype=np.uint64)
-    h2 = np.empty(len(urls), dtype=np.uint64)
-    for i, u in enumerate(urls):
-        d = hashlib.blake2b((u or "").encode("utf-8"), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little") | 1  # odd -> full cycle
-    return h1, h2
+def _set_bits(
+    h1: np.ndarray, h2: np.ndarray, n_bits: int, n_hashes: int
+) -> np.ndarray:
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    mask = np.uint64(n_bits - 1)  # n_bits is a power of two
+    for k in range(n_hashes):
+        idx = ((h1 + np.uint64(k) * h2) & mask).astype(np.int64)
+        np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+    return bits
 
 
 def build_blooms(
@@ -80,23 +101,18 @@ def build_blooms(
         n_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
         n_bits = 1 << (n_bits - 1).bit_length()  # power of two
         n_hashes = max(1, int(round(n_bits / n * math.log(2))))
-        bits = np.zeros(n_bits // 8, dtype=np.uint8)
-        h1, h2 = _hash2(pdf["url"])
-        mask = np.uint64(n_bits - 1)  # n_bits is a power of two
-        for k in range(n_hashes):
-            idx = ((h1 + np.uint64(k) * h2) & mask).astype(np.int64)
-            np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+        h1, h2 = _probe_arrays(pdf)
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
-                "bitmap": [bits.tobytes()],
+                "bitmap": [_set_bits(h1, h2, n_bits, n_hashes).tobytes()],
                 "n_bits": [n_bits],
                 "n_hashes": [n_hashes],
             }
         )
 
     return (
-        seen.select("url", "bucket")
+        with_probe_hashes(seen.select("url", "bucket"))
         .groupBy("bucket")
         .applyInPandas(build, schema=BLOOM_SCHEMA)
     )
@@ -111,23 +127,18 @@ def build_bloom_delta(
     assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(n_bits // 8, dtype=np.uint8)
-        h1, h2 = _hash2(pdf["url"])
-        mask = np.uint64(n_bits - 1)
-        for k in range(n_hashes):
-            idx = ((h1 + np.uint64(k) * h2) & mask).astype(np.int64)
-            np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+        h1, h2 = _probe_arrays(pdf)
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
-                "bitmap": [bits.tobytes()],
+                "bitmap": [_set_bits(h1, h2, n_bits, n_hashes).tobytes()],
                 "n_bits": [n_bits],
                 "n_hashes": [n_hashes],
             }
         )
 
     return (
-        with_bucket(seen_delta.select("url"), num_buckets)
+        with_probe_hashes(with_bucket(seen_delta.select("url"), num_buckets))
         .groupBy("bucket")
         .applyInPandas(build, schema=BLOOM_SCHEMA)
     )
@@ -186,27 +197,29 @@ def bloom_prefilter(
     duplication per candidate row, no broadcast of the full 10^10-scale
     bloom set)."""
     cand = with_bucket(candidates.drop("bucket"), num_buckets)
+    out_cols = [f.name for f in cand.schema.fields]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields
     ) + ", maybe_seen boolean"
+    cand = with_probe_hashes(cand)
 
     def probe(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         if bloom_pdf.empty or cand_pdf.empty:
-            cand_pdf = cand_pdf.copy()
-            cand_pdf["maybe_seen"] = False
-            return cand_pdf
+            out = cand_pdf[out_cols].copy()
+            out["maybe_seen"] = False
+            return out
         bits = np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint8)
         n_bits = int(bloom_pdf["n_bits"].iloc[0])
         n_hashes = int(bloom_pdf["n_hashes"].iloc[0])
-        h1, h2 = _hash2(cand_pdf["url"])
+        h1, h2 = _probe_arrays(cand_pdf)
         maybe = np.ones(len(cand_pdf), dtype=bool)
         mask = np.uint64(n_bits - 1)
         for k in range(n_hashes):
             idx = ((h1 + np.uint64(k) * h2) & mask).astype(np.int64)
             maybe &= (bits[idx // 8] & (1 << (idx % 8)).astype(np.uint8)) != 0
-        cand_pdf = cand_pdf.copy()
-        cand_pdf["maybe_seen"] = maybe
-        return cand_pdf
+        out = cand_pdf[out_cols].copy()
+        out["maybe_seen"] = maybe
+        return out
 
     return (
         cand.groupBy("bucket")

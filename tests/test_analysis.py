@@ -112,7 +112,7 @@ def test_multimodal_metadata_and_stub(spark):
     meta = {r["media_ref"]: r for r in M.media_metadata(refs).collect()}
     assert meta["img://a/1"]["media_kind"] == "img"
     assert meta["weird"]["media_kind"] == "unknown"
-    assert all(len(r["sha1"]) == 40 for r in meta.values())
+    assert all(len(r["sha256"]) == 64 for r in meta.values())
 
     with _pytest.raises(NotImplementedError):
         M.decode_image_features(refs)  # real decode is stubbed
