@@ -37,6 +37,12 @@ HEADLINE = [
     "text_token_count",
     "text_lang_id",
     "ann_cosine_topk",
+    # round-2 additions (new operators; r1 keys above unchanged so
+    # per-query deltas vs BENCH_r01 stay comparable)
+    "r7_fifo_rank",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "ann_topk_lsh",
 ]
 
 
@@ -77,7 +83,12 @@ def bench_crawl(spark, cache_dir: str) -> dict:
         write_web(web, web_dir)
     work_dir = os.path.join(cache_dir, "benchwork")
     shutil.rmtree(work_dir, ignore_errors=True)
-    cfg = CrawlConfig(scrape_parallelism=20000, max_retries=0, max_rounds=50)
+    cfg = CrawlConfig(
+        scrape_parallelism=20000,
+        max_retries=0,
+        max_rounds=50,
+        sanity_check=False,  # R28 audit is verification work, not crawl work
+    )
     eng = CrawlEngine(spark, web_dir, work_dir, cfg)
     t0 = time.time()
     summary = eng.run()

@@ -83,6 +83,9 @@ def main() -> None:
         bloom_enabled=args.bloom,
         hot_host_salt=args.salt,
         num_seen_buckets=args.seen_buckets,
+        # R28 is a verification cross-check (invariant holds by
+        # construction); throughput runs measure crawl work, not audits
+        sanity_check=False,
     )
 
     if args.warmup_input:

@@ -38,6 +38,8 @@ class CrawlConfig:
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     sanity_check: bool = True           # R28 scrape-sanity anti-join per round
+    spark_seeding: bool = True          # R21 distributed sitemap expansion
+    sitemap_max_depth: int = 16         # index-recursion bound (cycle guard)
     user_agent: str = "SpiderSparkBot"  # matched against robots.txt groups
 
     # reference-parity documentation only (unused in batch model)

@@ -56,6 +56,7 @@ from pyspark.sql.types import (
 from spider_spark.config import CrawlConfig
 from spider_spark.functions.extract import extract_batch
 from spider_spark.functions.robots import RobotsTable, parse_robots
+from spider_spark.functions.urlnorm import strip_trailing_slash
 from spider_spark.oracle import seed_state
 from spider_spark.operators.dedup import (
     anti_join_seen,
@@ -63,6 +64,7 @@ from spider_spark.operators.dedup import (
     build_bloom_delta,
     merge_blooms,
 )
+from spider_spark.operators.expand import expand_reachable
 from spider_spark.operators.politeness import fifo_rank, schedule_topk
 
 SEQ_STRIDE = 1 << 40  # per-round seq base; additions per host per round < 2^40
@@ -220,13 +222,8 @@ class CrawlEngine:
         self.robots = RobotsTable(
             {h: parse_robots(b, self.cfg.user_agent) for h, b in robots_rows}
         )
-        self.sitemaps = {}
-        sm_path = os.path.join(input_dir, "sitemaps.parquet")
-        if os.path.exists(sm_path):
-            self.sitemaps = {
-                r["sitemap_url"]: (r["kind"], list(r["urls"]))
-                for r in spark.read.parquet(sm_path).collect()
-            }
+        self._sitemaps = None  # lazy driver-side dict (legacy/oracle path only)
+        self._sm_path = os.path.join(input_dir, "sitemaps.parquet")
         self._robots_bc = spark.sparkContext.broadcast(self.robots)
         self._extract_udf = make_extract_udf(self._robots_bc)
         self._robots_udf = make_robots_udf(self._robots_bc)
@@ -269,9 +266,19 @@ class CrawlEngine:
     # ------------------------------------------------------------ init
 
     def initialize(self):
-        """Round 0: seeding — identical to the oracle via seed_state."""
+        """Round 0 seeding (R21 + R1).
+
+        Default path (``cfg.spark_seeding``): sitemap expansion runs as a
+        distributed iterative self-join flatten over the sitemaps table —
+        at a 10^10 frontier with sitemap-index-heavy hosts the round-0
+        frontier is itself big data and must never pass through a driver
+        dict. The legacy path builds the same state driver-side via
+        ``seed_state`` (shared verbatim with the oracle); both produce
+        identical frontier/seen tables (tested)."""
+        if self.cfg.spark_seeding:
+            return self._initialize_spark()
         queues, seen, _inflight, namespace = seed_state(
-            self.sources, self.robots, self.sitemaps.get
+            self.sources, self.robots, self.sitemaps().get
         )
         self.namespace = namespace
         # pandas frames take the Arrow fast path into the JVM — a plain
@@ -305,6 +312,157 @@ class CrawlEngine:
                 str(k): int(v)
                 for k, v in frontier_rows["host"].value_counts().items()
             },
+        )
+
+    def sitemaps(self) -> dict:
+        """Driver-side sitemap dict — legacy seeding and oracle parity
+        only; the default Spark seeding path never collects this."""
+        if self._sitemaps is None:
+            self._sitemaps = {}
+            if os.path.exists(self._sm_path):
+                self._sitemaps = {
+                    r["sitemap_url"]: (r["kind"], list(r["urls"]))
+                    for r in self.spark.read.parquet(self._sm_path).collect()
+                }
+        return self._sitemaps
+
+    def _initialize_spark(self):
+        """R21 as a Spark dataflow: sitemap-index trees flatten via the
+        depth-bounded iterative self-join of operators/expand.py, page
+        urls get their per-host FIFO seq from the skew-proof fifo_rank,
+        and only source-sized state (seeds, per-host counts) ever touches
+        the driver. Semantics are exactly seed_state's:
+
+          - per NEW host (first source occurrence, in source order):
+            roots = <proto>://host/sitemap.xml + robots-declared sitemaps;
+            recursive index expansion, cycle-guarded; page urls deduped,
+            SORTED, robots-gated (seeding host's rules), enqueued sm=True
+            — in flight but NOT seen
+          - per seed, in source order: slash-stripped; skipped if an
+            earlier-or-same-source sitemap already queued the url or an
+            earlier seed took it; else seen (always) + enqueued (only if
+            robots-allowed), after the host's sitemap block
+        """
+        spark, cfg = self.spark, self.cfg
+        namespace: dict[str, str] = {}
+        host_first_idx: dict[str, int] = {}
+        roots: list[tuple[str, str]] = []
+        seeds: list[tuple[int, str, str]] = []
+        for idx, (source_id, _name, seed_url) in enumerate(self.sources):
+            host = _host_of(seed_url)
+            if not host:
+                continue
+            if host not in namespace:
+                host_first_idx[host] = idx
+                proto = seed_url.split("://", 1)[0]
+                roots.append((host, f"{proto}://{host}/sitemap.xml"))
+                for sm in self.robots.sitemaps_for(host):
+                    roots.append((host, sm))
+            namespace[host] = source_id
+            seeds.append((idx, host, strip_trailing_slash(seed_url)))
+        self.namespace = namespace
+
+        sm_counts: dict[str, int] = {}
+        skip_idx: dict[str, int] = {}
+        sm_frontier = None
+        if roots and os.path.exists(self._sm_path):
+            smdf = spark.read.parquet(self._sm_path)
+            edges = smdf.select(
+                F.col("sitemap_url").alias("parent"),
+                "kind",
+                F.explode("urls").alias("child"),
+            )
+            roots_df = spark.createDataFrame(
+                roots, "host string, node string"
+            )
+            reach = expand_reachable(
+                edges.filter(F.col("kind") == "index").select("parent", "child"),
+                roots_df,
+                max_depth=cfg.sitemap_max_depth,
+                key_cols=("host",),
+            )
+            pages = (
+                reach.join(
+                    edges.filter(F.col("kind") == "urlset").select(
+                        "parent", "child"
+                    ),
+                    reach["node"] == F.col("parent"),
+                )
+                .select("host", F.col("child").alias("url"))
+                .distinct()
+                .withColumn("allowed", self._robots_udf("url", "host"))
+                .filter("allowed")
+                .drop("allowed")
+            )
+            ranked = fifo_rank(
+                pages,
+                spark.sparkContext.defaultParallelism,
+                host_col="host",
+                key_cols=("url",),
+            )
+            sm_frontier = ranked.select(
+                "url",
+                "host",
+                (F.col("rank") - 1).cast("long").alias("seq"),
+                F.lit(True).alias("sm"),
+            ).persist()
+            sm_counts = {
+                r["host"]: r["count"]
+                for r in sm_frontier.groupBy("host").count().collect()
+            }
+            ranked._fifo_rank_cache.unpersist()
+            # seed-vs-sitemap collision timing: a seed is skipped only if
+            # a source at index <= the seed's own queued that url (seeds
+            # are source-sized, so this probe is a broadcast join)
+            if seeds:
+                seeds_df = spark.createDataFrame(
+                    [(u,) for _i, _h, u in seeds], "url string"
+                ).distinct()
+                idx_df = spark.createDataFrame(
+                    list(host_first_idx.items()), "host string, src_idx int"
+                )
+                skip_idx = {
+                    r["url"]: r["mi"]
+                    for r in pages.join(F.broadcast(idx_df), "host")
+                    .join(F.broadcast(seeds_df), "url")
+                    .groupBy("url")
+                    .agg(F.min("src_idx").alias("mi"))
+                    .collect()
+                }
+
+        taken: set[str] = set()
+        seed_rows: list[tuple] = []
+        seen_rows: list[tuple] = []
+        host_seed_n: dict[str, int] = {}
+        for idx, host, u in seeds:
+            if u in taken:
+                continue
+            if u in skip_idx and skip_idx[u] <= idx:
+                continue
+            taken.add(u)
+            seen_rows.append((u, host, 0))
+            if self.robots.is_allowed(host, u):
+                seq = sm_counts.get(host, 0) + host_seed_n.get(host, 0)
+                seed_rows.append((u, host, seq, False))
+                host_seed_n[host] = host_seed_n.get(host, 0) + 1
+
+        frontier = spark.createDataFrame(seed_rows, FRONTIER_SCHEMA)
+        if sm_frontier is not None:
+            frontier = sm_frontier.unionByName(frontier)
+        frontier.write.mode("overwrite").parquet(self._p("frontier", 0))
+        if sm_frontier is not None:
+            sm_frontier.unpersist()
+        spark.createDataFrame(seen_rows, SEEN_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(self._p("seen", 0))
+        self.round = 0
+        lineage: dict[str, int] = dict(sm_counts)
+        for _u, h, _s, _sm in seed_rows:
+            lineage[h] = lineage.get(h, 0) + 1
+        self._last_frontier_next = sum(lineage.values())
+        self._write_manifest(
+            RoundMetrics(round=0, frontier_next=self._last_frontier_next),
+            lineage=lineage,
         )
 
     def _ns(self) -> DataFrame:
@@ -418,27 +576,7 @@ class CrawlEngine:
         m.sitemap_fetches = int(cls_counts["sm"] or 0)
         phase("fetch_classify")
 
-        # ---- R28 scrape-sanity (Supervisor.scala:139-144) ----------------
-        # every fetched non-sitemap url must already be in scrapeCounts
-        # (seen); sitemap-origin rows are exactly the reference's warn case
-        # (inflight but never counted). Holds by construction (additions
-        # write to frontier and seen atomically per round) — this is the
-        # cheap cross-check: scheduled is budget-bounded, so the anti-join
-        # probe side is small; gate off for max-throughput runs.
         seen_all = self._read_deltas("seen", SEEN_SCHEMA)
-        if cfg.sanity_check:
-            m.sanity_unscheduled = (
-                fetched.filter(~F.col("sm"))
-                .select("url")
-                .join(seen_all.select("url"), "url", "left_anti")
-                .count()
-            )
-            if m.sanity_unscheduled:
-                raise AssertionError(
-                    f"R28 scrape-sanity: {m.sanity_unscheduled} fetched "
-                    f"urls in round {r} were never scheduled into seen"
-                )
-            phase("sanity")
 
         # span invariant sink: fetched docs verbatim (kind,text,media_ref,
         # offset). Off the per-round path by default — the fetched set is a
@@ -496,9 +634,7 @@ class CrawlEngine:
             .join(F.broadcast(self._ns()), "host", "left")
             .select("url", "source_id", F.lit(r).alias("round"))
         )
-        new_urls.write.mode("overwrite").parquet(self._p("urls", r))
-        m.indexed_urls = self._parquet_rows(self._p("urls", r))
-        phase("extract_index")
+        # (written in the parallel sink phase below, off the ext cache)
 
         # ---- candidate links ---------------------------------------------
         links = ext.select(
@@ -570,7 +706,9 @@ class CrawlEngine:
 
         # ---- R16 retries --------------------------------------------------
         # cls_counts already told us whether any fetch failed this round;
-        # zero errors -> skip the whole retry subplan (no seen-table scan)
+        # zero errors -> skip the whole retry subplan (no seen-table scan).
+        # No standalone count action: the retry total rides the additions
+        # observation below.
         if m.errors > 0:
             failures = fetched.filter(F.col("cls") == "err").select(
                 "url", "host", "rn"
@@ -587,10 +725,7 @@ class CrawlEngine:
                     & (F.col("attempts") <= F.lit(cfg.max_retries))
                 )
                 .select("url", "host", "rn")
-                .persist()
             )
-            m.retries = retries.count()
-            phase("retries")
         else:
             retries = spark.createDataFrame(
                 [],
@@ -602,11 +737,11 @@ class CrawlEngine:
                     ]
                 ),
             )
-            m.retries = 0
 
         # ---- frontier' + seen delta --------------------------------------
         # enqueue gate R20 (target host rules); counting happens regardless
         # (Supervisor.scala:200 vs HostCrawler.scala:146)
+        cand_base = cand
         cand = cand.withColumn("allowed", self._robots_udf("url", "chost"))
         cand_events = cand.select(
             F.col("chost").alias("thost"), "url", "phost", "prn", "allowed"
@@ -618,60 +753,120 @@ class CrawlEngine:
             F.col("rn").alias("prn"),
             F.lit(True).alias("allowed"),
         )
-        additions = cand_events.unionByName(retry_events)
-        # per-host FIFO append order — the skew-proof exact rank, not a
-        # single-task-per-host window (operators/politeness.fifo_rank)
-        ranked = fifo_rank(
-            additions.filter(F.col("allowed")),
-            self.spark.sparkContext.defaultParallelism,
+        retry_events = retry_events.withColumn("is_retry", F.lit(True))
+        cand_events = cand_events.withColumn("is_retry", F.lit(False))
+        obs_add = Observation(f"round_{r}_additions")
+        additions = cand_events.unionByName(retry_events).observe(
+            obs_add,
+            F.sum(F.col("is_retry").cast("long")).alias("retries"),
         )
-        enqueued = (
-            ranked.withColumn("seq", F.lit(r * SEQ_STRIDE) + F.col("rank"))
-            .select(
-                "url",
-                F.col("thost").alias("host"),
-                "seq",
-                F.lit(False).alias("sm"),
+
+        # materialize the one expensive shared stage (extraction UDF +
+        # candidate dedup + seen anti-join) exactly once, so the parallel
+        # sink jobs below all read caches and never race to fill them
+        cand_base.count()
+        phase("extract_candidates")
+
+        # ---- parallel sinks ----------------------------------------------
+        # the four remaining actions (urls, frontier+lineage, seen+blooms,
+        # sanity) are mutually independent jobs over cached inputs; running
+        # them serially is pure driver-side dead time that becomes the
+        # Amdahl floor at high core counts — submit them from threads and
+        # let the scheduler interleave tasks
+        def sink_urls():
+            new_urls.write.mode("overwrite").parquet(self._p("urls", r))
+            m.indexed_urls = self._parquet_rows(self._p("urls", r))
+
+        def sink_frontier():
+            # per-host FIFO append order — the skew-proof exact rank, not a
+            # single-task-per-host window (operators/politeness.fifo_rank)
+            ranked = fifo_rank(
+                additions.filter(F.col("allowed")),
+                self.spark.sparkContext.defaultParallelism,
             )
-        )
-        new_frontier = (
-            deferred.select("url", "host", "seq", "sm")
-            .unionByName(enqueued)
-            .persist()
-        )
-        new_frontier.write.mode("overwrite").parquet(self._p("frontier", r))
-        # per-host lineage off the cached frontier (also yields the row count
-        # — no separate re-read job)
-        lineage = {
-            row["host"]: row["count"]
-            for row in new_frontier.groupBy("host").count().collect()
-        }
-        m.frontier_next = sum(lineage.values())
-        phase("frontier")
-
-        seen_delta = additions.select(
-            "url", F.col("thost").alias("host"), F.lit(r).alias("round")
-        )
-        seen_delta.write.mode("overwrite").parquet(self._p("seen", r))
-        m.new_scheduled = self._parquet_rows(self._p("seen", r))
-        phase("seen")
-
-        if cfg.bloom_enabled:
-            # advance the bloom sidecar: hash only this round's delta, OR
-            # into the previous checkpoint
-            delta_blooms = build_bloom_delta(
-                self.spark.read.schema(SEEN_SCHEMA).parquet(self._p("seen", r)),
-                cfg.num_seen_buckets,
-                cfg.bloom_bits_per_bucket,
-                cfg.bloom_hashes,
+            enqueued = (
+                ranked.withColumn(
+                    "seq", F.lit(r * SEQ_STRIDE) + F.col("rank")
+                )
+                .select(
+                    "url",
+                    F.col("thost").alias("host"),
+                    "seq",
+                    F.lit(False).alias("sm"),
+                )
             )
-            merged = merge_blooms(self._load_blooms(r - 1, seen_all), delta_blooms)
-            merged.write.mode("overwrite").parquet(self._p("blooms", r))
-            phase("blooms")
+            new_frontier = (
+                deferred.select("url", "host", "seq", "sm")
+                .unionByName(enqueued)
+                .persist()
+            )
+            new_frontier.write.mode("overwrite").parquet(
+                self._p("frontier", r)
+            )
+            # per-host lineage off the cached frontier (also yields the
+            # row count — no separate re-read job)
+            lineage = {
+                row["host"]: row["count"]
+                for row in new_frontier.groupBy("host").count().collect()
+            }
+            m.frontier_next = sum(lineage.values())
+            ranked._fifo_rank_cache.unpersist()
+            new_frontier.unpersist()
+            return lineage
 
-        for df in (scheduled, fetched, ext, cand, retries, new_frontier):
+        def sink_seen():
+            additions.select(
+                "url", F.col("thost").alias("host"), F.lit(r).alias("round")
+            ).write.mode("overwrite").parquet(self._p("seen", r))
+            m.new_scheduled = self._parquet_rows(self._p("seen", r))
+            if cfg.bloom_enabled:
+                # advance the bloom sidecar: hash only this round's delta,
+                # OR into the previous checkpoint
+                delta_blooms = build_bloom_delta(
+                    self.spark.read.schema(SEEN_SCHEMA).parquet(
+                        self._p("seen", r)
+                    ),
+                    cfg.num_seen_buckets,
+                    cfg.bloom_bits_per_bucket,
+                    cfg.bloom_hashes,
+                )
+                merged = merge_blooms(
+                    self._load_blooms(r - 1, seen_all), delta_blooms
+                )
+                merged.write.mode("overwrite").parquet(self._p("blooms", r))
+
+        def sink_sanity():
+            # R28 scrape-sanity (Supervisor.scala:139-144): every fetched
+            # non-sitemap url must already be in scrapeCounts (seen);
+            # sitemap-origin rows are the reference's warn case (inflight
+            # but never counted). Probe side is budget-bounded.
+            m.sanity_unscheduled = (
+                fetched.filter(~F.col("sm"))
+                .select("url")
+                .join(seen_all.select("url"), "url", "left_anti")
+                .count()
+            )
+            if m.sanity_unscheduled:
+                raise AssertionError(
+                    f"R28 scrape-sanity: {m.sanity_unscheduled} fetched "
+                    f"urls in round {r} were never scheduled into seen"
+                )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        sinks = [sink_frontier, sink_seen, sink_urls]
+        if cfg.sanity_check:
+            sinks.append(sink_sanity)
+        with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+            futures = [pool.submit(s) for s in sinks]
+            lineage = futures[0].result()
+            for f in futures[1:]:
+                f.result()
+        m.retries = int(obs_add.get["retries"] or 0)
+        phase("parallel_sinks")
+
+        for df in (scheduled, fetched, ext, cand_base):
             df.unpersist()
-        ranked._fifo_rank_cache.unpersist()
 
         self.round = r
         self._last_frontier_next = m.frontier_next
@@ -820,10 +1015,13 @@ class CrawlEngine:
         eng.round = rounds[-1]
         with open(eng._manifest_path(eng.round)) as f:
             eng._last_frontier_next = json.load(f)["metrics"]["frontier_next"]
-        # namespace is a pure function of the (immutable) input tables
-        _q, _s, _i, eng.namespace = seed_state(
-            eng.sources, eng.robots, eng.sitemaps.get
-        )
+        # namespace is a pure function of the (immutable) sources table:
+        # host -> source_id, last occurrence wins (Supervisor.scala:70)
+        eng.namespace = {
+            h: source_id
+            for source_id, _n, seed_url in eng.sources
+            if (h := _host_of(seed_url))
+        }
         # drop any partially-written future state; fetched/final too — it
         # may reflect a prior, longer run and is rebuilt by run() finalize
         final = os.path.join(work_dir, "fetched", "final")

@@ -144,3 +144,37 @@ def test_resume_mid_crawl(spark, tmp_path):
     assert engine_seen(full) == engine_seen(resumed)
     assert engine_order(full) == engine_order(resumed)
     assert engine_urls(full) == engine_urls(resumed)
+
+
+@pytest.mark.parametrize("webf", ["demo", "synth_sm"])
+def test_spark_seeding_equals_legacy(spark, tmp_path, webf):
+    """R21: the distributed sitemap-expansion seeding writes the exact
+    round-0 frontier (url, host, seq, sm) and seen tables that the
+    driver-side seed_state path writes."""
+    web = (
+        demo_web()
+        if webf == "demo"
+        else synth_web(n_hosts=3, pages_per_host=40, sitemap_frac=0.3, seed=9)
+    )
+    input_dir = write_web(web, str(tmp_path / f"web_{webf}"))
+    legacy = CrawlEngine(
+        spark, input_dir, str(tmp_path / "w_legacy"),
+        CrawlConfig(spark_seeding=False),
+    )
+    legacy.initialize()
+    sparkside = CrawlEngine(
+        spark, input_dir, str(tmp_path / "w_spark"),
+        CrawlConfig(spark_seeding=True),
+    )
+    sparkside.initialize()
+
+    def rows(eng, kind):
+        return sorted(
+            tuple(r) for r in eng.spark.read.parquet(
+                eng._p(kind, 0)
+            ).collect()
+        )
+
+    assert rows(legacy, "frontier") == rows(sparkside, "frontier")
+    assert rows(legacy, "seen") == rows(sparkside, "seen")
+    assert legacy.namespace == sparkside.namespace
