@@ -41,6 +41,9 @@ def main() -> None:
         "full round pipeline incl. the extraction UDF before timing)",
     )
     ap.add_argument("--reps", type=int, default=1, help="timed repetitions; best counts")
+    ap.add_argument(
+        "--phases", action="store_true", help="print per-round phase timings"
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -114,6 +117,9 @@ def main() -> None:
     eng.finalize_fetched()
     finalize_sec = round(time.time() - tf, 3)
     seen_size = eng.seen_df().select("url").distinct().count()
+    if args.phases:
+        for mm in eng.metrics:
+            print(f"[phases] r{mm['round']} wall={mm['wall_sec']:.1f} {mm['phases']}")
     out = {
         "cores": cores,
         "master": sc.master,

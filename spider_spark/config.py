@@ -39,6 +39,12 @@ class CrawlConfig:
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     sanity_check: bool = True           # R28 scrape-sanity anti-join per round
     spark_seeding: bool = True          # R21 distributed sitemap expansion
+    # False: the parallel sinks race to fill the shared caches — safe and
+    # strictly faster in one JVM (BlockManager locks dedupe per-partition
+    # computation). On a multi-executor cluster set True: racing jobs may
+    # compute an unlocated cache partition on two executors before either
+    # stores it, so a single serial materialization is the safer trade.
+    serial_materialize: bool = False
     sitemap_max_depth: int = 16         # index-recursion bound (cycle guard)
     user_agent: str = "SpiderSparkBot"  # matched against robots.txt groups
 

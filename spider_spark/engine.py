@@ -30,7 +30,13 @@ Scale design (the 100 TB point):
     broadcast; AQE handles skew splits; hot-host frontier queues use the
     salted two-phase top-K (operators/politeness.py)
   - no .collect() on data paths; only tiny dims and per-round counters
-    reach the driver
+    reach the driver; round-0 seeding (sitemap expansion included) is a
+    distributed dataflow, not a driver loop
+  - the per-round serial floor is minimized: the independent end-of-round
+    sinks (frontier+lineage, seen+blooms, urls, sanity) are submitted from
+    a thread pool over shared persisted stages, and all counters ride
+    Observations on jobs that run anyway — the Amdahl term stays flat as
+    cores grow
 """
 
 from __future__ import annotations
@@ -596,8 +602,12 @@ class CrawlEngine:
         # uniform round-robin repartition before the UDF: the join output's
         # partitioning is skewed (AQE sizes partitions by bytes, not by the
         # Python-side cost downstream) — measured 4.5x on the extraction
-        # stage at local[32]. Sized off the cluster, not a constant.
-        ext_par = self.spark.sparkContext.defaultParallelism * 2
+        # stage at local[32]. Partition count adapts to the round's actual
+        # html volume (known from the classification observation): big
+        # rounds get 2x cores for stragglers, tail rounds don't pay 64
+        # empty Arrow round-trips for a handful of pages.
+        cores = self.spark.sparkContext.defaultParallelism
+        ext_par = max(1, min(cores * 2, (m.html + 249) // 250))
         ext = (
             fetched.filter(F.col("cls") == "html")
             .select("url", "host", "rn", "html")
@@ -764,8 +774,9 @@ class CrawlEngine:
         # materialize the one expensive shared stage (extraction UDF +
         # candidate dedup + seen anti-join) exactly once, so the parallel
         # sink jobs below all read caches and never race to fill them
-        cand_base.count()
-        phase("extract_candidates")
+        if cfg.serial_materialize:
+            cand_base.count()
+            phase("extract_candidates")
 
         # ---- parallel sinks ----------------------------------------------
         # the four remaining actions (urls, frontier+lineage, seen+blooms,
