@@ -599,6 +599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, num_hashes=16, bands=8, shingle_w=2
         )
 
+    def dedup_minhash_pregroup(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return D.minhash_lsh_candidates_pregrouped(
+            docs, num_hashes=16, bands=8, shingle_w=2
+        )
+
     def dedup_simhash(spark, sf):
         docs = _t(spark, sf, "documents")
         return D.simhash_near_duplicates(docs, max_hamming=8)
@@ -709,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_pregroup": dedup_minhash_pregroup,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -814,6 +821,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         "dedup_minhash_lsh": O.minhash_lsh_sql(
+            "documents", num_hashes=16, bands=8, shingle_w=2
+        ),
+        "dedup_minhash_pregroup": O.minhash_lsh_pregroup_sql(
             "documents", num_hashes=16, bands=8, shingle_w=2
         ),
         "dedup_simhash": O.simhash_pairs_sql("documents", max_hamming=8),

@@ -40,6 +40,7 @@ HEADLINE = [
     # round-2 additions (new operators; r1 keys above unchanged so
     # per-query deltas vs BENCH_r01 stay comparable)
     "r7_fifo_rank",
+    "dedup_minhash_pregroup",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "ann_topk_lsh",

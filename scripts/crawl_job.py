@@ -94,7 +94,9 @@ def main() -> None:
     if args.warmup_input:
         wwork = args.work + "_warm"
         shutil.rmtree(wwork, ignore_errors=True)
-        CrawlEngine(spark, args.warmup_input, wwork, cfg).run()
+        weng = CrawlEngine(spark, args.warmup_input, wwork, cfg)
+        weng.run()
+        weng.close()
         shutil.rmtree(wwork, ignore_errors=True)
 
     best = None
@@ -110,6 +112,9 @@ def main() -> None:
         # not crawl work — runs after the timed section
         summary = eng.run(finalize=False)
         wall = time.time() - t0
+        # free this rep's document caches before the next rep spins up its
+        # own copy — reps share one JVM and the html cache is multi-GB
+        eng.close()
         if best is None or wall < best[1]:
             best = (eng, wall, summary)
     eng, wall, summary = best

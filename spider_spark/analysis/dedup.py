@@ -22,9 +22,10 @@ DuckDB oracle (same md5 bytes, same exact 64-bit integer arithmetic).
 All pair-generating joins are self-joins keyed on a bucket column with
 ``id_l < id_r`` to halve the output; bucket keys are short strings/ints so
 the shuffles are compact. A mega-cluster of byte-identical documents would
-still pair quadratically inside one bucket — run ``exact_duplicates``
-first and keep one representative per exact-fingerprint group before any
-LSH family (the standard pre-group step at crawl scale).
+still pair quadratically inside one bucket — ``exact_representatives`` /
+``minhash_lsh_candidates_pregrouped`` is the scale path: one
+exact-fingerprint representative per group enters the banded join, so the
+worst case is O(distinct-texts²) per bucket, not O(docs²).
 """
 
 from __future__ import annotations
@@ -50,6 +51,75 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_representatives(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One representative doc (min doc_id) per exact-fingerprint group.
+
+    The standard pre-group step before any LSH family at crawl scale: a
+    mega-cluster of byte-identical documents contributes ONE row to the
+    banded self-join instead of pairing quadratically inside its bucket.
+    Returns (doc_id, {text_col}, fp, n_exact) — n_exact is the size of the
+    exact group the representative stands for, so downstream consumers can
+    expand pair counts back to document space without rejoining."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias(text_col) if text_col != id_col else F.col(text_col),
+        F.md5(norm).alias("fp"),
+    )
+    reps = d.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_exact")
+    )
+    return d.join(reps, ["fp", "doc_id"]).select(
+        "doc_id", text_col, "fp", "n_exact"
+    )
+
+
+def minhash_lsh_candidates_pregrouped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """``minhash_lsh_candidates`` over exact-fingerprint representatives.
+
+    Same contract (id_l, id_r, n_bands_hit) but ids are group
+    representatives (min doc_id of each exact-duplicate group), plus
+    (n_exact_l, n_exact_r) group sizes. Near-dup semantics are unchanged —
+    members of an exact group have identical signatures, so every
+    cross-group candidate pair the full join would emit is represented by
+    its (rep_l, rep_r) pair here — while the worst-case intra-bucket join
+    cost drops from O(cluster²) to O(distinct-texts-in-bucket²)."""
+    reps = exact_representatives(df, text_col, id_col)
+    pairs = minhash_lsh_candidates(
+        reps,
+        text_col=text_col,
+        id_col="doc_id",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_w=shingle_w,
+    )
+    sizes = reps.select("doc_id", "n_exact")
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "id_l").withColumnRenamed(
+                "n_exact", "n_exact_l"
+            ),
+            "id_l",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_r").withColumnRenamed(
+                "n_exact", "n_exact_r"
+            ),
+            "id_r",
+        )
+        .select("id_l", "id_r", "n_bands_hit", "n_exact_l", "n_exact_r")
     )
 
 

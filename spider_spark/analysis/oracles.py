@@ -90,6 +90,46 @@ def minhash_lsh_sql(
     """
 
 
+def reps_subquery(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Parenthesized-subquery 'table' of exact-fingerprint representatives
+    (min id per normalized-text md5 group) with group sizes — the DuckDB
+    mirror of analysis/dedup.exact_representatives. Usable wherever the
+    other generators take a ``table`` argument."""
+    return f"""(
+      SELECT {id_col} AS doc_id, {text_col} AS text, fp, n_exact FROM (
+        SELECT {id_col}, {text_col},
+               md5(lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')))) AS fp,
+               min({id_col}) OVER (PARTITION BY
+                 md5(lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))))) AS rep,
+               count(*) OVER (PARTITION BY
+                 md5(lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))))) AS n_exact
+        FROM {table})
+      WHERE {id_col} = rep) """
+
+
+def minhash_lsh_pregroup_sql(
+    table: str = "documents",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_w: int = 2,
+) -> str:
+    """Pre-grouped minhash-LSH: (id_l, id_r, n_bands_hit, n_exact_l,
+    n_exact_r) over exact-fingerprint representatives."""
+    lsh = minhash_lsh_sql(
+        reps_subquery(table) + "reps", num_hashes, bands, shingle_w
+    ).strip()
+    return f"""
+    WITH cand AS ({lsh})
+    SELECT c.id_l, c.id_r, c.n_bands_hit,
+           sl.n_exact AS n_exact_l, sr.n_exact AS n_exact_r
+    FROM cand c
+    JOIN {reps_subquery(table)} sl ON sl.doc_id = c.id_l
+    JOIN {reps_subquery(table)} sr ON sr.doc_id = c.id_r
+    """
+
+
 def simhash_sig_cte(
     table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
 ) -> str:

@@ -186,19 +186,27 @@ class CrawlEngine:
         self.documents = spark.read.parquet(
             os.path.join(input_dir, "documents.parquet")
         )
-        # one-time slim projection for the per-round fetch join: html is
-        # pre-rendered from spans (JVM array ops), the X-Robots-Tag verdict
-        # pre-evaluated, and the (large) span structs never enter the round
-        # loop — the sandbox persist() stands in for what a bucketed-by-
-        # doc_id lake layout gives on a cluster (co-located probe, no
-        # re-scan/re-shuffle of payloads every round)
+        # one-time projections for the per-round fetch, both hash-partitioned
+        # by doc_id and persisted — the sandbox stand-in for a bucketed-by-
+        # doc_id lake layout. Split in two so the html payload never rides
+        # the classification path:
+        #   - docs_meta: doc_id + status/content_type/X-Robots-Tag verdict —
+        #     the per-round fetch join touches ONLY this slim table, so
+        #     classifying a round never moves or re-caches page bodies
+        #   - docs_html: doc_id + pre-rendered html (JVM array ops over
+        #     spans) — joined only against the round's html-classified rows,
+        #     and because the cached InMemoryRelation preserves its
+        #     HashPartitioning(doc_id, N), that join is exchange-free on the
+        #     docs side: per round the only html movement is the bounded
+        #     html-row set flowing to the extraction UDF
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         xro = F.try_element_at(
             F.expr(
                 "filter(map_entries(headers), e -> lower(e.key) = 'x-robots-tag')"
             ),
             F.lit(1),
         )["value"]
-        self.docs_fetch = (
+        self.docs_meta = (
             self.documents.select(
                 "doc_id",
                 "status",
@@ -206,8 +214,17 @@ class CrawlEngine:
                 F.coalesce(F.lower(xro).rlike("noindex|none"), F.lit(False)).alias(
                     "noindex"
                 ),
-                html_from_spans("spans").alias("html"),
             )
+            .repartition(n_shuffle, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .persist()
+        )
+        self.docs_html = (
+            self.documents.select(
+                "doc_id", html_from_spans("spans").alias("html")
+            )
+            .repartition(n_shuffle, "doc_id")
+            .sortWithinPartitions("doc_id")
             .persist()
         )
         # tiny dims -> driver (R1 source scan is a handful of rows; robots/
@@ -319,6 +336,14 @@ class CrawlEngine:
                 for k, v in frontier_rows["host"].value_counts().items()
             },
         )
+
+    def close(self):
+        """Release the document caches. Call when done with this engine —
+        repeated engine constructions in one JVM (benchmark reps, test
+        suites) otherwise accumulate multi-GB html caches until the heap
+        dies."""
+        self.docs_meta.unpersist()
+        self.docs_html.unpersist()
 
     def sitemaps(self) -> dict:
         """Driver-side sitemap dict — legacy seeding and oracle parity
@@ -504,8 +529,17 @@ class CrawlEngine:
         frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._p("frontier", r - 1)
         )
+        # window top-K when the budget actually prunes; skew-proof exact
+        # rank when it covers the whole frontier (a saturating budget makes
+        # WindowGroupLimit one full single-task sort per host — the hot
+        # host becomes the round's serial floor). Identical rn either way.
+        exact = (
+            self._last_frontier_next >= 100_000
+            and cfg.scrape_parallelism * max(len(self.namespace), 1)
+            >= self._last_frontier_next
+        )
         scheduled, deferred = schedule_topk(
-            frontier, cfg.scrape_parallelism, cfg.hot_host_salt
+            frontier, cfg.scrape_parallelism, cfg.hot_host_salt, exact_rank=exact
         )
         scheduled = scheduled.persist()
 
@@ -516,8 +550,9 @@ class CrawlEngine:
             m.phases[name] = round(time.time() - tp, 2)
             tp = time.time()
 
-        # ---- R10 fetch: equi-join against the slim cached documents ------
-        docs = self.docs_fetch
+        # ---- R10 fetch: equi-join against the slim cached metadata -------
+        # (html never enters this join or the fetched cache — see __init__)
+        docs = self.docs_meta
         fetched = (
             scheduled.alias("s")
             .join(docs.alias("d"), F.col("s.url") == F.col("d.doc_id"), "left")
@@ -530,7 +565,6 @@ class CrawlEngine:
                 F.col("d.status").alias("status"),
                 F.col("d.content_type").alias("content_type"),
                 F.col("d.noindex").alias("noindex"),
-                F.col("d.html").alias("html"),
             )
         )
 
@@ -610,6 +644,10 @@ class CrawlEngine:
         ext_par = max(1, min(cores * 2, (m.html + 249) // 250))
         ext = (
             fetched.filter(F.col("cls") == "html")
+            .select("url", "host", "rn")
+            .join(
+                self.docs_html, F.col("url") == self.docs_html["doc_id"]
+            )
             .select("url", "host", "rn", "html")
             .repartition(ext_par)
             .withColumn("ext", self._extract_udf("html", "url"))
@@ -878,6 +916,8 @@ class CrawlEngine:
 
         for df in (scheduled, fetched, ext, cand_base):
             df.unpersist()
+        if hasattr(scheduled, "_fifo_rank_cache"):
+            scheduled._fifo_rank_cache.unpersist()
 
         self.round = r
         self._last_frontier_next = m.frontier_next

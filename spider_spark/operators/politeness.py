@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 
 def schedule_topk(
-    frontier: DataFrame, budget: int, salt: int = 1
+    frontier: DataFrame, budget: int, salt: int = 1, exact_rank: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (scheduled with rn ∈ [1..budget], deferred).
 
@@ -36,8 +36,29 @@ def schedule_topk(
     side must NOT be expressed as ``rank > budget`` (that forces a full
     frontier shuffle+sort): instead derive it with ``deferred_by_cutoff``
     below — a broadcast-join filter with zero wide shuffle.
+
+    ``exact_rank=True`` computes the IDENTICAL rn via the range-partitioned
+    ``fifo_rank`` instead of the window. Use it when the budget covers
+    (nearly) the whole frontier: WindowGroupLimit then prunes nothing and
+    degenerates to one full single-task sort per host — a serial straggler
+    a hot host turns into the round's Amdahl floor. fifo_rank spreads the
+    same sort across range partitions regardless of host skew.
     """
     assert budget >= 1, "politeness budget must be >= 1"
+    if exact_rank:
+        ranked = fifo_rank(
+            frontier,
+            frontier.sparkSession.sparkContext.defaultParallelism,
+            host_col="host",
+            key_cols=("seq",),
+            out="rn",
+        )
+        scheduled = ranked.filter(F.col("rn") <= budget).withColumn(
+            "rn", F.col("rn").cast("int")
+        )
+        scheduled._fifo_rank_cache = ranked._fifo_rank_cache
+        deferred = deferred_by_cutoff(frontier, scheduled)
+        return scheduled, deferred
     if salt > 1:
         # phase 1: cheap pre-prune inside salted slices (no global sort of
         # a hot host's queue); keeps a superset of the true top-K.

@@ -51,6 +51,41 @@ def test_ngram_jaccard_scores(docs):
         assert 0.0 <= v <= 1.0
 
 
+def test_minhash_pregroup_collapses_mega_cluster(spark):
+    """A mega-cluster of identical docs must enter the banded join as ONE
+    representative (no quadratic intra-bucket pairs), while cross-group
+    near-dup candidates survive with exact group sizes attached."""
+    rows = [(f"c{i:03d}", "spark engines shuffle data across the cluster")
+            for i in range(50)]  # 50 byte-identical docs
+    rows += [
+        ("n1", "spark engines shuffle data across the network"),  # near dup
+        ("x1", "totally unrelated words about web crawling here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    reps = D.exact_representatives(df)
+    rep_rows = {r["doc_id"]: r["n_exact"] for r in reps.collect()}
+    assert rep_rows == {"c000": 50, "n1": 1, "x1": 1}
+
+    pairs = D.minhash_lsh_candidates_pregrouped(
+        df, num_hashes=16, bands=8, shingle_w=2
+    ).collect()
+    got = {(r["id_l"], r["id_r"]): (r["n_exact_l"], r["n_exact_r"])
+           for r in pairs}
+    # the only candidate pair is rep-vs-near-dup, never the 50*49/2 intra-
+    # cluster pairs the plain join would emit
+    assert set(got) <= {("c000", "n1"), ("c000", "x1"), ("n1", "x1")}
+    assert got[("c000", "n1")] == (50, 1)
+
+    # parity: every pregrouped pair is the rep-projection of a pair the
+    # full join emits with the same band-hit count
+    full = {(r["id_l"], r["id_r"]): r["n_bands_hit"]
+            for r in D.minhash_lsh_candidates(
+                df, num_hashes=16, bands=8, shingle_w=2).collect()}
+    for r in pairs:
+        assert full[(r["id_l"], r["id_r"])] == r["n_bands_hit"]
+
+
 def test_simhash_identical_zero_distance(docs):
     near = D.simhash_near_duplicates(docs, max_hamming=0)
     got = {(r["id_l"], r["id_r"]) for r in near.collect()}

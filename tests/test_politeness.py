@@ -67,3 +67,25 @@ def test_deferred_cutoff_keeps_unscheduled_hosts(spark):
     )
     kept = {r["url"] for r in deferred_by_cutoff(frontier, scheduled).collect()}
     assert kept == {"b1", "b2"}
+
+
+def test_schedule_topk_exact_rank_parity(spark):
+    """exact_rank=True (fifo_rank path) must split identically to the
+    window path, including rn values."""
+    import random as _r
+
+    rng = _r.Random(3)
+    rows = [
+        (f"u{h}_{i}", f"h{h}", rng.randrange(1 << 20), False)
+        for h in range(5)
+        for i in range(400 * (3 if h == 0 else 1))
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, seq long, sm boolean")
+    for budget in (7, 5000):
+        sw, dw = schedule_topk(df, budget)
+        se, de = schedule_topk(df, budget, exact_rank=True)
+        key = lambda r: (r["host"], r["url"], r["rn"])
+        assert sorted(map(key, sw.collect())) == sorted(map(key, se.collect()))
+        k2 = lambda r: (r["host"], r["url"])
+        assert sorted(map(k2, dw.collect())) == sorted(map(k2, de.collect()))
+        se._fifo_rank_cache.unpersist()
