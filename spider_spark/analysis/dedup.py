@@ -156,11 +156,23 @@ def with_minhash_signature(
             f"ELSE concat(_mh_toks, array_repeat('', {w} - size(_mh_toks))) END"
         ),
     )
+    # two-step transform so the md5 hex string binds ONCE per shingle as a
+    # lambda var: md5_u32_sql would otherwise inline md5() into each of its
+    # four byte-substrings, and inside interpreted HOF lambdas there is no
+    # common-subexpression elimination — 4x the md5 work
+    d = d.withColumn(
+        "_mh_hex",
+        F.expr(
+            f"transform(sequence(0, size(_mh_toks) - {w}), "
+            f"i -> md5(array_join(slice(_mh_toks, i + 1, {w}), chr(32))))"
+        ),
+    )
     d = d.withColumn(
         "_mh_h32",
         F.expr(
-            f"transform(sequence(0, size(_mh_toks) - {w}), "
-            f"i -> {md5_u32_sql(f'array_join(slice(_mh_toks, i + 1, {w}), chr(32))', 8)})"
+            "transform(_mh_hex, x -> cast(conv(concat("
+            "substring(x, 23, 2), substring(x, 21, 2), "
+            "substring(x, 19, 2), substring(x, 17, 2)), 16, 10) as bigint))"
         ),
     )
     sig = F.array(
@@ -172,7 +184,7 @@ def with_minhash_signature(
             for a, b in zip(a_s, b_s)
         ]
     )
-    return d.withColumn(out, sig).drop("_mh_toks", "_mh_h32")
+    return d.withColumn(out, sig).drop("_mh_toks", "_mh_hex", "_mh_h32")
 
 
 def minhash_lsh_candidates(

@@ -157,6 +157,42 @@ def test_multimodal_metadata_and_stub(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))  # deterministic
 
 
+def test_codecs_roundtrip_and_real_decode(spark):
+    """Pure-numpy BMP/PPM codecs round-trip bit-exactly, and the Spark
+    decode path produces true dimensions + block-mean features; corrupt
+    and unknown payloads degrade to err rows instead of failing."""
+    import numpy as np
+
+    from spider_spark.analysis import codecs as C
+    from spider_spark.analysis import multimodal as M
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)  # odd dims
+    assert np.array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+
+    expected = C.block_mean_features(img, 2)
+    rows = [
+        ("img://ppm", bytearray(C.encode_ppm(img))),
+        ("img://bmp", bytearray(C.encode_bmp(img))),
+        ("img://trunc", bytearray(C.encode_bmp(img)[:20])),
+        ("img://jpegish", bytearray(b"\xff\xd8\xff\xe0 not decodable")),
+        ("img://null", None),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {r["media_ref"]: r
+           for r in M.decode_image_features(df, payload_col="payload", n_features=12).collect()}
+    for ref in ("img://ppm", "img://bmp"):
+        r = out[ref]
+        assert (r["width"], r["height"], r["err"]) == (5, 7, None)
+        assert np.allclose(r["features"], expected, atol=1e-6)
+    assert out["img://trunc"]["err"] is not None
+    assert out["img://jpegish"]["err"] == "unrecognized image format"
+    assert out["img://null"]["err"] == "null payload"
+    for ref in ("img://trunc", "img://jpegish", "img://null"):
+        assert out[ref]["width"] is None and out[ref]["features"] is None
+
+
 def test_text_ops_deterministic(docs):
     fp1 = {r["doc_id"]: r["fp"] for r in T.fingerprint(docs).collect()}
     fp2 = {r["doc_id"]: r["fp"] for r in T.fingerprint(docs).collect()}
