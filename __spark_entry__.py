@@ -669,6 +669,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ann_topk_ivf(spark, sf):
+        # IVF ANN path: prune to the query's nprobe argmax-cosine cells,
+        # exact re-rank inside them (cell id = lake partition key at scale)
+        emb = _t(spark, sf, "embeddings")
+        cents = S.ivf_centroids(64, 8)
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+        query = [float(x) for x in qrow[0]["embedding"]]
+        probed = S.ivf_probe_cells(query, cents, 2)
+        celled = S.with_ivf_cell(emb, cents).filter(
+            F.col("ivf_cell").isin(probed)
+        )
+        scored = S.with_cosine(celled, query).select(
+            "vec_id", F.round("cos_sim", 4).alias("cos_r")
+        )
+        return (
+            scored.orderBy(F.desc("cos_r"), F.col("vec_id"))
+            .limit(10)
+            .select(
+                "vec_id", F.format_string("%.4f", "cos_r").alias("cos_sim")
+            )
+        )
+
+    def ann_ivf_cells(spark, sf):
+        # cell-occupancy histogram — pins the full assignment operator
+        emb = _t(spark, sf, "embeddings")
+        return (
+            S.with_ivf_cell(emb, S.ivf_centroids(64, 8))
+            .groupBy("ivf_cell")
+            .agg(F.count("*").cast("long").alias("n_vecs"))
+        )
+
     def multimodal_meta(spark, sf):  # stubbed decode; metadata is real
         ev = _t(spark, sf, "events")
         refs = ev.select(
@@ -688,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r27_run_stats": r27_run_stats,
         "r28_scrape_sanity": r28_scrape_sanity,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
+        "ann_ivf_cells": ann_ivf_cells,
         "r2_host_extract": r2_host_extract,
         "r3_namespace_semijoin": r3_namespace_semijoin,
         "r4_seen_antijoin": r4_seen_antijoin,
@@ -835,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_buckets": O.srp_histogram_sql(S.srp_planes(64, 6)),
         "ann_topk_lsh": O.ann_topk_lsh_sql(S.srp_planes(64, 6), k=10),
+        "ann_topk_ivf": O.ann_topk_ivf_sql(S.ivf_centroids(64, 8), nprobe=2, k=10),
+        "ann_ivf_cells": O.ivf_histogram_sql(S.ivf_centroids(64, 8)),
         "multimodal_meta": """
             SELECT media_ref,
                    coalesce(nullif(regexp_extract(media_ref, '^([a-z]+)://', 1),

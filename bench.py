@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 

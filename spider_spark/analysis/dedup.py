@@ -258,8 +258,24 @@ def with_simhash_halves(
     tc = (
         t.groupBy("doc_id", "_tok")
         .agg(F.count("*").alias("_c"))
-        .withColumn("_lo", F.expr(md5_u32_sql("_tok", 8)))
-        .withColumn("_hi", F.expr(md5_u32_sql("_tok", 12)))
+        # hex digest bound once, then both u32 halves read from it —
+        # md5_u32_sql would md5() 4x per half (8x per token); here the
+        # substrings reference the materialized _hex column instead
+        .withColumn("_hex", F.md5("_tok"))
+        .withColumn(
+            "_lo",
+            F.expr(
+                "cast(conv(concat(substring(_hex, 23, 2), substring(_hex, 21, 2), "
+                "substring(_hex, 19, 2), substring(_hex, 17, 2)), 16, 10) as bigint)"
+            ),
+        )
+        .withColumn(
+            "_hi",
+            F.expr(
+                "cast(conv(concat(substring(_hex, 31, 2), substring(_hex, 29, 2), "
+                "substring(_hex, 27, 2), substring(_hex, 25, 2)), 16, 10) as bigint)"
+            ),
+        )
     )
     vote_aggs = [
         F.expr(

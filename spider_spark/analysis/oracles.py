@@ -274,6 +274,86 @@ def embedding_lsh_sql(
     """
 
 
+def _ivf_cos_exprs(centroids: np.ndarray, vec_expr: str = "e") -> list[str]:
+    """Cosine-vs-centroid expressions with dot and norm expanded as
+    explicit left-to-right sums (bitwise-identical doubles to Spark's
+    aggregate() folds); centroid norms are Python literals shared with
+    the Spark side."""
+    nv = (
+        "sqrt(0.0 + "
+        + " + ".join(
+            f"{vec_expr}[{j + 1}] * {vec_expr}[{j + 1}]"
+            for j in range(centroids.shape[1])
+        )
+        + ")"
+    )
+    out = []
+    for c in centroids:
+        dot = "0.0 + " + " + ".join(
+            f"{vec_expr}[{j + 1}] * ({float(x)!r})" for j, x in enumerate(c)
+        )
+        nc = float(np.sqrt(np.sum(c * c)))
+        out.append(f"(({dot}) / ({nv} * {nc!r}))")
+    return out
+
+
+def ivf_cell_cte(centroids: np.ndarray, table: str = "embeddings") -> str:
+    """CTE ``cells(vec_id, e, ivf_cell)`` — 0-based argmax-cosine cell,
+    first index on ties, matching analysis/similarity.with_ivf_cell."""
+    lst = "[" + ", ".join(_ivf_cos_exprs(centroids)) + "]"
+    return f"""
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}
+    ), scored AS (
+      SELECT vec_id, e, {lst} AS cs FROM v
+    ), cells AS (
+      SELECT vec_id, e,
+             CAST(list_indexof(cs, list_aggregate(cs, 'max')) - 1 AS INTEGER)
+               AS ivf_cell
+      FROM scored
+    )"""
+
+
+def ann_topk_ivf_sql(
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    k: int = 10,
+    query_vec_id: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """IVF top-k: (vec_id, cos_sim as %.4f string) inside the query's
+    nprobe closest cells. The probe set is derived IN SQL from the same
+    expanded cosine list the cells use (descending cosine, index
+    ascending on ties) — the exact rule of similarity.ivf_probe_cells, on
+    bitwise-identical doubles, so both engines prune identically."""
+    return f"""
+    WITH {ivf_cell_cte(centroids, table)},
+    probe AS (
+      SELECT i - 1 AS cell FROM (
+        SELECT unnest(range(1, len(cs) + 1)) AS i, cs
+        FROM scored WHERE vec_id = {query_vec_id})
+      ORDER BY cs[i] DESC, i
+      LIMIT {nprobe}
+    )
+    SELECT vec_id, printf('%.4f', cos_r) AS cos_sim FROM (
+      SELECT vec_id,
+             round(list_cosine_similarity(e,
+                 (SELECT e FROM v WHERE vec_id = {query_vec_id})), 4) AS cos_r
+      FROM cells
+      WHERE ivf_cell IN (SELECT cell FROM probe)
+      ORDER BY cos_r DESC, vec_id
+      LIMIT {k})
+    """
+
+
+def ivf_histogram_sql(centroids: np.ndarray, table: str = "embeddings") -> str:
+    """Cell occupancy histogram — pins the full assignment operator."""
+    return f"""
+    WITH {ivf_cell_cte(centroids, table)}
+    SELECT ivf_cell, count(*) AS n_vecs FROM cells GROUP BY 1
+    """
+
+
 def ann_topk_lsh_sql(
     planes: np.ndarray, k: int = 10, query_vec_id: int = 0,
     table: str = "embeddings",

@@ -12,6 +12,14 @@
     columns → usable as a partition/bucketing key in the lake layout.
   - ``ann_topk_lsh``: query via bucket-join + exact re-rank inside the
     candidate set.
+  - ``ann_topk_ivf`` / ``with_ivf_cell`` / ``ivf_train``: inverted-file
+    ANN — vectors partition into k coarse cells (argmax cosine vs a small
+    centroid set); a query probes only the nprobe closest cells. The cell
+    id is a plain int column → the lake partition key, so a probe is a
+    partition-pruned scan of nprobe/k of the table. Centroids start as a
+    seeded deterministic sample of directions (the oracle-checkable form)
+    and can be Lloyd-refined at scale with ``ivf_train`` (pure
+    DataFrame ops: assign → per-dimension mean via posexplode).
 """
 
 from __future__ import annotations
@@ -120,6 +128,125 @@ def embedding_near_dup(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def ivf_centroids(dim: int, k: int, seed: int = 23) -> np.ndarray:
+    """Deterministic coarse-quantizer init: k random directions. For
+    cosine assignment only direction matters, so seeded Gaussian rows are
+    a valid (and engine-portable) coarse quantizer; ``ivf_train`` refines
+    them when real clustering structure exists."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((k, dim))
+
+
+def _centroid_cosines(vec_col, centroids: np.ndarray):
+    """List of cosine columns vs each centroid, with the centroid norm as
+    a Python literal and every sum left-folded — association order matches
+    the DuckDB oracle expansion bitwise."""
+    v = F.col(vec_col).cast("array<double>")
+    nv = _norm(v)
+    cols = []
+    for c in centroids:
+        p = F.array(*[F.lit(float(x)) for x in c])
+        nc = float(np.sqrt(np.sum(c * c)))
+        cols.append(_dot(v, p) / (nv * F.lit(nc)))
+    return cols
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``ivf_cell``: 0-based argmax-cosine centroid index. All
+    JVM-side column expressions; ties break to the first index (identical
+    doubles on both engines ⇒ identical argmax)."""
+    arr = F.array(*_centroid_cosines(vec_col, centroids))
+    cell = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return df.withColumn("ivf_cell", cell)
+
+
+def _py_cos(a, b) -> float:
+    """Strict left-fold cosine — same association order as the column
+    fold, for driver-side probe selection."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / ((na ** 0.5) * (nb ** 0.5))
+
+
+def ivf_probe_cells(
+    query: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    """The nprobe cells a query visits: centroid indices by descending
+    cosine (index ascending on ties). Driver-side — centroids are tiny."""
+    scored = sorted(
+        ((-_py_cos(query, c), i) for i, c in enumerate(centroids))
+    )
+    return [i for _, i in scored[:nprobe]]
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: filter to the query's nprobe closest cells,
+    exact cosine re-rank inside them. With ``ivf_cell`` as the lake
+    partition key the filter is partition pruning — the scan touches
+    nprobe/k of the table, and recall is tunable by nprobe alone."""
+    probed = ivf_probe_cells(query, centroids, nprobe)
+    cells = with_ivf_cell(df, centroids, vec_col)
+    return (
+        with_cosine(cells.filter(F.col("ivf_cell").isin(probed)), query, vec_col)
+        .select(id_col, "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 23,
+) -> np.ndarray:
+    """Lloyd-refine the seeded centroids with spherical k-means rounds,
+    entirely as DataFrame aggregations: assign (with_ivf_cell) →
+    per-(cell, dimension) mean via posexplode → new centroids. Only the
+    k×d centroid matrix ever reaches the driver; each round is one
+    narrow explode + one groupBy shuffle over (cell, pos) — at 10^10 rows
+    that is 2 passes per iteration with combine-heavy aggregation, no
+    all-pairs anything. Empty cells keep their previous centroid."""
+    first = df.select(F.col(vec_col)).first()
+    dim = len(first[0])
+    cents = ivf_centroids(dim, k, seed)
+    for _ in range(iters):
+        assigned = with_ivf_cell(df, cents, vec_col)
+        means = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        got = {}
+        for r in means:
+            got.setdefault(r["ivf_cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in got.items():
+            new[cell] = [dims[p] for p in range(dim)]
+        cents = new
+    return cents
 
 
 def ann_topk_lsh(

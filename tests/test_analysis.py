@@ -136,6 +136,44 @@ def test_ann_lsh_bucket_contains_query(vecs):
     assert 0 in ids and 100 in ids  # query and its exact copy bucket together
 
 
+def test_ann_ivf_recalls_identical_copy(vecs):
+    """An exact copy of the query vector gets the same argmax-cosine cell
+    (identical doubles), so probing the query's cells must recall it."""
+    cents = S.ivf_centroids(16, 4)
+    row = vecs.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    top = S.ann_topk_ivf(vecs, q, cents, nprobe=1, k=5)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids[0] == 0 and 100 in ids
+
+    # assignment is deterministic and total: every vector gets one cell
+    cells = S.with_ivf_cell(vecs, cents).select("vec_id", "ivf_cell").collect()
+    assert len(cells) == 22 and all(0 <= r["ivf_cell"] < 4 for r in cells)
+    again = S.with_ivf_cell(vecs, cents).select("vec_id", "ivf_cell").collect()
+    assert sorted(map(tuple, cells)) == sorted(map(tuple, again))
+
+
+def test_ivf_train_moves_centroids_toward_clusters(spark):
+    """Lloyd refinement on two tight planted clusters must produce
+    centroids that separate them (each cluster lands in one cell)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    a_dir = rng.standard_normal(8)
+    b_dir = -a_dir  # opposite direction: trivially separable by cosine
+    rows = [(i, [float(x) for x in a_dir + 0.01 * rng.standard_normal(8)])
+            for i in range(30)]
+    rows += [(100 + i, [float(x) for x in b_dir + 0.01 * rng.standard_normal(8)])
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.ivf_train(df, k=2, iters=2)
+    assigned = S.with_ivf_cell(df, cents).collect()
+    cell_of = {r["vec_id"]: r["ivf_cell"] for r in assigned}
+    a_cells = {cell_of[i] for i in range(30)}
+    b_cells = {cell_of[100 + i] for i in range(30)}
+    assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
+
+
 def test_multimodal_metadata_and_stub(spark):
     import pytest as _pytest
 
