@@ -700,6 +700,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("n_vecs"))
         )
 
+    def ivf_train_means(spark, sf):
+        # the Lloyd training step (assign → per-(cell,dim) mean) that
+        # ivf_train iterates; milli-unit ints dodge float low-bit drift
+        emb = _t(spark, sf, "embeddings")
+        return S.ivf_cell_means(emb, S.ivf_centroids(64, 8)).select(
+            "ivf_cell",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("m") * 1000, 0).cast("long").alias("m_milli"),
+        )
+
     def multimodal_meta(spark, sf):  # stubbed decode; metadata is real
         ev = _t(spark, sf, "events")
         refs = ev.select(
@@ -721,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "ann_ivf_cells": ann_ivf_cells,
+        "ivf_train_means": ivf_train_means,
         "r2_host_extract": r2_host_extract,
         "r3_namespace_semijoin": r3_namespace_semijoin,
         "r4_seen_antijoin": r4_seen_antijoin,
@@ -870,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": O.ann_topk_lsh_sql(S.srp_planes(64, 6), k=10),
         "ann_topk_ivf": O.ann_topk_ivf_sql(S.ivf_centroids(64, 8), nprobe=2, k=10),
         "ann_ivf_cells": O.ivf_histogram_sql(S.ivf_centroids(64, 8)),
+        "ivf_train_means": O.ivf_means_sql(S.ivf_centroids(64, 8)),
         "multimodal_meta": """
             SELECT media_ref,
                    coalesce(nullif(regexp_extract(media_ref, '^([a-z]+)://', 1),

@@ -339,7 +339,14 @@ def simhash_near_duplicates(
         F.col("b.q").alias("q"), F.col("b.qv").alias("qv"),
     )
     l, r = quarters.alias("l"), quarters.alias("r")
-    pairs = (
+    hamming = F.bit_count(
+        F.col("l.sh_lo").bitwiseXOR(F.col("r.sh_lo"))
+    ) + F.bit_count(F.col("l.sh_hi").bitwiseXOR(F.col("r.sh_hi")))
+    # hamming filter runs INSIDE the bucket join (cheap bit_count on the
+    # joined rows), so the dropDuplicates shuffle only carries surviving
+    # pairs — a pair matching in several quarters dedups after, on a
+    # 3-column row, instead of shipping 4 signature columns per candidate
+    return (
         l.join(
             r,
             (F.col("l.q") == F.col("r.q"))
@@ -349,20 +356,10 @@ def simhash_near_duplicates(
         .select(
             F.col("l.doc_id").alias("id_l"),
             F.col("r.doc_id").alias("id_r"),
-            F.col("l.sh_lo").alias("lo_l"),
-            F.col("l.sh_hi").alias("hi_l"),
-            F.col("r.sh_lo").alias("lo_r"),
-            F.col("r.sh_hi").alias("hi_r"),
+            hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_l", "id_r"])
-    )
-    hamming = F.bit_count(
-        F.col("lo_l").bitwiseXOR(F.col("lo_r"))
-    ) + F.bit_count(F.col("hi_l").bitwiseXOR(F.col("hi_r")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_l", "id_r", "hamming")
+        .dropDuplicates(["id_l", "id_r"])
     )
 
 

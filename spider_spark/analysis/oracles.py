@@ -354,6 +354,21 @@ def ivf_histogram_sql(centroids: np.ndarray, table: str = "embeddings") -> str:
     """
 
 
+def ivf_means_sql(centroids: np.ndarray, table: str = "embeddings") -> str:
+    """The Lloyd-step aggregation of similarity.ivf_cell_means: per-(cell,
+    dimension) mean of member vectors, reported as milli-units (round to
+    integer after ×1000 — double summation order differs between engines
+    by ~1e-13, far below the 5e-4 rounding boundary)."""
+    dim = centroids.shape[1]
+    return f"""
+    WITH {ivf_cell_cte(centroids, table)}
+    SELECT ivf_cell, i - 1 AS pos,
+           CAST(round(avg(e[i]) * 1000) AS BIGINT) AS m_milli
+    FROM cells, (SELECT unnest(range(1, {dim + 1})) AS i)
+    GROUP BY 1, 2
+    """
+
+
 def ann_topk_lsh_sql(
     planes: np.ndarray, k: int = 10, query_vec_id: int = 0,
     table: str = "embeddings",

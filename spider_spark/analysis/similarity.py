@@ -212,6 +212,22 @@ def ann_topk_ivf(
     )
 
 
+def ivf_cell_means(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """The Lloyd-step aggregation: assign each vector to its argmax-cosine
+    cell, then per-(cell, dimension) mean via posexplode. One narrow
+    explode + one combine-heavy groupBy shuffle over (cell, pos) — the
+    whole training step at 10^10 rows is 2 passes, no all-pairs anything.
+    Returns (ivf_cell, pos, m)."""
+    return (
+        with_ivf_cell(df, centroids, vec_col)
+        .select("ivf_cell", F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("ivf_cell", "pos")
+        .agg(F.avg("col").alias("m"))
+    )
+
+
 def ivf_train(
     df: DataFrame,
     k: int = 8,
@@ -220,25 +236,14 @@ def ivf_train(
     seed: int = 23,
 ) -> np.ndarray:
     """Lloyd-refine the seeded centroids with spherical k-means rounds,
-    entirely as DataFrame aggregations: assign (with_ivf_cell) →
-    per-(cell, dimension) mean via posexplode → new centroids. Only the
-    k×d centroid matrix ever reaches the driver; each round is one
-    narrow explode + one groupBy shuffle over (cell, pos) — at 10^10 rows
-    that is 2 passes per iteration with combine-heavy aggregation, no
-    all-pairs anything. Empty cells keep their previous centroid."""
+    entirely as DataFrame aggregations (``ivf_cell_means``). Only the
+    k×d centroid matrix ever reaches the driver. Empty cells keep their
+    previous centroid."""
     first = df.select(F.col(vec_col)).first()
     dim = len(first[0])
     cents = ivf_centroids(dim, k, seed)
     for _ in range(iters):
-        assigned = with_ivf_cell(df, cents, vec_col)
-        means = (
-            assigned.select(
-                "ivf_cell", F.posexplode(F.col(vec_col).cast("array<double>"))
-            )
-            .groupBy("ivf_cell", "pos")
-            .agg(F.avg("col").alias("m"))
-            .collect()
-        )
+        means = ivf_cell_means(df, cents, vec_col).collect()
         new = cents.copy()
         got = {}
         for r in means:
