@@ -366,34 +366,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("event_id", F.col("url2").alias("valid_url"))
 
     def r11_response_filter(spark, sf):
+        # the REAL R11 predicate (operators/classify.xrobots_noindex — the
+        # exact expression the engine applies to docs_meta) over a
+        # synthesized headers map: key case varies per row, some rows lack
+        # the header entirely, values span noindex/NONE/all
+        from spider_spark.operators.classify import xrobots_noindex
+
         docs = _t(spark, sf, "documents")
-        return docs.filter(
-            ~F.lower(F.col("text")).rlike("noindex|forbidden")
-        ).select("doc_id", "lang")
+        key = F.expr(
+            "CASE doc_id % 4 WHEN 0 THEN 'X-Robots-Tag' "
+            "WHEN 1 THEN 'x-robots-tag' WHEN 2 THEN 'X-ROBOTS-TAG' "
+            "ELSE 'X-Other' END"
+        )
+        val = F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'noindex, nofollow' "
+            "WHEN 1 THEN 'NONE' ELSE 'all' END"
+        )
+        d = docs.select(
+            "doc_id",
+            F.map_from_arrays(
+                F.array(F.lit("Server"), key), F.array(F.lit("t"), val)
+            ).alias("headers"),
+        )
+        return (
+            d.select("doc_id", xrobots_noindex("headers").alias("noindex"))
+            .filter(~F.col("noindex"))
+            .select("doc_id")
+        )
 
     def r12_content_gate(spark, sf):
+        # the REAL R11/R12/R15 decision tree (operators/classify.
+        # response_class — the engine's round classification) over
+        # synthesized fetch-join rows: err/bad/noidx/html/plain all hit
+        from spider_spark.operators.classify import response_class
+
         docs = _t(spark, sf, "documents")
-        return docs.select(
+        d = docs.select(
             "doc_id",
-            F.when(
-                F.col("lang") == "en",
-                F.size(F.split(F.trim(F.col("text")), r"\s+")),
-            )
-            .otherwise(0)
-            .cast("long")
-            .alias("n_words"),
+            F.expr(
+                "CASE doc_id % 5 WHEN 0 THEN -1 WHEN 1 THEN 404 "
+                "WHEN 2 THEN 301 ELSE 200 END"
+            ).alias("status"),
+            F.expr(
+                "CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8' "
+                "WHEN 1 THEN 'text/plain' ELSE 'application/xhtml+xml' END"
+            ).alias("content_type"),
+            F.expr("doc_id % 7 = 0").alias("noindex"),
+            F.expr(
+                "CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS BIGINT) "
+                "ELSE doc_id END"
+            ).alias("join_doc"),
+        )
+        return d.select(
+            "doc_id",
+            response_class(
+                F.col("status"),
+                F.col("content_type"),
+                F.col("noindex"),
+                F.col("join_doc"),
+            ).alias("cls"),
         )
 
     def r13_link_extract(spark, sf):
+        # the REAL R13+R14 pipeline: per-doc HTML synthesized from the
+        # text's first words, driven through make_extract_udf — tag parse,
+        # head-canonical extraction, R24 validity (localhost link dropped),
+        # R25 wanted-filter (/warenkorb link dropped), robots gate on the
+        # page host's rules (Disallow /a/t), R22 clean (?nn param and
+        # #fragment stripped), set-dedup + sort
+        from spider_spark.engine import make_extract_udf
+        from spider_spark.functions.robots import RobotsTable, parse_robots
+
         docs = _t(spark, sf, "documents")
-        return (
-            docs.select(
-                F.explode(
-                    F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)
-                ).alias("word")
-            )
-            .groupBy("word")
-            .agg(F.count("*").cast("long").alias("cnt"))
+        words = F.expr(
+            "slice(filter(split(lower(text), '\\\\s+'), "
+            "w -> w rlike '^[a-z]+$'), 1, 3)"
+        )
+        anchor = lambda acc, w: F.concat(
+            acc,
+            F.lit('<a href="https://ex.org/a/'),
+            w,
+            F.lit('?nn=5#frag">'),
+            w,
+            F.lit("</a>"),
+            F.lit('<a href="/rel/'),
+            w,
+            F.lit('">r</a>'),
+        )
+        html = F.concat(
+            F.lit(
+                '<head><link rel="canonical" href="https://ex.org/canon"/>'
+                "</head><body>"
+            ),
+            F.aggregate(words, F.lit(""), anchor),
+            F.lit(
+                '<a href="/always">a</a>'
+                '<a href="https://ex.org/warenkorb/cart">w</a>'
+                '<a href="http://localhost/nodots">b</a></body>'
+            ),
+        )
+        robots = RobotsTable(
+            {"ex.org": parse_robots("User-agent: *\nDisallow: /a/t", "spider")}
+        )
+        udf = make_extract_udf(spark.sparkContext.broadcast(robots))
+        d = docs.select(
+            "doc_id",
+            udf(
+                html, F.concat(F.lit("https://ex.org/p/"), F.col("doc_id"))
+            ).alias("ex"),
+        )
+        return d.select(
+            "doc_id",
+            F.col("ex.canonical_url").alias("canonical_url"),
+            F.explode("ex.links").alias("link"),
         )
 
     def r16_retry_budget(spark, sf):
@@ -945,21 +1030,70 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(url2,
                 '^(https?|ftp)://([A-Za-z0-9-]+\\.)+[A-Za-z]{{2,}}(:[0-9]{{1,5}})?(/[^ ]*)?$')
         """,
+        # independent DuckDB replica of classify.xrobots_noindex: the same
+        # case-insensitive map-entry scan + regex, over the same synthesis
         "r11_response_filter": """
-            SELECT doc_id, lang FROM documents
-            WHERE NOT regexp_matches(lower(text), 'noindex|forbidden')
+            SELECT doc_id FROM (
+              SELECT doc_id, coalesce(regexp_matches(lower(
+                       list_filter(map_entries(map(['Server', k], ['t', v])),
+                                   e -> lower(e.key) = 'x-robots-tag'
+                       )[1].value), 'noindex|none'), false) AS noidx
+              FROM (SELECT doc_id,
+                      CASE doc_id % 4 WHEN 0 THEN 'X-Robots-Tag'
+                           WHEN 1 THEN 'x-robots-tag'
+                           WHEN 2 THEN 'X-ROBOTS-TAG'
+                           ELSE 'X-Other' END AS k,
+                      CASE doc_id % 3 WHEN 0 THEN 'noindex, nofollow'
+                           WHEN 1 THEN 'NONE' ELSE 'all' END AS v
+                    FROM documents) s)
+            WHERE NOT noidx
         """,
+        # independent replica of classify.response_class's decision tree
         "r12_content_gate": """
             SELECT doc_id,
-                   CASE WHEN lang = 'en'
-                        THEN len(regexp_split_to_array(trim(text), '\\s+'))
-                        ELSE 0 END::BIGINT AS n_words
-            FROM documents
+                   CASE WHEN join_doc IS NULL OR status < 0 THEN 'err'
+                        WHEN status != 200 THEN 'bad'
+                        WHEN noindex THEN 'noidx'
+                        WHEN content_type LIKE 'text/html%' THEN 'html'
+                        ELSE 'plain' END AS cls
+            FROM (SELECT doc_id,
+                    CASE doc_id % 5 WHEN 0 THEN -1 WHEN 1 THEN 404
+                         WHEN 2 THEN 301 ELSE 200 END AS status,
+                    CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8'
+                         WHEN 1 THEN 'text/plain'
+                         ELSE 'application/xhtml+xml' END AS content_type,
+                    doc_id % 7 = 0 AS noindex,
+                    CASE WHEN doc_id % 11 = 0 THEN NULL
+                         ELSE doc_id END AS join_doc
+                  FROM documents) s
         """,
+        # expected output of the real extract pipeline on the synthesized
+        # HTML: abs anchors survive unless robots-blocked (word LIKE 't%')
+        # or unwanted (warenkorb); ?nn=5 + #frag cleaned away; relative
+        # anchors resolve against the page URL; the /warenkorb and
+        # localhost fixtures are dropped by R25/R24; links set-deduped
         "r13_link_extract": """
-            SELECT w AS word, count(*) AS cnt
-            FROM documents, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS t(w)
-            GROUP BY w
+            WITH base AS (
+              SELECT doc_id,
+                     list_slice(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       w -> regexp_full_match(w, '[a-z]+')), 1, 3) AS words
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(words) AS word FROM base
+            ), links AS (
+              SELECT DISTINCT doc_id, link FROM (
+                SELECT doc_id, 'https://ex.org/a/' || word AS link FROM w
+                 WHERE word NOT LIKE 't%' AND word NOT LIKE 'warenkorb%'
+                UNION ALL
+                SELECT doc_id, 'https://ex.org/rel/' || word FROM w
+                 WHERE word NOT LIKE 'warenkorb%'
+                UNION ALL
+                SELECT doc_id, 'https://ex.org/always' FROM base
+              ) u
+            )
+            SELECT doc_id, 'https://ex.org/canon' AS canonical_url, link
+            FROM links
         """,
         "r16_retry_budget": """
             SELECT user_id, count(*) AS attempts FROM events

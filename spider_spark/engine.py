@@ -64,6 +64,7 @@ from spider_spark.functions.extract import extract_batch
 from spider_spark.functions.robots import RobotsTable, parse_robots
 from spider_spark.functions.urlnorm import strip_trailing_slash
 from spider_spark.oracle import seed_state
+from spider_spark.operators.classify import response_class, xrobots_noindex
 from spider_spark.operators.dedup import (
     anti_join_seen,
     bloom_prefilter,
@@ -200,20 +201,12 @@ class CrawlEngine:
         #     docs side: per round the only html movement is the bounded
         #     html-row set flowing to the extraction UDF
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        xro = F.try_element_at(
-            F.expr(
-                "filter(map_entries(headers), e -> lower(e.key) = 'x-robots-tag')"
-            ),
-            F.lit(1),
-        )["value"]
         self.docs_meta = (
             self.documents.select(
                 "doc_id",
                 "status",
                 "content_type",
-                F.coalesce(F.lower(xro).rlike("noindex|none"), F.lit(False)).alias(
-                    "noindex"
-                ),
+                xrobots_noindex("headers").alias("noindex"),
             )
             .repartition(n_shuffle, "doc_id")
             .sortWithinPartitions("doc_id")
@@ -568,26 +561,19 @@ class CrawlEngine:
             )
         )
 
-        # ---- R11/R12/R15 classification ----------------------------------
-        noindex = F.coalesce(F.col("noindex"), F.lit(False))
-        is_err = F.col("doc_id").isNull() | (F.col("status") < 0)
-        is_bad = (~is_err) & (F.col("status") != 200)
-        is_noidx = (~is_err) & (~is_bad) & noindex
-        ok = (~is_err) & (~is_bad) & (~is_noidx)
-        is_html = ok & F.col("content_type").startswith("text/html")
-        is_plain = ok & ~F.col("content_type").startswith("text/html")
-
+        # ---- R11/R12/R15 classification (operators/classify) -------------
         from pyspark.sql import Observation
 
         obs = Observation(f"round_{r}_cls")
         fetched = (
             fetched.withColumn(
                 "cls",
-                F.when(is_err, "err")
-                .when(is_bad, "bad")
-                .when(is_noidx, "noidx")
-                .when(is_html, "html")
-                .otherwise("plain"),
+                response_class(
+                    F.col("status"),
+                    F.col("content_type"),
+                    F.col("noindex"),
+                    F.col("doc_id"),
+                ),
             )
             .observe(
                 obs,
