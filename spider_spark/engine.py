@@ -390,7 +390,13 @@ class CrawlEngine:
         skip_idx: dict[str, int] = {}
         sm_frontier = None
         if roots and os.path.exists(self._sm_path):
-            smdf = spark.read.parquet(self._sm_path)
+            # repartition BEFORE the explode: a sitemap table is few rows
+            # with huge url arrays — in one split, the explode and every
+            # narrow op after it (broadcast join, robots gate) would run in
+            # a single task no matter how many executors exist
+            smdf = spark.read.parquet(self._sm_path).repartition(
+                spark.sparkContext.defaultParallelism * 2, "sitemap_url"
+            )
             edges = smdf.select(
                 F.col("sitemap_url").alias("parent"),
                 "kind",
@@ -413,16 +419,26 @@ class CrawlEngine:
                     reach["node"] == F.col("parent"),
                 )
                 .select("host", F.col("child").alias("url"))
-                .distinct()
-                .withColumn("allowed", self._robots_udf("url", "host"))
-                .filter("allowed")
-                .drop("allowed")
             )
+            # no host has rules ⇒ the gate is identity: skip the Arrow
+            # round-trip through the robots UDF entirely
+            if self.robots.host_rules:
+                pages = (
+                    pages.withColumn(
+                        "allowed", self._robots_udf("url", "host")
+                    )
+                    .filter("allowed")
+                    .drop("allowed")
+                )
+            # set-dedup (a url listed by several sitemaps) happens INSIDE
+            # fifo_rank's range exchange (dedup=True) — no separate
+            # distinct() shuffle over the whole seed frontier
             ranked = fifo_rank(
                 pages,
                 spark.sparkContext.defaultParallelism,
                 host_col="host",
                 key_cols=("url",),
+                dedup=True,
             )
             sm_frontier = ranked.select(
                 "url",
@@ -430,29 +446,35 @@ class CrawlEngine:
                 (F.col("rank") - 1).cast("long").alias("seq"),
                 F.lit(True).alias("sm"),
             ).persist()
-            sm_counts = {
-                r["host"]: r["count"]
-                for r in sm_frontier.groupBy("host").count().collect()
-            }
-            ranked._fifo_rank_cache.unpersist()
-            # seed-vs-sitemap collision timing: a seed is skipped only if
-            # a source at index <= the seed's own queued that url (seeds
-            # are source-sized, so this probe is a broadcast join)
-            if seeds:
-                seeds_df = spark.createDataFrame(
-                    [(u,) for _i, _h, u in seeds], "url string"
-                ).distinct()
-                idx_df = spark.createDataFrame(
-                    list(host_first_idx.items()), "host string, src_idx int"
+            # ONE action over the persisted sm_frontier yields both the
+            # per-host counts (seed seq offsets / lineage) and the
+            # seed-vs-sitemap collision probe (R21/R1 timing: a seed is
+            # skipped only if a source at index <= the seed's own queued
+            # that url) — seeds are source-sized, so the collision set is
+            # a tiny isin literal, resolved to indexes driver-side
+            seed_urls = sorted({u for _i, _h, u in seeds})
+            hit = (
+                F.when(F.col("url").isin(seed_urls), F.col("url"))
+                if seed_urls
+                else F.lit(None).cast("string")
+            )
+            stats = (
+                sm_frontier.groupBy("host")
+                .agg(
+                    F.count("*").alias("count"),
+                    F.collect_set(hit).alias("hits"),
                 )
-                skip_idx = {
-                    r["url"]: r["mi"]
-                    for r in pages.join(F.broadcast(idx_df), "host")
-                    .join(F.broadcast(seeds_df), "url")
-                    .groupBy("url")
-                    .agg(F.min("src_idx").alias("mi"))
-                    .collect()
-                }
+                .collect()
+            )
+            ranked._fifo_rank_cache.unpersist()
+            sm_counts = {r["host"]: r["count"] for r in stats}
+            for r in stats:
+                si = host_first_idx.get(r["host"])
+                if si is None:
+                    continue
+                for u in r["hits"] or []:
+                    if u not in skip_idx or si < skip_idx[u]:
+                        skip_idx[u] = si
 
         taken: set[str] = set()
         seed_rows: list[tuple] = []

@@ -254,6 +254,53 @@ def synth_web(
     return Web(documents, sources, robots, sitemaps)
 
 
+def sitemap_heavy_web(
+    n_hosts: int = 8,
+    fanout: int = 6,
+    depth: int = 2,
+    urls_per_leaf: int = 1000,
+    seed: int = 42,
+) -> Web:
+    """Sitemap-INDEX-heavy web: each host publishes a ``depth``-level
+    sitemap index tree (root index → fanout sub-indexes → … → fanout
+    urlsets of ``urls_per_leaf`` URLs each), so the round-0 seed frontier
+    is ``n_hosts × fanout^depth × urls_per_leaf`` URLs — the workload
+    SitemapInspector.scala:47-49 recurses through driver-side and the
+    R21 distributed expansion (operators/expand.py) exists for. Only the
+    seed page exists as a document; this web seeds, it doesn't crawl."""
+    documents: dict[str, Doc] = {}
+    sources = []
+    robots: dict[str, str] = {}
+    sitemaps: dict[str, tuple] = {}
+    for hi in range(n_hosts):
+        h = f"smhost{hi}.example.com"
+        documents[f"https://{h}"] = page_doc(links=[])
+        sources.append((str(hi + 1), h, f"https://{h}/"))
+        # real rules so seeding exercises the robots gate (leaf 0 blocked)
+        robots[h] = "User-agent: *\nDisallow: /page_0_\n"
+        # level 0 = root index; levels 1..depth-1 = sub-indexes;
+        # level depth = urlsets
+        level_nodes = [[f"https://{h}/sitemap.xml"]]
+        for lvl in range(1, depth + 1):
+            nodes = [
+                f"https://{h}/sm_{lvl}_{i}.xml"
+                for i in range(fanout ** lvl)
+            ]
+            level_nodes.append(nodes)
+            for pi, parent in enumerate(level_nodes[lvl - 1]):
+                kids = nodes[pi * fanout : (pi + 1) * fanout]
+                sitemaps[parent] = ("index", kids)
+        for li, leaf in enumerate(level_nodes[depth]):
+            sitemaps[leaf] = (
+                "urlset",
+                [
+                    f"https://{h}/page_{li}_{j}.html"
+                    for j in range(urls_per_leaf)
+                ],
+            )
+    return Web(documents, sources, robots, sitemaps)
+
+
 # ------------------------------------------------------------- parquet IO
 
 

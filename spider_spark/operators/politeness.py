@@ -92,6 +92,7 @@ def fifo_rank(
     host_col: str = "thost",
     key_cols: tuple = ("phost", "prn", "url"),
     out: str = "rank",
+    dedup: bool = False,
 ) -> DataFrame:
     """Exact per-host FIFO rank (1-based), skew-proof.
 
@@ -121,11 +122,14 @@ def fifo_rank(
     DataFrame as ``_fifo_rank_cache`` for the caller to unpersist once the
     result is materialized.
     """
-    d = (
-        df.repartitionByRange(num_partitions, host_col, *key_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    d = df.repartitionByRange(num_partitions, host_col, *key_cols)
+    if dedup:
+        # equal (host, *keys) rows land in ONE range partition, so this
+        # dropDuplicates satisfies its clustering from the existing range
+        # exchange — a fused set-dedup, not an extra shuffle (callers
+        # previously paid a separate distinct() exchange for the same set)
+        d = d.dropDuplicates([host_col, *key_cols])
+    d = d.withColumn("_pid", F.spark_partition_id()).persist()
     w_local = Window.partitionBy("_pid", host_col).orderBy(*key_cols)
     ranked = d.withColumn("_lrank", F.row_number().over(w_local))
     counts = d.groupBy("_pid", host_col).agg(F.count("*").alias("_n"))
