@@ -309,6 +309,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c_custkey", "c_acctbal"
         )
 
+    def _r4_sidecar(spark, sf, kind):
+        # run the REAL seen-filter sidecar (bloom or cuckoo prefilter +
+        # exact anti-join fall-through); the oracle is the plain SQL
+        # anti-join — equality proves the combined path stays exact
+        from spider_spark.operators.cuckoo import (
+            build_cuckoo_delta,
+            cuckoo_prefilter,
+        )
+        from spider_spark.operators.dedup import (
+            anti_join_seen,
+            bloom_prefilter,
+            build_bloom_delta,
+        )
+
+        ev = _with_url(_t(spark, sf, "events"))
+        seen = ev.filter(F.col("event_id") % 2 == 0).select("url")
+        cand = ev.select("url").distinct()
+        if kind == "cuckoo":
+            filters = build_cuckoo_delta(seen, 8, 1 << 12, 4, 1 << 14, 5)
+            probed = cuckoo_prefilter(cand, filters, 8)
+        else:
+            filters = build_bloom_delta(seen, 8, 1 << 16, 5)
+            probed = bloom_prefilter(cand, filters, 8)
+        definite = probed.filter(~F.col("maybe_seen")).select("url")
+        checked = anti_join_seen(
+            probed.filter(F.col("maybe_seen")).select("url"), seen
+        )
+        return definite.unionByName(checked)
+
+    def r4_seen_bloom(spark, sf):
+        return _r4_sidecar(spark, sf, "bloom")
+
+    def r4_seen_cuckoo(spark, sf):
+        return _r4_sidecar(spark, sf, "cuckoo")
+
     def r6_visit_counts(spark, sf):
         return (
             _t(spark, sf, "orders")
@@ -820,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2_host_extract": r2_host_extract,
         "r3_namespace_semijoin": r3_namespace_semijoin,
         "r4_seen_antijoin": r4_seen_antijoin,
+        "r4_seen_bloom": r4_seen_bloom,
+        "r4_seen_cuckoo": r4_seen_cuckoo,
         "r6_visit_counts": r6_visit_counts,
         "r8_politeness_topk": r8_politeness_topk,
         "r10_fetch_join": r10_fetch_join,
@@ -993,6 +1030,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        "r4_seen_bloom": f"""
+            WITH u AS (SELECT {url} AS url, event_id FROM events)
+            SELECT DISTINCT url FROM u
+            WHERE url NOT IN (SELECT url FROM u WHERE event_id % 2 = 0)
+        """,
+        "r4_seen_cuckoo": f"""
+            WITH u AS (SELECT {url} AS url, event_id FROM events)
+            SELECT DISTINCT url FROM u
+            WHERE url NOT IN (SELECT url FROM u WHERE event_id % 2 = 0)
         """,
         "r6_visit_counts": """
             SELECT o_custkey, count(*) AS visits,

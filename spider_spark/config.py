@@ -31,10 +31,15 @@ class CrawlConfig:
     # scale knobs (engine-only; no reference equivalent)
     num_seen_buckets: int = 64          # hash buckets for the seen table
     shuffle_partitions: int = 32
-    bloom_enabled: bool = False         # bloom sidecar pre-filter for R4
+    bloom_enabled: bool = False         # seen-filter sidecar pre-filter for R4
+    seen_filter: str = "bloom"          # sidecar kind: "bloom" | "cuckoo"
     bloom_fpp: float = 0.01             # (one-shot adaptive build only)
     bloom_bits_per_bucket: int = 1 << 20  # fixed geometry for incremental OR-merge
     bloom_hashes: int = 7
+    cuckoo_buckets: int = 1 << 14       # cuckoo slot-buckets per partition bucket
+    cuckoo_slots: int = 4               # fingerprint slots per cuckoo bucket
+    cuckoo_stash_bits: int = 1 << 17    # overflow bloom stash bitmap size
+    cuckoo_stash_hashes: int = 5
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     sanity_check: bool = True           # R28 scrape-sanity anti-join per round
@@ -65,4 +70,5 @@ class CrawlConfig:
             num_seen_buckets=int(e.get("NUM_SEEN_BUCKETS", "64")),
             shuffle_partitions=int(e.get("SHUFFLE_PARTITIONS", "32")),
             bloom_enabled=e.get("BLOOM_ENABLED", "0") in ("1", "true"),
+            seen_filter=e.get("SEEN_FILTER", "bloom"),
         )

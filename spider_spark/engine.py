@@ -65,7 +65,14 @@ from spider_spark.functions.robots import RobotsTable, parse_robots
 from spider_spark.functions.urlnorm import strip_trailing_slash
 from spider_spark.oracle import seed_state
 from spider_spark.operators.classify import response_class, xrobots_noindex
+from spider_spark.operators.cuckoo import (
+    CUCKOO_SCHEMA,
+    build_cuckoo_delta,
+    cuckoo_prefilter,
+    merge_cuckoos,
+)
 from spider_spark.operators.dedup import (
+    BLOOM_SCHEMA,
     anti_join_seen,
     bloom_prefilter,
     build_bloom_delta,
@@ -715,7 +722,7 @@ class CrawlEngine:
         # OR-merges — O(delta), never O(seen).
         if cfg.bloom_enabled:
             blooms = self._load_blooms(r - 1, seen_all)
-            probed = bloom_prefilter(cand, blooms, cfg.num_seen_buckets)
+            probed = self._sidecar_probe(cand, blooms)
             definite_new = probed.filter(~F.col("maybe_seen")).drop(
                 "maybe_seen", "bucket"
             )
@@ -877,18 +884,15 @@ class CrawlEngine:
             ).write.mode("overwrite").parquet(self._p("seen", r))
             m.new_scheduled = self._parquet_rows(self._p("seen", r))
             if cfg.bloom_enabled:
-                # advance the bloom sidecar: hash only this round's delta,
-                # OR into the previous checkpoint
-                delta_blooms = build_bloom_delta(
+                # advance the seen-filter sidecar: hash only this round's
+                # delta, merge into the previous checkpoint
+                delta_filters = self._sidecar_build_delta(
                     self.spark.read.schema(SEEN_SCHEMA).parquet(
                         self._p("seen", r)
-                    ),
-                    cfg.num_seen_buckets,
-                    cfg.bloom_bits_per_bucket,
-                    cfg.bloom_hashes,
+                    )
                 )
-                merged = merge_blooms(
-                    self._load_blooms(r - 1, seen_all), delta_blooms
+                merged = self._sidecar_merge(
+                    self._load_blooms(r - 1, seen_all), delta_filters
                 )
                 merged.write.mode("overwrite").parquet(self._p("blooms", r))
 
@@ -934,39 +938,91 @@ class CrawlEngine:
         self._write_manifest(m, lineage=lineage)
         return m
 
+    # -------------------------------------------- seen-filter sidecar
+    # north_rule asks for a "bloom/cuckoo-filter URL-seen set"; both
+    # families share one contract (build_delta / merge / prefilter with a
+    # maybe_seen annotation) and cfg.seen_filter picks the kind. Exactness
+    # never depends on the kind: maybe_seen=True always falls through to
+    # the exact anti-join.
+
+    def _sidecar_build_delta(self, df: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if cfg.seen_filter == "cuckoo":
+            return build_cuckoo_delta(
+                df,
+                cfg.num_seen_buckets,
+                cfg.cuckoo_buckets,
+                cfg.cuckoo_slots,
+                cfg.cuckoo_stash_bits,
+                cfg.cuckoo_stash_hashes,
+            )
+        return build_bloom_delta(
+            df,
+            cfg.num_seen_buckets,
+            cfg.bloom_bits_per_bucket,
+            cfg.bloom_hashes,
+        )
+
+    def _sidecar_merge(self, prev: DataFrame, delta: DataFrame) -> DataFrame:
+        if self.cfg.seen_filter == "cuckoo":
+            return merge_cuckoos(prev, delta)
+        return merge_blooms(prev, delta)
+
+    def _sidecar_probe(self, cand: DataFrame, filters: DataFrame) -> DataFrame:
+        if self.cfg.seen_filter == "cuckoo":
+            return cuckoo_prefilter(cand, filters, self.cfg.num_seen_buckets)
+        return bloom_prefilter(cand, filters, self.cfg.num_seen_buckets)
+
+    def _sidecar_geometry_bad(self, filters: DataFrame):
+        """First checkpoint row whose geometry differs from cfg, or None."""
+        cfg = self.cfg
+        # eqNullSafe: a kind switch mid-run reads the other kind's parquet
+        # through this kind's schema — the missing columns come back null
+        # and must count as a mismatch, not vacuously pass
+        if cfg.seen_filter == "cuckoo":
+            pred = ~(
+                F.col("n_ck").eqNullSafe(F.lit(cfg.cuckoo_buckets))
+                & F.col("slots").eqNullSafe(F.lit(cfg.cuckoo_slots))
+                & F.col("stash_bits").eqNullSafe(F.lit(cfg.cuckoo_stash_bits))
+                & F.col("stash_hashes").eqNullSafe(F.lit(cfg.cuckoo_stash_hashes))
+            )
+        else:
+            pred = ~(
+                F.col("n_bits").eqNullSafe(F.lit(cfg.bloom_bits_per_bucket))
+                & F.col("n_hashes").eqNullSafe(F.lit(cfg.bloom_hashes))
+            )
+        return filters.filter(pred).head(1)
+
     def _load_blooms(self, upto_round: int, seen_all: DataFrame) -> DataFrame:
-        """Bloom checkpoint covering exactly rounds 0..upto_round.
+        """Seen-filter checkpoint covering exactly rounds 0..upto_round
+        (bloom or cuckoo per cfg.seen_filter; one sidecar table either way).
 
         Only a checkpoint found AT ``upto_round`` is trusted as-is. An older
         checkpoint (possible when bloom_enabled was off for some rounds of a
         resumed run) is missing the intervening rounds' seen deltas — using
-        it would let bloom_prefilter mark already-seen urls definitely-unseen
+        it would let the prefilter mark already-seen urls definitely-unseen
         and bypass the exact anti-join, breaking the R4 exactness guarantee.
-        Those rounds' deltas are OR-merged in; with no checkpoint at all,
-        bootstrap from the full seen set (once, at the first bloom round).
-        Geometry (n_bits/n_hashes) of a restored checkpoint is validated
-        against cfg before use."""
-        from spider_spark.operators.dedup import BLOOM_SCHEMA as _BS
-
+        Those rounds' deltas are merged in; with no checkpoint at all,
+        bootstrap from the full seen set (once, at the first filtered
+        round). Geometry of a restored checkpoint is validated against cfg
+        before use — a kind switch mid-run also fails here (schema-enforced
+        read yields nulls → geometry mismatch)."""
         cfg = self.cfg
+        schema = CUCKOO_SCHEMA if cfg.seen_filter == "cuckoo" else BLOOM_SCHEMA
         for rr in range(upto_round, -1, -1):
             p = self._p("blooms", rr)
             if not os.path.exists(p):
                 continue
-            blooms = self.spark.read.schema(_BS).parquet(p)
-            bad = blooms.filter(
-                (F.col("n_bits") != cfg.bloom_bits_per_bucket)
-                | (F.col("n_hashes") != cfg.bloom_hashes)
-            ).head(1)
+            filters = self.spark.read.schema(schema).parquet(p)
+            bad = self._sidecar_geometry_bad(filters)
             if bad:
                 raise ValueError(
-                    f"bloom checkpoint {p} geometry {bad[0]['n_bits']}x"
-                    f"{bad[0]['n_hashes']} != cfg "
-                    f"{cfg.bloom_bits_per_bucket}x{cfg.bloom_hashes}; "
-                    "rebuild with matching config or disable blooms"
+                    f"seen-filter checkpoint {p} geometry {bad[0]} does not "
+                    f"match cfg ({cfg.seen_filter}); rebuild with matching "
+                    "config or disable the sidecar"
                 )
             if rr == upto_round:
-                return blooms
+                return filters
             # stale checkpoint: fold in the missed rounds' seen deltas
             missed = [
                 mp
@@ -974,20 +1030,12 @@ class CrawlEngine:
                 if os.path.exists(mp := self._p("seen", mr))
             ]
             if missed:
-                delta = build_bloom_delta(
-                    self.spark.read.schema(SEEN_SCHEMA).parquet(*missed),
-                    cfg.num_seen_buckets,
-                    cfg.bloom_bits_per_bucket,
-                    cfg.bloom_hashes,
+                delta = self._sidecar_build_delta(
+                    self.spark.read.schema(SEEN_SCHEMA).parquet(*missed)
                 )
-                blooms = merge_blooms(blooms, delta)
-            return blooms
-        return build_bloom_delta(
-            seen_all,
-            cfg.num_seen_buckets,
-            cfg.bloom_bits_per_bucket,
-            cfg.bloom_hashes,
-        )
+                filters = self._sidecar_merge(filters, delta)
+            return filters
+        return self._sidecar_build_delta(seen_all)
 
     # ------------------------------------------------------------ loop
 
