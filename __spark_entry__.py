@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -222,6 +223,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         existing = ev.filter(F.col("event_id") % 5 == 0).select("url")
         return first.join(existing, "url", "left_anti")
+
+    def r19_robots_parse(spark, sf):
+        # R19: the REAL REP parser (functions/robots.parse_robots — the
+        # exact code the engine runs per crawled host,
+        # RobotsTxtInspector.scala:18-32 semantics) over per-doc synthesized
+        # robots.txt bodies: specific-UA-beats-*, allow/disallow longest
+        # ties, disallow-all, empty-disallow, crawl-delay + sitemaps,
+        # wildcard+anchor patterns, and no-directive fail-open. The oracle
+        # is an independent DuckDB CASE replica of the expected parse.
+        from spider_spark.functions.robots import parse_robots
+
+        docs = _t(spark, sf, "documents")
+        body = F.expr(
+            "CASE doc_id % 6 "
+            # specific group (token 'spid' ⊂ ua 'spider') shadows *
+            "WHEN 0 THEN 'User-agent: spid\nDisallow: /s/' || (doc_id % 50) "
+            "|| '\nAllow: /s/' || (doc_id % 50) || '/ok\n"
+            "User-agent: *\nDisallow: /w' "
+            # wildcard group, allow shorter than disallow
+            "WHEN 1 THEN 'User-agent: *\nAllow: /a' || (doc_id % 50) "
+            "|| '\nDisallow: /a' "
+            # disallow-all
+            "WHEN 2 THEN 'User-agent: *\nDisallow: /' "
+            # empty disallow = allow everything
+            "WHEN 3 THEN 'User-agent: *\nDisallow:' "
+            # crawl-delay + sitemaps + wildcard/anchor rule
+            "WHEN 4 THEN 'User-agent: *\nCrawl-delay: 1.5\n"
+            "Sitemap: https://ex.org/s1.xml\nSitemap: https://ex.org/s2.xml\n"
+            "Disallow: /x*y$' "
+            # garbage, no directives → fail-open
+            "ELSE '<html>not robots at all' END"
+        )
+
+        @F.pandas_udf(
+            "mode string, n_rules long, top_rule string, "
+            "crawl_delay double, n_sitemaps long"
+        )
+        def parse_udf(bodies: pd.Series) -> pd.DataFrame:
+            rows = []
+            for b in bodies:
+                r = parse_robots(b, "spider")
+                rows.append(
+                    {
+                        "mode": r.mode,
+                        "n_rules": len(r.rules),
+                        "top_rule": r.rules[0][3] if r.rules else None,
+                        "crawl_delay": r.crawl_delay,
+                        "n_sitemaps": len(r.sitemaps),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        return docs.select("doc_id", parse_udf(body).alias("p")).select(
+            "doc_id",
+            F.col("p.mode").alias("mode"),
+            F.col("p.n_rules").alias("n_rules"),
+            F.col("p.top_rule").alias("top_rule"),
+            F.col("p.crawl_delay").alias("crawl_delay"),
+            F.col("p.n_sitemaps").alias("n_sitemaps"),
+        )
+
+    def r20_robots_gate(spark, sf):
+        # R20: the REAL enqueue gate (engine.make_robots_udf →
+        # RobotsTable.allowed_batch, HostCrawler.scala:146) — driver-parsed
+        # broadcast rules, vectorized longest-match-wins with wildcard,
+        # $-anchor and allow-beats-disallow-on-tie cases, fail-open for an
+        # unknown host, disallow-all for a closed host. The oracle encodes
+        # the same fixed ruleset as an independent precedence CASE.
+        from spider_spark.engine import make_robots_udf
+        from spider_spark.functions.robots import RobotsTable, parse_robots
+
+        docs = _t(spark, sf, "documents")
+        host = F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'ex.org' "
+            "WHEN 1 THEN 'closed.org' ELSE 'open.org' END"
+        )
+        path = F.expr(
+            "CASE doc_id % 8 "
+            "WHEN 0 THEN '/d/' || (doc_id % 50) "
+            "WHEN 1 THEN '/d/ok/' || (doc_id % 50) "
+            "WHEN 2 THEN '/d/ok/no/' || (doc_id % 50) "
+            "WHEN 3 THEN '/w' || (doc_id % 50) || 'z' "
+            "WHEN 4 THEN '/w' || (doc_id % 50) || 'za' "
+            "WHEN 5 THEN '/exact' "
+            "WHEN 6 THEN '/exact/' || (doc_id % 50) "
+            "ELSE '/other/' || (doc_id % 50) END"
+        )
+        robots = RobotsTable(
+            {
+                "ex.org": parse_robots(
+                    "User-agent: *\n"
+                    "Disallow: /d\n"
+                    "Allow: /d/ok\n"
+                    "Disallow: /d/ok/no\n"
+                    "Allow: /w*z\n"
+                    "Disallow: /exact$\n",
+                    "spider",
+                ),
+                "closed.org": parse_robots(
+                    "User-agent: spid\nDisallow: /", "spider"
+                ),
+            }
+        )
+        gate = make_robots_udf(spark.sparkContext.broadcast(robots))
+        d = docs.select(
+            "doc_id",
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, path).alias("url"),
+        )
+        return d.select(
+            "doc_id", "host", "url", gate("url", "host").alias("allowed")
+        )
 
     def r21_sitemap_expand(spark, sf):
         # R21: depth-bounded iterative expansion over a synthetic
@@ -845,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r7_fifo_rank": r7_fifo_rank,
         "r14_link_pipeline": r14_link_pipeline,
         "r18_index_upsert": r18_index_upsert,
+        "r19_robots_parse": r19_robots_parse,
+        "r20_robots_gate": r20_robots_gate,
         "r21_sitemap_expand": r21_sitemap_expand,
         "r27_run_stats": r27_run_stats,
         "r28_scrape_sanity": r28_scrape_sanity,
@@ -954,6 +1069,64 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (
                 SELECT 1 FROM events e WHERE e.event_id % 5 = 0
                   AND {page.replace('user_id', 'e.user_id').replace('event_id', 'e.event_id')} = f.url)
+        """,
+        "r19_robots_parse": """
+            -- independent replica of the expected REP parse per template:
+            -- 0 specific group (2 rules, longest='/s/K/ok' allow)
+            -- 1 wildcard group (2 rules, longest='/aK')
+            -- 2 disallow-all  3 empty-disallow→allow_all
+            -- 4 crawl-delay+sitemaps+anchored rule  5 garbage→fail-open
+            SELECT doc_id,
+                   CASE doc_id % 6 WHEN 2 THEN 'rules' WHEN 3 THEN 'allow_all'
+                        WHEN 5 THEN 'allow_all' ELSE 'rules' END AS mode,
+                   CAST(CASE doc_id % 6 WHEN 0 THEN 2 WHEN 1 THEN 2
+                        WHEN 2 THEN 1 WHEN 3 THEN 0 WHEN 4 THEN 1
+                        ELSE 0 END AS BIGINT) AS n_rules,
+                   CASE doc_id % 6
+                        WHEN 0 THEN '/s/' || (doc_id % 50) || '/ok'
+                        WHEN 1 THEN '/a' || (doc_id % 50)
+                        WHEN 2 THEN '/'
+                        WHEN 4 THEN '/x*y$'
+                        ELSE NULL END AS top_rule,
+                   CASE doc_id % 6 WHEN 4 THEN 1.5 ELSE NULL END AS crawl_delay,
+                   CAST(CASE doc_id % 6 WHEN 4 THEN 2 ELSE 0 END AS BIGINT)
+                       AS n_sitemaps
+            FROM documents
+        """,
+        "r20_robots_gate": """
+            -- same fixed ruleset as an explicit precedence ladder
+            -- (longest-match-wins; allow beats disallow only via length
+            -- here): /d/ok/no(8,deny) > /exact$(7,deny) > /d/ok(5,allow)
+            -- > /w*z(4,allow) > /d(2,deny); closed.org denies all,
+            -- open.org is absent from the table → fail-open
+            WITH g AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'ex.org'
+                            WHEN 1 THEN 'closed.org' ELSE 'open.org'
+                       END AS host,
+                       CASE doc_id % 8
+                            WHEN 0 THEN '/d/' || (doc_id % 50)
+                            WHEN 1 THEN '/d/ok/' || (doc_id % 50)
+                            WHEN 2 THEN '/d/ok/no/' || (doc_id % 50)
+                            WHEN 3 THEN '/w' || (doc_id % 50) || 'z'
+                            WHEN 4 THEN '/w' || (doc_id % 50) || 'za'
+                            WHEN 5 THEN '/exact'
+                            WHEN 6 THEN '/exact/' || (doc_id % 50)
+                            ELSE '/other/' || (doc_id % 50) END AS path
+                FROM documents)
+            SELECT doc_id, host, 'https://' || host || path AS url,
+                   CASE host
+                        WHEN 'closed.org' THEN FALSE
+                        WHEN 'open.org' THEN TRUE
+                        ELSE CASE
+                            WHEN path LIKE '/d/ok/no%' THEN FALSE
+                            WHEN path = '/exact' THEN FALSE
+                            WHEN path LIKE '/d/ok%' THEN TRUE
+                            WHEN regexp_matches(path, '^/w.*z') THEN TRUE
+                            WHEN path LIKE '/d%' THEN FALSE
+                            ELSE TRUE END
+                   END AS allowed
+            FROM g
         """,
         "r21_sitemap_expand": """
             WITH RECURSIVE reach(node, depth) AS (
