@@ -476,6 +476,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("o_custkey", "o_orderkey", "rn")
         )
 
+    def r8_priority_topk(spark, sf):
+        # the REAL schedule_topk with a priority frontier order
+        # (priority_mode='short_url': shorter URLs first, FIFO ties) vs an
+        # independent DuckDB row_number over (length(url), seq)
+        from spider_spark.operators.politeness import (
+            priority_column,
+            schedule_topk,
+        )
+
+        fr = (
+            _with_url(_t(spark, sf, "events"))
+            .select(
+                F.col("user_id").cast("string").alias("host"),
+                F.col("event_id").cast("long").alias("seq"),
+                "url",
+                F.lit(False).alias("sm"),
+            )
+            .withColumn("prio", priority_column("short_url"))
+        )
+        s, _ = schedule_topk(fr, budget=3, order_cols=("prio", "seq"))
+        return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
+
+    def r8_delay_budget(spark, sf):
+        # the REAL schedule_topk with per-host delay budgets (budget_col):
+        # each host keeps rn <= its own budget, literal ceiling prunes first
+        from spider_spark.operators.politeness import schedule_topk
+
+        fr = _with_url(_t(spark, sf, "events")).select(
+            F.col("user_id").cast("string").alias("host"),
+            F.col("event_id").cast("long").alias("seq"),
+            "url",
+            F.lit(False).alias("sm"),
+            (F.lit(1) + F.col("user_id") % 4).cast("int").alias("_budget"),
+        )
+        s, _ = schedule_topk(fr, budget=4, budget_col="_budget")
+        return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
+
     def r10_fetch_join(spark, sf):
         # fetch = left outer equi-join (frontier x documents); missing doc
         # -> error path. Stand-in: orders LEFT JOIN customer (synthetic
@@ -974,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_seen_cuckoo": r4_seen_cuckoo,
         "r6_visit_counts": r6_visit_counts,
         "r8_politeness_topk": r8_politeness_topk,
+        "r8_priority_topk": r8_priority_topk,
+        "r8_delay_budget": r8_delay_budget,
         "r10_fetch_join": r10_fetch_join,
         "r11_response_filter": r11_response_filter,
         "r15_error_classifier": r15_error_classifier,
@@ -1225,6 +1264,27 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY o_custkey
                                           ORDER BY o_orderdate, o_orderkey) AS rn
                 FROM orders) WHERE rn <= 3
+        """,
+        "r8_priority_topk": f"""
+            SELECT host, seq, rn FROM (
+                SELECT CAST(user_id AS VARCHAR) AS host,
+                       CAST(event_id AS BIGINT) AS seq,
+                       CAST(row_number() OVER (
+                            PARTITION BY user_id
+                            ORDER BY length({url}), event_id) AS BIGINT) AS rn
+                FROM events)
+            WHERE rn <= 3
+        """,
+        "r8_delay_budget": """
+            SELECT host, seq, rn FROM (
+                SELECT CAST(user_id AS VARCHAR) AS host,
+                       CAST(event_id AS BIGINT) AS seq,
+                       1 + (user_id % 4) AS b,
+                       CAST(row_number() OVER (
+                            PARTITION BY user_id
+                            ORDER BY event_id) AS BIGINT) AS rn
+                FROM events)
+            WHERE rn <= b
         """,
         "r10_fetch_join": """
             SELECT o_orderkey,

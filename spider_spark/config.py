@@ -41,6 +41,16 @@ class CrawlConfig:
     cuckoo_stash_bits: int = 1 << 17    # overflow bloom stash bitmap size
     cuckoo_stash_hashes: int = 5
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
+    # frontier ordering: "fifo" (reference semantics) or "short_url"
+    # (shorter URLs first per host, FIFO within equal length — a priority
+    # frontier queue; the oracle implements the same named modes)
+    priority_mode: str = "fifo"
+    # per-domain delay budgets: when on, a host's per-round budget becomes
+    # min(scrape_parallelism, max(1, politeness_tick_s // its robots
+    # Crawl-delay)) — the reference parses Crawl-delay but ignores it
+    # (HostCrawler ticks at a fixed rate), so this is opt-in
+    respect_crawl_delay: bool = False
+    politeness_tick_s: float = 1.0
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     sanity_check: bool = True           # R28 scrape-sanity anti-join per round
     spark_seeding: bool = True          # R21 distributed sitemap expansion

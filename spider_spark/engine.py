@@ -79,7 +79,12 @@ from spider_spark.operators.dedup import (
     merge_blooms,
 )
 from spider_spark.operators.expand import expand_reachable
-from spider_spark.operators.politeness import fifo_rank, schedule_topk
+from spider_spark.operators.politeness import (
+    delay_budget,
+    fifo_rank,
+    priority_column,
+    schedule_topk,
+)
 
 SEQ_STRIDE = 1 << 40  # per-round seq base; additions per host per round < 2^40
 
@@ -105,6 +110,13 @@ URLS_SCHEMA = StructType(
         StructField("round", IntegerType()),
     ]
 )
+# append-only delta tables eligible for compact_state; every row carries
+# its own `round` column, so merging the per-round partition dirs loses
+# nothing (parquet is self-describing — compaction reads schema-less and
+# preserves whatever the sinks wrote)
+COMPACTABLE = ("seen", "urls", "order", "fetched")
+_COMPACT_TMP = "_compact_tmp"
+_COMPACT_MARKER = "_compact_commit.json"
 
 
 def make_extract_udf(robots_bc):
@@ -190,6 +202,7 @@ class CrawlEngine:
         self.round = -1  # -1 = not initialized; 0 = seeded
         self._last_frontier_next = -1
         self.metrics: list[dict] = []
+        self._recover_compaction()
 
         self.documents = spark.read.parquet(
             os.path.join(input_dir, "documents.parquet")
@@ -252,6 +265,28 @@ class CrawlEngine:
         self._robots_udf = make_robots_udf(self._robots_bc)
         self.namespace: dict[str, str] = {}
         self._ns_df: DataFrame | None = None
+        # per-domain delay budgets (opt-in): one row per host whose robots
+        # Crawl-delay RESTRICTS it below scrape_parallelism; every other
+        # host coalesces to the full budget at schedule time. Host-count
+        # sized (seed namespace) → broadcast join, never a shuffle.
+        self._host_budgets: DataFrame | None = None
+        if self.cfg.respect_crawl_delay:
+            rows = [
+                (h, b)
+                for h, rr in self.robots.host_rules.items()
+                if (
+                    b := delay_budget(
+                        rr.crawl_delay,
+                        self.cfg.scrape_parallelism,
+                        self.cfg.politeness_tick_s,
+                    )
+                )
+                < self.cfg.scrape_parallelism
+            ]
+            if rows:
+                self._host_budgets = spark.createDataFrame(
+                    rows, "host string, _budget int"
+                )
 
     # ------------------------------------------------------------ paths
 
@@ -285,6 +320,100 @@ class CrawlEngine:
             pq.read_metadata(f).num_rows
             for f in glob.glob(os.path.join(path, "*.parquet"))
         )
+
+    # ------------------------------------------------------------ compaction
+
+    def compact_state(
+        self,
+        kinds: tuple = ("seen", "urls", "order"),
+        rows_per_file: int = 250_000,
+    ) -> dict[str, int]:
+        """Merge each kind's per-round delta dirs (0..current round) into ONE
+        hash-partitioned dir, preserving every row (the `round` column rides
+        inside the rows, so visit multiplicity R6 and per-round lineage are
+        intact).
+
+        Why: the delta layout appends one dir per round; at a 10^10-URL
+        frontier over thousands of rounds that is a file-count explosion —
+        every seen anti-join plans a scan over O(rounds × partitions) files.
+        Compaction is the Iceberg `rewrite_data_files` maintenance action
+        re-expressed for the parquet-dir lake: read all deltas, repartition
+        by the table's join key (url / doc_id) into ceil(rows/rows_per_file)
+        files, verify row counts from footers, and atomically swap.
+
+        Crash safety: the merged data is fully written and count-verified in
+        a ``_compact_tmp`` dir before a commit marker is dropped; only then
+        are input dirs removed and the tmp renamed to ``round=<upto>``. A
+        crash anywhere is recovered by ``_recover_compaction`` on the next
+        engine construction (marker present -> roll forward; no marker ->
+        a stale tmp is discarded).
+
+        Call between rounds (the current round must be fully checkpointed).
+        After compaction, resume() still restores the latest checkpoint
+        exactly; checkpoints older than the compaction point can no longer
+        be restored (their per-round dirs are merged) — same trade as
+        expiring old Iceberg snapshots after compaction.
+
+        Returns {kind: rows compacted} (0 = nothing to do)."""
+        assert self.round >= 0, "initialize() first"
+        out = {}
+        for kind in kinds:
+            assert kind in COMPACTABLE, f"{kind!r} is not a delta table"
+            out[kind] = self._compact_kind(kind, self.round, rows_per_file)
+        return out
+
+    def _compact_kind(self, kind: str, upto: int, rows_per_file: int) -> int:
+        base = os.path.join(self.work_dir, kind)
+        inputs = self._delta_paths(kind, upto)
+        if len(inputs) < 2:
+            return 0
+        total = sum(self._parquet_rows(p) for p in inputs)
+        df = self.spark.read.parquet(*inputs)
+        key = next((k for k in ("url", "doc_id") if k in df.columns), None)
+        npart = max(1, -(-total // rows_per_file))
+        tmp = os.path.join(base, _COMPACT_TMP)
+        (df.repartition(npart, key) if key else df.repartition(npart)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        got = self._parquet_rows(tmp)
+        if got != total:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compact {kind}: wrote {got} rows, expected {total}; aborted"
+            )
+        marker = os.path.join(base, _COMPACT_MARKER)
+        with open(marker, "w") as f:
+            json.dump(
+                {"upto": upto, "inputs": [os.path.basename(p) for p in inputs]},
+                f,
+            )
+        for p in inputs:
+            shutil.rmtree(p)
+        os.rename(tmp, os.path.join(base, f"round={upto}"))
+        os.remove(marker)
+        return total
+
+    def _recover_compaction(self):
+        """Roll an interrupted compact_state forward (marker = data verified,
+        swap incomplete) or discard an unverified tmp (no marker)."""
+        for kind in COMPACTABLE:
+            base = os.path.join(self.work_dir, kind)
+            if not os.path.isdir(base):
+                continue
+            marker = os.path.join(base, _COMPACT_MARKER)
+            tmp = os.path.join(base, _COMPACT_TMP)
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    st = json.load(f)
+                for d in st["inputs"]:
+                    p = os.path.join(base, d)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                if os.path.isdir(tmp):
+                    os.rename(tmp, os.path.join(base, f"round={st['upto']}"))
+                os.remove(marker)
+            elif os.path.isdir(tmp):
+                shutil.rmtree(tmp)
 
     # ------------------------------------------------------------ init
 
@@ -560,8 +689,30 @@ class CrawlEngine:
             and cfg.scrape_parallelism * max(len(self.namespace), 1)
             >= self._last_frontier_next
         )
+        sched_in, order_cols = frontier, ("seq",)
+        prio = priority_column(cfg.priority_mode)
+        if prio is not None:
+            # priority frontier: schedule-time column, never stored — the
+            # frontier table stays the reference shape and a mode change
+            # mid-crawl needs no rewrite
+            sched_in = sched_in.withColumn("prio", prio)
+            order_cols = ("prio", "seq")
+        budget_col = None
+        if self._host_budgets is not None:
+            sched_in = sched_in.join(
+                F.broadcast(self._host_budgets), "host", "left"
+            ).withColumn(
+                "_budget",
+                F.coalesce(F.col("_budget"), F.lit(cfg.scrape_parallelism)),
+            )
+            budget_col = "_budget"
         scheduled, deferred = schedule_topk(
-            frontier, cfg.scrape_parallelism, cfg.hot_host_salt, exact_rank=exact
+            sched_in,
+            cfg.scrape_parallelism,
+            cfg.hot_host_salt,
+            exact_rank=exact,
+            order_cols=order_cols,
+            budget_col=budget_col,
         )
         scheduled = scheduled.persist()
 

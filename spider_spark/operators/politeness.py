@@ -20,51 +20,123 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# named frontier priority modes — the oracle simulator implements the same
+# names with plain-Python keys (oracle.PRIORITY_KEYS); both sides order
+# ascending by (priority, seq) so FIFO breaks ties deterministically
+PRIORITY_MODES = ("fifo", "short_url")
+
+
+def priority_column(mode: str):
+    """JVM-side priority expression for a named mode (None for fifo)."""
+    if mode == "fifo":
+        return None
+    if mode == "short_url":
+        return F.length("url")
+    raise ValueError(f"unknown priority_mode {mode!r}; one of {PRIORITY_MODES}")
+
+
+def delay_budget(
+    crawl_delay: float | None, parallelism: int, tick_s: float = 1.0
+) -> int:
+    """Per-host politeness budget from a robots Crawl-delay.
+
+    One batch round models one ``tick_s``-second tick across all hosts, so
+    a host asking for one fetch per ``crawl_delay`` seconds gets
+    ``tick_s // crawl_delay`` fetches per round — clamped to [1,
+    parallelism]: the batch model's floor is one fetch per round (delays
+    longer than a tick can't stretch across rounds without per-host
+    clocks), and the ceiling is the reference's scrapeParallelism. No
+    delay (or a nonsense value) means the full parallelism, matching the
+    reference's behavior of ignoring Crawl-delay entirely."""
+    if crawl_delay is None or crawl_delay <= 0:
+        return parallelism
+    return max(1, min(parallelism, int(tick_s // crawl_delay)))
+
+
 def schedule_topk(
-    frontier: DataFrame, budget: int, salt: int = 1, exact_rank: bool = False
+    frontier: DataFrame,
+    budget: int,
+    salt: int = 1,
+    exact_rank: bool = False,
+    order_cols: tuple = ("seq",),
+    budget_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (scheduled with rn ∈ [1..budget], deferred).
 
     frontier columns: url, host, seq, sm (+ passthrough). ``rn`` is the
-    deterministic batch position (1-based, FIFO by seq) the rest of the
-    round keys ordering off.
+    deterministic batch position (1-based, by ``order_cols``) the rest of
+    the round keys ordering off.
+
+    ``order_cols`` is the per-host ordering key tuple (all ascending;
+    column names). The default ("seq",) is the reference's FIFO. A
+    priority frontier passes e.g. ("prio", "seq") — priority first, FIFO
+    within equal priority; the trailing seq keeps the key unique per row,
+    which every path below relies on for determinism.
+
+    ``budget_col`` names an optional per-host budget column ON the
+    frontier rows (host-keyed politeness delay budgets): the scalar
+    ``budget`` must then be its maximum and acts as the prune ceiling;
+    rows keep rn ≤ their own budget_col. With budget_col=None every host
+    uses the scalar budget.
 
     Physical shape: the scheduled side compiles to WindowGroupLimit
     (partial per-input-partition top-K BEFORE the shuffle, final after) —
     Catalyst's built-in equivalent of a salted two-phase rank, so a hot
-    host never funnels its whole queue through one sort. The deferred
-    side must NOT be expressed as ``rank > budget`` (that forces a full
-    frontier shuffle+sort): instead derive it with ``deferred_by_cutoff``
-    below — a broadcast-join filter with zero wide shuffle.
+    host never funnels its whole queue through one sort. WindowGroupLimit
+    only fires on a LITERAL rank bound, so the per-host filter is applied
+    as a second trivial filter after the literal-``budget`` prune. The
+    deferred side must NOT be expressed as ``rank > budget`` (that forces
+    a full frontier shuffle+sort): for FIFO it's ``deferred_by_cutoff``
+    (broadcast cutoff join, zero wide shuffle); for non-FIFO orders the
+    scheduled set is not a seq-prefix, so it's a broadcast ANTI-join
+    against the (≤ hosts × budget row) scheduled keys — still no shuffle.
 
     ``exact_rank=True`` computes the IDENTICAL rn via the range-partitioned
     ``fifo_rank`` instead of the window. Use it when the budget covers
     (nearly) the whole frontier: WindowGroupLimit then prunes nothing and
     degenerates to one full single-task sort per host — a serial straggler
     a hot host turns into the round's Amdahl floor. fifo_rank spreads the
-    same sort across range partitions regardless of host skew.
+    same sort across range partitions regardless of host skew (all
+    order_cols are ascending, so it ranks priority orders too).
     """
     assert budget >= 1, "politeness budget must be >= 1"
+    fifo = tuple(order_cols) == ("seq",)
+
+    def _cap(scheduled: DataFrame) -> DataFrame:
+        if budget_col is None:
+            return scheduled
+        return scheduled.filter(F.col("rn") <= F.col(budget_col))
+
+    def _deferred(scheduled: DataFrame) -> DataFrame:
+        if fifo and budget_col is None:
+            return deferred_by_cutoff(frontier, scheduled)
+        return frontier.join(
+            F.broadcast(scheduled.select("host", "seq")),
+            ["host", "seq"],
+            "left_anti",
+        )
+
     if exact_rank:
         ranked = fifo_rank(
             frontier,
             frontier.sparkSession.sparkContext.defaultParallelism,
             host_col="host",
-            key_cols=("seq",),
+            key_cols=tuple(order_cols),
             out="rn",
         )
-        scheduled = ranked.filter(F.col("rn") <= budget).withColumn(
-            "rn", F.col("rn").cast("int")
+        scheduled = _cap(
+            ranked.filter(F.col("rn") <= budget).withColumn(
+                "rn", F.col("rn").cast("int")
+            )
         )
         scheduled._fifo_rank_cache = ranked._fifo_rank_cache
-        deferred = deferred_by_cutoff(frontier, scheduled)
-        return scheduled, deferred
+        return scheduled, _deferred(scheduled)
     if salt > 1:
         # phase 1: cheap pre-prune inside salted slices (no global sort of
         # a hot host's queue); keeps a superset of the true top-K.
         # (Retained for engines without WindowGroupLimit; on Spark >= 3.5
         # the default salt=1 path already gets the partial top-K.)
-        wsalt = Window.partitionBy("host", "_salt").orderBy("seq")
+        wsalt = Window.partitionBy("host", "_salt").orderBy(*order_cols)
         pre = (
             frontier.withColumn(
                 "_salt", F.pmod(F.xxhash64("url"), F.lit(salt))
@@ -77,13 +149,12 @@ def schedule_topk(
     else:
         pruned = frontier
 
-    w = Window.partitionBy("host").orderBy("seq")
-    scheduled = (
+    w = Window.partitionBy("host").orderBy(*order_cols)
+    scheduled = _cap(
         pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= budget)
     )
-    deferred = deferred_by_cutoff(frontier, scheduled)
-    return scheduled, deferred
+    return scheduled, _deferred(scheduled)
 
 
 def fifo_rank(

@@ -49,6 +49,12 @@ from spider_spark.fixtures import Web
 from spider_spark.functions.extract import extract_batch, spans_to_html
 from spider_spark.functions.robots import RobotsTable, parse_robots
 from spider_spark.functions.urlnorm import strip_trailing_slash, url_host
+from spider_spark.operators.politeness import delay_budget
+
+# plain-Python twins of operators.politeness.priority_column — ascending
+# sort keys; Python's stable sort preserves FIFO among equal priorities,
+# matching the engine's (prio, seq) window order exactly
+PRIORITY_KEYS = {"fifo": None, "short_url": len}
 
 
 @dataclass
@@ -189,13 +195,29 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
             queues.setdefault(host, []).append(u)
 
     # ---- fetch rounds -----------------------------------------------------
+    prio_key = PRIORITY_KEYS[cfg.priority_mode]
+
+    def host_budget(host: str) -> int:
+        if not cfg.respect_crawl_delay:
+            return cfg.scrape_parallelism
+        return delay_budget(
+            robots.rules_for(host).crawl_delay,
+            cfg.scrape_parallelism,
+            cfg.politeness_tick_s,
+        )
+
     rnd = 0
     while any(queues.values()) and rnd < cfg.max_rounds:
         rnd += 1
         batches: list[tuple[str, list[str]]] = []
         for host in sorted(h for h, q in queues.items() if q):
             q = queues[host]
-            batch, queues[host] = q[: cfg.scrape_parallelism], q[cfg.scrape_parallelism :]
+            if prio_key is not None:
+                # stable sort: equal priorities keep insertion (seq) order,
+                # and the sorted remainder re-sorts identically next round
+                q = sorted(q, key=prio_key)
+            b = host_budget(host)
+            batch, queues[host] = q[:b], q[b:]
             batches.append((host, batch))
             order.setdefault(host, []).extend(batch)
             for pos, u in enumerate(batch):

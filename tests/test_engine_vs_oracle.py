@@ -178,3 +178,50 @@ def test_spark_seeding_equals_legacy(spark, tmp_path, webf):
     assert rows(legacy, "frontier") == rows(sparkside, "frontier")
     assert rows(legacy, "seen") == rows(sparkside, "seen")
     assert legacy.namespace == sparkside.namespace
+
+
+def test_priority_frontier_matches_oracle(spark, tmp_path):
+    """priority_mode='short_url': shorter URLs first per host, FIFO ties —
+    engine window order (length(url), seq) ≡ oracle stable sort by len."""
+    web = synth_web(n_hosts=3, pages_per_host=40, links_per_page=5, seed=11)
+    cfg = CrawlConfig(
+        scrape_parallelism=4,
+        max_retries=1,
+        max_rounds=200,
+        priority_mode="short_url",
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "prio")
+    assert_match(eng, oracle_res)
+    # sanity: priority actually changed the order vs FIFO somewhere
+    fifo_res = oracle_crawl(web, CrawlConfig(
+        scrape_parallelism=4, max_retries=1, max_rounds=200))
+    assert oracle_res.order != fifo_res.order
+
+
+def test_crawl_delay_budgets_match_oracle(spark, tmp_path):
+    """respect_crawl_delay: per-host budget from robots Crawl-delay —
+    engine broadcast budget join ≡ oracle per-host slice."""
+    web = synth_web(n_hosts=3, pages_per_host=30, links_per_page=4, seed=13)
+    # inject restricting delays for two of the hosts
+    hosts = [f"host{i}.example.com" for i in range(3)]
+    web.robots[hosts[0]] = (web.robots.get(hosts[0]) or "") + "\nUser-agent: *\nCrawl-delay: 1\n"
+    web.robots[hosts[1]] = (web.robots.get(hosts[1]) or "") + "\nUser-agent: *\nCrawl-delay: 0.5\n"
+    cfg = CrawlConfig(
+        scrape_parallelism=6,
+        max_retries=1,
+        max_rounds=300,
+        respect_crawl_delay=True,
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "delay")
+    assert_match(eng, oracle_res)
+    # the delayed hosts really were throttled: per-round batch <= budget
+    rows = eng.order_df().collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r["host"], r["round"]), 0)
+        per[(r["host"], r["round"])] += 1
+    assert max(n for (h, _), n in per.items() if h == hosts[0]) == 1
+    assert max(n for (h, _), n in per.items() if h == hosts[1]) == 2
+    assert any(n > 2 for (h, _), n in per.items() if h == hosts[2])

@@ -89,3 +89,73 @@ def test_schedule_topk_exact_rank_parity(spark):
         k2 = lambda r: (r["host"], r["url"])
         assert sorted(map(k2, dw.collect())) == sorted(map(k2, de.collect()))
         se._fifo_rank_cache.unpersist()
+
+
+def test_schedule_topk_priority_order(spark):
+    """order_cols=(prio, seq): per-host top-K follows priority first, FIFO
+    within equal priority; deferred = exact complement (anti-join path)."""
+    rows = [
+        # host a: priorities interleaved with seq
+        ("a_p2_s0", "a", 0, False, 2),
+        ("a_p1_s1", "a", 1, False, 1),
+        ("a_p1_s2", "a", 2, False, 1),
+        ("a_p3_s3", "a", 3, False, 3),
+        # host b: all equal priority -> pure FIFO
+        ("b_s0", "b", 0, False, 9),
+        ("b_s1", "b", 1, False, 9),
+        ("b_s2", "b", 2, False, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, host string, seq long, sm boolean, prio int"
+    )
+    for exact in (False, True):
+        s, d = schedule_topk(
+            df, budget=2, exact_rank=exact, order_cols=("prio", "seq")
+        )
+        got = {r["url"]: r["rn"] for r in s.collect()}
+        assert got == {
+            "a_p1_s1": 1, "a_p1_s2": 2, "b_s0": 1, "b_s1": 2
+        }, (exact, got)
+        assert sorted(r["url"] for r in d.collect()) == [
+            "a_p2_s0", "a_p3_s3", "b_s2"
+        ]
+        if exact:
+            s._fifo_rank_cache.unpersist()
+
+
+def test_schedule_topk_per_host_budget(spark):
+    """budget_col: each host keeps rn <= its own budget (scalar budget is
+    the prune ceiling); deferred is the exact complement."""
+    rows = [
+        (f"u{h}{i}", f"h{h}", i, False, {0: 1, 1: 3, 2: 5}[h])
+        for h in range(3)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, host string, seq long, sm boolean, _budget int"
+    )
+    for exact in (False, True):
+        s, d = schedule_topk(
+            df, budget=5, exact_rank=exact, budget_col="_budget"
+        )
+        per_host = {}
+        for r in s.collect():
+            per_host.setdefault(r["host"], []).append(r["seq"])
+        assert {h: sorted(v) for h, v in per_host.items()} == {
+            "h0": [0], "h1": [0, 1, 2], "h2": [0, 1, 2, 3, 4]
+        }, (exact, per_host)
+        assert s.count() + d.count() == len(rows)
+        if exact:
+            s._fifo_rank_cache.unpersist()
+
+
+def test_delay_budget_clamps():
+    from spider_spark.operators.politeness import delay_budget
+
+    assert delay_budget(None, 10) == 10
+    assert delay_budget(0, 10) == 10
+    assert delay_budget(-1, 10) == 10
+    assert delay_budget(2.0, 10) == 1       # longer than a tick -> floor 1
+    assert delay_budget(0.25, 10) == 4      # 4 fetches per 1s tick
+    assert delay_budget(0.01, 10) == 10     # ceiling = parallelism
+    assert delay_budget(0.25, 10, tick_s=2.0) == 8
