@@ -1,0 +1,134 @@
+"""Physical-plan audit: pin the plan properties the scale story claims.
+
+These tests never execute the queries — they compile each contract query
+at sf0.001 and assert on the optimizer's output, so regressions that
+silently turn an equi-join into a cartesian product, drop a pushed filter,
+or de-compile the politeness top-K out of WindowGroupLimit fail CI even
+though results would still be row-identical.
+
+Reference behaviours being pinned (SURVEY.md §2):
+ - R8 politeness top-K compiles to WindowGroupLimit (no full sort of the
+   frontier per host) — reference Supervisor.scala's per-host take(budget).
+ - R3 namespace gate is a semi-join, R4 seen-dedup an anti-join — never a
+   full join followed by a filter.
+ - LSH families join on equality of band/bucket keys — a plan with
+   CartesianProduct/BroadcastNestedLoopJoin would be the O(n²) accident
+   the bucketing exists to prevent.
+ - Parquet scans push filters and prune columns (q1 reads a strict subset
+   of lineitem's columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def plan_str(spark, df, mode: str = "formatted") -> str:
+    """Full explain output (physical plan + scan details) as a string."""
+    try:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
+
+def q(spark, name):
+    return entrymod.queries()[name](spark, SF_DIR)
+
+
+def test_politeness_topk_is_window_group_limit(spark):
+    plan = plan_str(spark, q(spark, "r8_politeness_topk"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_priority_topk_is_window_group_limit(spark):
+    plan = plan_str(spark, q(spark, "r8_priority_topk"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_namespace_gate_is_semi_join(spark):
+    plan = plan_str(spark, q(spark, "r3_namespace_semijoin"))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seen_dedup_is_anti_join(spark):
+    plan = plan_str(spark, q(spark, "r4_seen_antijoin"))
+    assert "LeftAnti" in plan, plan
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    plan = plan_str(spark, q(spark, "q1_pricing_summary"))
+    assert "PushedFilters: [" in plan, plan
+    # the pushdown must not be empty — shipdate filter reaches the scan
+    assert "PushedFilters: []" not in plan, plan
+    # column pruning: lineitem has 16 columns; q1 needs 7
+    scan = plan.split("ReadSchema")[1].split("\n")[0]
+    ncols = scan.count(":")
+    assert ncols <= 8, f"lineitem scan reads {ncols} columns: {scan}"
+
+
+def test_q1_whole_stage_codegen(spark):
+    # AQE reports codegen ids only on the final (executed) plan, so run the
+    # query at sf0.001 first, then read the formatted executed plan
+    df = q(spark, "q1_pricing_summary")
+    df.collect()
+    plan = plan_str(spark, df)
+    assert "codegen id" in plan, plan[:2000]
+
+
+# Queries allowed to contain a nested-loop/cartesian operator: the
+# documented O(n²) brute-force baselines (kept deliberately as the recall
+# yardstick for the LSH/IVF scale paths) and single-probe-row top-K scans
+# where the "join" side is one literal row.
+ALLPAIRS_OK = {
+    "dedup_embedding_cosine",  # documented brute-force baseline
+    "ann_cosine_topk",  # one collected probe row vs table
+    "ann_topk_lsh",  # one probe row, bucket-pruned
+    "ann_topk_ivf",  # one probe row, nprobe-pruned
+    "r16_retry_budget",  # crossJoin of a broadcast 1-row aggregate (scalar)
+}
+
+
+def test_no_accidental_cartesian_products(spark):
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        if name in ALLPAIRS_OK:
+            continue
+        plan = plan_str(spark, fn(spark, SF_DIR), mode="simple")
+        for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if op in plan:
+                bad[name] = op
+    assert not bad, f"all-pairs plan on scale path: {bad}"
+
+
+def test_lsh_joins_are_equi_joins(spark):
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_buckets",
+                 "dedup_minhash_pregroup"):
+        plan = plan_str(spark, q(spark, name), mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_flagship_entry_plan(spark):
+    df = entrymod.entry(spark)
+    plan = plan_str(spark, df)
+    assert "LeftAnti" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
