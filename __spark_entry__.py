@@ -989,6 +989,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return M.media_metadata(refs)
 
+    def multimodal_audio(spark, sf):
+        # REAL WAV decode: payloads are synthesized square waves whose
+        # encode→decode→feature round-trip lands on closed-form integers
+        # (media_fixtures.wav_params), so DuckDB re-derives every feature
+        # arithmetically while Spark actually parses RIFF chunk lists
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return M.decode_audio_features(MF.synth_wav(ev))
+
+    def multimodal_frames(spark, sf):
+        # REAL frame sampling: SSVF containers of solid-color PPM frames,
+        # stride-2 sampled via the seekable index (only sampled frames are
+        # decoded); frame count/color/timestamps are closed-form in the id
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = (
+            _t(spark, sf, "events")
+            .select("event_id")
+            .where(F.col("event_id") % 2 == 0)
+        )
+        return M.sample_video_frames(MF.synth_frames(ev), stride=2)
+
+    def multimodal_resize(spark, sf):
+        # REAL decode → nearest-neighbor resize → block-mean features over
+        # left/right split PPMs; the half-pixel-center sampling rule maps
+        # resized cell means back to the two source gray levels exactly
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return M.resize_image_features(
+            MF.synth_split_image(ev), width=4, height=4
+        )
+
     return {
         "r1_seed_scan": r1_seed_scan,
         "r5_inflight_dedup": r5_inflight_dedup,
@@ -1042,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_lsh_buckets": ann_lsh_buckets,
         "multimodal_meta": multimodal_meta,
+        "multimodal_audio": multimodal_audio,
+        "multimodal_frames": multimodal_frames,
+        "multimodal_resize": multimodal_resize,
     }
 
 
@@ -1224,6 +1261,56 @@ def oracle_sql() -> dict[str, str]:
                    sha256(media_ref) AS sha256
             FROM (SELECT 'img://' || CAST(event_id AS VARCHAR) AS media_ref
                   FROM events)
+        """,
+        # independent replica of decode_audio_features over synth_wav: every
+        # decoded feature of the square wave is closed-form in event_id
+        # (media_fixtures.wav_params) — amp=((id%16)+1)*1024 is rms==peak
+        # (x32768), alternating signs give n-1 zero crossings
+        "multimodal_audio": """
+            SELECT 'wav://' || CAST(event_id AS VARCHAR) AS media_ref,
+                   CAST(8 + (event_id % 5) * 4 AS INT) AS n_samples,
+                   CAST(8000 + (event_id % 3) * 4000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(((event_id % 16) + 1) * 1024 AS BIGINT) AS rms_x32768,
+                   CAST(((event_id % 16) + 1) * 1024 AS BIGINT) AS peak_x32768,
+                   CAST(8 + (event_id % 5) * 4 - 1 AS BIGINT) AS zero_crossings,
+                   CAST(NULL AS VARCHAR) AS err
+            FROM events
+        """,
+        # replica of sample_video_frames(stride=2) over synth_frames:
+        # n_frames = 3 + id%4, fps=2.0 (ts_milli = idx*500), frame color
+        # (id*31 + idx*7) % 251 — sampled indices via unnest(generate_series)
+        "multimodal_frames": """
+            SELECT media_ref,
+                   CAST(i AS INT) AS frame_idx,
+                   CAST(i * 500 AS BIGINT) AS ts_milli,
+                   CAST(4 AS INT) AS width,
+                   CAST(4 AS INT) AS height,
+                   CAST((event_id * 31 + i * 7) % 251 AS BIGINT) AS mean_pix,
+                   CAST(NULL AS VARCHAR) AS err
+            FROM (
+                SELECT event_id,
+                       'vid://' || CAST(event_id AS VARCHAR) AS media_ref,
+                       unnest(generate_series(0, 3 + (event_id % 4) - 1, 2)) AS i
+                FROM events WHERE event_id % 2 = 0
+            )
+        """,
+        # replica of resize_image_features over synth_split_image: the
+        # half-pixel-center nearest rule maps resized columns 0-1 to the
+        # left gray level and 2-3 to the right, so the 2x2 cell means are
+        # exactly the two source levels
+        "multimodal_resize": """
+            SELECT 'img://' || CAST(event_id AS VARCHAR) AS media_ref,
+                   CAST(6 + (event_id % 5) * 2 AS INT) AS orig_width,
+                   CAST(4 + (event_id % 3) * 2 AS INT) AS orig_height,
+                   CAST(4 AS INT) AS width,
+                   CAST(4 AS INT) AS height,
+                   CAST((event_id * 3) % 251 AS BIGINT) AS f00,
+                   CAST((event_id * 7) % 251 AS BIGINT) AS f01,
+                   CAST((event_id * 3) % 251 AS BIGINT) AS f10,
+                   CAST((event_id * 7) % 251 AS BIGINT) AS f11,
+                   CAST(NULL AS VARCHAR) AS err
+            FROM events
         """,
         "r2_host_extract": f"""
             SELECT regexp_extract({url}, '^[a-z]+://([^/?#]+)', 1) AS host,

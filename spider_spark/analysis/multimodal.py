@@ -9,7 +9,14 @@ iterator contracts, partition sizing — is real and tested. Decode status:
     codecs (``analysis.codecs``) run inside the Arrow batches — true
     width/height and grid block-mean RGB features, corrupt payloads
     degrade to an ``err`` column instead of failing the stage.
-  - STUB for compressed formats (JPEG/PNG/audio/video): those need codec
+  - REAL for PCM RIFF/WAVE audio (8/16-bit): struct/numpy chunk-walking
+    decoder, scalar features (rms/peak/zero-crossings), err-degrading.
+  - REAL frame sampling over the SSVF seekable frame container
+    (``codecs.encode_frames``): index-first layout, so stride sampling
+    seeks to sampled frames instead of scanning the blob.
+  - REAL nearest-neighbor resize (pure numpy index math) feeding
+    block-mean features.
+  - STUB for compressed formats (JPEG/PNG/MP3/MP4): those need codec
     libraries absent from this container; such payloads surface as
     err='unrecognized image format'. Ref-only calls can still request the
     deterministic ``fake=True`` pseudo-features to exercise downstream
@@ -37,6 +44,18 @@ MEDIA_META_SCHEMA = (
 )
 IMAGE_FEATURE_SCHEMA = (
     "media_ref string, width int, height int, features array<float>"
+)
+AUDIO_FEATURE_SCHEMA = (
+    "media_ref string, n_samples int, sample_rate int, n_channels int, "
+    "rms_x32768 long, peak_x32768 long, zero_crossings long, err string"
+)
+FRAME_SAMPLE_SCHEMA = (
+    "media_ref string, frame_idx int, ts_milli long, width int, height int, "
+    "mean_pix long, err string"
+)
+RESIZED_FEATURE_SCHEMA = (
+    "media_ref string, orig_width int, orig_height int, width int, "
+    "height int, f00 long, f01 long, f10 long, f11 long, err string"
 )
 
 
@@ -160,3 +179,173 @@ def decode_image_features(
             )
 
     return df.select(ref_col).mapInPandas(decode_fake, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def decode_audio_features(
+    df: DataFrame, ref_col: str = "media_ref", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode + scalar features over Arrow-batched mapInPandas.
+
+    PCM RIFF/WAVE (8/16-bit) payloads are decoded with the pure-struct/numpy
+    codec in ``analysis.codecs`` — no audio library needed.  Emits sample
+    geometry plus rms/peak (scaled ×32768 and rounded to integers so the
+    values are exact for PCM-derived fixtures and portable to an integer
+    SQL oracle) and the zero-crossing count.  Undecodable payloads degrade
+    to an ``err`` row, never a stage failure."""
+    from spider_spark.analysis import codecs
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_ref", "n_samples", "sample_rate", "n_channels",
+                "rms_x32768", "peak_x32768", "zero_crossings", "err")}
+            for ref, b in zip(pdf[ref_col].astype(str), pdf[payload_col]):
+                out["media_ref"].append(ref)
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    x, rate = codecs.decode_wav(bytes(b))
+                    f = codecs.audio_features(x, rate)
+                    out["n_samples"].append(f["n_samples"])
+                    out["sample_rate"].append(f["sample_rate"])
+                    out["n_channels"].append(f["n_channels"])
+                    out["rms_x32768"].append(round(f["rms"] * 32768))
+                    out["peak_x32768"].append(round(f["peak"] * 32768))
+                    out["zero_crossings"].append(f["zero_crossings"])
+                    out["err"].append(None)
+                except (ValueError, struct.error, IndexError) as e:
+                    for k in ("n_samples", "sample_rate", "n_channels",
+                              "rms_x32768", "peak_x32768", "zero_crossings"):
+                        out[k].append(None)
+                    out["err"].append(str(e)[:200])
+            yield pd.DataFrame(
+                {
+                    "media_ref": out["media_ref"],
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int32"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="Int32"),
+                    "rms_x32768": pd.Series(out["rms_x32768"], dtype="Int64"),
+                    "peak_x32768": pd.Series(out["peak_x32768"], dtype="Int64"),
+                    "zero_crossings": pd.Series(
+                        out["zero_crossings"], dtype="Int64"
+                    ),
+                    "err": pd.Series(out["err"], dtype=object),
+                }
+            )
+
+    return df.select(ref_col, payload_col).mapInPandas(
+        decode, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def sample_video_frames(
+    df: DataFrame,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    stride: int = 1,
+    limit: int | None = None,
+) -> DataFrame:
+    """Frame sampling over seekable frame containers (one output row per
+    sampled frame) via mapInPandas.
+
+    The container's index-first layout (``codecs.encode_frames``) means
+    stride sampling touches only the sampled frames' byte ranges — the
+    seek-not-scan property a real video container needs at 100 TB.  Each
+    sampled frame is decoded with the pure-numpy image codecs; ``mean_pix``
+    is the rounded mean pixel value (exact for the solid-color fixtures).
+    Explodes rows, so output cardinality is sum(ceil(n_frames/stride))."""
+    from spider_spark.analysis import codecs
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf[ref_col].astype(str), pdf[payload_col]):
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    for idx, ts, fb in codecs.sample_frames(
+                        bytes(b), stride=stride, limit=limit
+                    ):
+                        img = codecs.decode_any(fb)
+                        rows.append(
+                            (ref, idx, round(ts * 1000), img.shape[1],
+                             img.shape[0], round(float(img.mean())), None)
+                        )
+                except (ValueError, struct.error, IndexError) as e:
+                    rows.append(
+                        (ref, None, None, None, None, None, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "frame_idx", "ts_milli", "width", "height",
+                    "mean_pix", "err",
+                ],
+            ).astype(
+                {
+                    "frame_idx": "Int32", "ts_milli": "Int64",
+                    "width": "Int32", "height": "Int32", "mean_pix": "Int64",
+                }
+            )
+
+    return df.select(ref_col, payload_col).mapInPandas(
+        sample, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def resize_image_features(
+    df: DataFrame,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """REAL decode → nearest-neighbor resize → 2×2 block-mean features.
+
+    The resize is pure numpy index math (``codecs.resize_nearest``,
+    half-pixel-center sampling).  Features are the four 2×2-grid cell means
+    averaged over channels, scaled back to 0..255 integers (exact for
+    r=g=b payloads, rounded otherwise) so a SQL oracle can recompute them."""
+    from spider_spark.analysis import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf[ref_col].astype(str), pdf[payload_col]):
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    img = codecs.decode_any(bytes(b))
+                    r = codecs.resize_nearest(img, width, height)
+                    f = codecs.block_mean_features(r, 2).reshape(2, 2, 3)
+                    cell = [
+                        round(float(f[i, j].mean()) * 255.0)
+                        for i in (0, 1)
+                        for j in (0, 1)
+                    ]
+                    rows.append(
+                        (ref, img.shape[1], img.shape[0], width, height,
+                         cell[0], cell[1], cell[2], cell[3], None)
+                    )
+                except (ValueError, struct.error, IndexError) as e:
+                    rows.append(
+                        (ref, None, None, None, None, None, None, None, None,
+                         str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "orig_width", "orig_height", "width",
+                    "height", "f00", "f01", "f10", "f11", "err",
+                ],
+            ).astype(
+                {
+                    "orig_width": "Int32", "orig_height": "Int32",
+                    "width": "Int32", "height": "Int32", "f00": "Int64",
+                    "f01": "Int64", "f10": "Int64", "f11": "Int64",
+                }
+            )
+
+    return df.select(ref_col, payload_col).mapInPandas(
+        run, schema=RESIZED_FEATURE_SCHEMA
+    )

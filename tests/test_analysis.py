@@ -238,3 +238,106 @@ def test_text_ops_deterministic(docs):
     assert fp1["d1"] == fp1["d2"] == fp1["d5"]
     toks = {r["doc_id"]: r["ws_tokens"] for r in T.token_count(docs).collect()}
     assert toks["d1"] == 9
+
+
+def test_audio_codec_and_features(spark):
+    """WAV encode→decode round-trips (16-bit stereo + 8-bit mono, extra
+    RIFF chunks tolerated), features are exact for the square-wave
+    fixture, and the Spark operator degrades corrupt payloads to err."""
+    import numpy as np
+
+    from spider_spark.analysis import codecs as C
+    from spider_spark.analysis import multimodal as M
+
+    # 16-bit stereo round trip
+    rng = np.random.RandomState(3)
+    st = rng.randint(-32768, 32768, size=(50, 2)).astype(np.int16)
+    x, rate = C.decode_wav(C.encode_wav(st, 44100))
+    assert rate == 44100 and x.shape == (50, 2)
+    assert np.allclose(x, st.astype(np.float32) / 32768.0)
+
+    # extra chunk between fmt and data is skipped by the chunk walker
+    wav = C.encode_wav(np.array([1000, -1000] * 4, np.int16), 8000)
+    spliced = wav[:36] + b"LIST\x04\x00\x00\x00abcd" + wav[36:]
+    x2, _ = C.decode_wav(spliced)
+    assert x2.shape[0] == 8
+
+    rows = [
+        ("wav://sq", bytearray(C.encode_wav(
+            np.array([2048, -2048] * 8, np.int16), 8000))),
+        ("wav://bad", bytearray(b"RIFFxxxxWAVE")),
+        ("wav://null", None),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {r["media_ref"]: r for r in M.decode_audio_features(df).collect()}
+    sq = out["wav://sq"]
+    assert (sq["n_samples"], sq["sample_rate"], sq["n_channels"]) == (16, 8000, 1)
+    assert sq["rms_x32768"] == 2048 == sq["peak_x32768"]
+    assert sq["zero_crossings"] == 15 and sq["err"] is None
+    assert out["wav://bad"]["err"] is not None
+    assert out["wav://null"]["err"] == "null payload"
+
+
+def test_frame_container_seek_and_sampling(spark):
+    """The SSVF container's index-first layout yields correct offsets, and
+    stride sampling through Spark returns exactly the strided frames with
+    decoded dimensions and timestamps."""
+    import numpy as np
+
+    from spider_spark.analysis import codecs as C
+    from spider_spark.analysis import multimodal as M
+
+    frames = [
+        C.encode_ppm(np.full((2, 3, 3), 10 * i, np.uint8)) for i in range(5)
+    ]
+    blob = C.encode_frames(frames, fps=4.0)
+    n, fps, offs = C.frame_container_info(blob)
+    assert (n, fps) == (5, 4.0)
+    # offsets really address each frame's bytes
+    for i, (off, size) in enumerate(offs):
+        assert blob[off : off + size] == frames[i]
+    assert [i for i, _, _ in C.sample_frames(blob, stride=2)] == [0, 2, 4]
+    assert [i for i, _, _ in C.sample_frames(blob, stride=2, limit=2)] == [0, 2]
+
+    df = spark.createDataFrame(
+        [("vid://a", bytearray(blob)), ("vid://bad", bytearray(b"nope"))],
+        "media_ref string, payload binary",
+    )
+    rows = M.sample_video_frames(df, stride=2).collect()
+    good = sorted(
+        [r for r in rows if r["media_ref"] == "vid://a"],
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["ts_milli"], r["width"], r["height"], r["mean_pix"])
+            for r in good] == [(0, 0, 3, 2, 0), (2, 500, 3, 2, 20), (4, 1000, 3, 2, 40)]
+    (bad,) = [r for r in rows if r["media_ref"] == "vid://bad"]
+    assert bad["err"] is not None and bad["frame_idx"] is None
+
+
+def test_resize_nearest_and_operator(spark):
+    """Nearest resize follows the half-pixel-center rule (left/right split
+    maps to exact halves) and the operator emits exact cell means."""
+    import numpy as np
+
+    from spider_spark.analysis import codecs as C
+    from spider_spark.analysis import multimodal as M
+
+    img = np.empty((6, 10, 3), np.uint8)
+    img[:, :5], img[:, 5:] = 30, 200
+    r = C.resize_nearest(img, 4, 4)
+    assert r.shape == (4, 4, 3)
+    assert (r[:, :2] == 30).all() and (r[:, 2:] == 200).all()
+    # upscale also works
+    up = C.resize_nearest(img, 20, 12)
+    assert up.shape == (12, 20, 3)
+
+    df = spark.createDataFrame(
+        [("img://s", bytearray(C.encode_ppm(img))), ("img://bad", None)],
+        "media_ref string, payload binary",
+    )
+    out = {r["media_ref"]: r
+           for r in M.resize_image_features(df, width=4, height=4).collect()}
+    s = out["img://s"]
+    assert (s["orig_width"], s["orig_height"]) == (10, 6)
+    assert (s["f00"], s["f01"], s["f10"], s["f11"]) == (30, 200, 30, 200)
+    assert out["img://bad"]["err"] == "null payload"
