@@ -875,6 +875,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, num_hashes=16, bands=8, shingle_w=2
         )
 
+    def dedup_clusters(spark, sf):
+        # pairs -> transitive closure -> canonical cluster per doc; the
+        # Spark side iterates min-label propagation (O(diameter) bounded
+        # jobs), the oracle closes the same graph with a recursive CTE
+        docs = _t(spark, sf, "documents")
+        return D.duplicate_clusters(
+            docs, num_hashes=16, bands=8, shingle_w=2
+        )
+
     def dedup_simhash(spark, sf):
         docs = _t(spark, sf, "documents")
         return D.simhash_near_duplicates(docs, max_hamming=8)
@@ -1070,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pregroup": dedup_minhash_pregroup,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1239,6 +1249,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", num_hashes=16, bands=8, shingle_w=2
         ),
         "dedup_minhash_pregroup": O.minhash_lsh_pregroup_sql(
+            "documents", num_hashes=16, bands=8, shingle_w=2
+        ),
+        "dedup_clusters": O.duplicate_clusters_sql(
             "documents", num_hashes=16, bands=8, shingle_w=2
         ),
         "dedup_simhash": O.simhash_pairs_sql("documents", max_hamming=8),

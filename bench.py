@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "multimodal_audio",   # real WAV decode via Arrow-batched mapInPandas
+    "multimodal_frames",  # seekable frame-container stride sampling
 ]
 
 

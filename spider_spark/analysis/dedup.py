@@ -404,3 +404,102 @@ def ngram_jaccard(
         .drop("g_l", "g_r")
     )
     return out
+
+
+# ------------------------------------------------- duplicate clustering
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_l", dst: str = "id_r", max_iters: int = 25
+) -> DataFrame:
+    """Minimum-label-propagation connected components over an undirected
+    edge list: (node, comp) for every node appearing in an edge, comp =
+    the component's minimum node id.
+
+    Each round is one join + one min-groupBy (both shuffle on the node
+    key) and labels only ever decrease, so the loop converges in
+    O(component diameter) rounds — near-dup clusters are shallow, so this
+    is 2-4 bounded jobs in practice. localCheckpoint truncates per-round
+    lineage (same reasoning as operators/expand.py: N rounds must stay N
+    bounded jobs, not an N-deep re-executing plan). The hard ``max_iters``
+    cap turns a pathological chain into an explicit error instead of
+    silently wrong labels."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "_new")
+            .join(labels, "node")
+            .where(F.col("_new") < F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """Duplicate-cluster resolution: candidate pairs → transitive closure
+    → (doc_id, cluster_id, cluster_size). cluster_id is the cluster's
+    minimum doc_id (its canonical representative — keep rows where
+    doc_id == cluster_id to dedup a corpus).
+
+    Scale path end to end: the banded LSH join runs over
+    exact-fingerprint representatives (one row per distinct text — a
+    mega-cluster of identical documents never pairs quadratically), the
+    component labels propagate over that representative graph, and every
+    exact-duplicate member inherits its representative's component via one
+    fingerprint join. Singleton documents keep their own id as
+    cluster_id."""
+    reps = exact_representatives(df, text_col, id_col)
+    pairs = minhash_lsh_candidates(
+        reps,
+        text_col=text_col,
+        id_col="doc_id",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_w=shingle_w,
+    )
+    cc = connected_components(pairs, "id_l", "id_r")
+    rep_comp = (
+        reps.join(cc, reps["doc_id"] == cc["node"], "left")
+        .select("fp", F.coalesce("comp", "doc_id").alias("cluster_id"))
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    members = df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+    assigned = members.join(rep_comp, "fp").select("doc_id", "cluster_id")
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

@@ -385,3 +385,49 @@ def ann_topk_lsh_sql(
       ORDER BY cos_r DESC, vec_id
       LIMIT {k})
     """
+
+
+def duplicate_clusters_sql(
+    table: str = "documents",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_w: int = 2,
+) -> str:
+    """Independent replica of analysis/dedup.duplicate_clusters: the same
+    pre-grouped LSH candidate pairs, closed transitively with a recursive
+    CTE (enumerate every (node, reachable-id) pair, take the min — fine at
+    oracle scale), members inheriting their representative's component via
+    the fingerprint."""
+    lsh = minhash_lsh_sql(
+        reps_subquery(table) + "reps", num_hashes, bands, shingle_w
+    ).strip()
+    return f"""
+    WITH RECURSIVE cand AS ({lsh}),
+    edges AS (
+      SELECT id_l AS a, id_r AS b FROM cand
+      UNION
+      SELECT id_r, id_l FROM cand
+    ),
+    reach(node, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    repmap AS (
+      SELECT s.fp, coalesce(c.comp, s.doc_id) AS cluster_id
+      FROM {reps_subquery(table)} s LEFT JOIN cc c ON c.node = s.doc_id
+    ),
+    members AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM {table}
+    ),
+    assigned AS (
+      SELECT m.doc_id, r.cluster_id FROM members m JOIN repmap r ON m.fp = r.fp
+    )
+    SELECT a.doc_id, a.cluster_id, s.cluster_size
+    FROM assigned a
+    JOIN (SELECT cluster_id, count(*) AS cluster_size
+          FROM assigned GROUP BY 1) s USING (cluster_id)
+    """

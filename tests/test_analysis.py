@@ -341,3 +341,38 @@ def test_resize_nearest_and_operator(spark):
     assert (s["orig_width"], s["orig_height"]) == (10, 6)
     assert (s["f00"], s["f01"], s["f10"], s["f11"]) == (30, 200, 30, 200)
     assert out["img://bad"]["err"] == "null payload"
+
+
+def test_connected_components_and_clusters(spark):
+    """Min-label CC merges transitive chains, caps on non-convergence, and
+    duplicate_clusters assigns canonical min-id clusters with exact-dup
+    members inheriting their representative's component."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], "id_l long, id_r long"
+    )
+    cc = {r["node"]: r["comp"]
+          for r in D.connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_l long, id_r long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(chain, max_iters=1)
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),      # exact dup of 1
+        (3, "alpha beta gamma delta zeta"),          # near dup of 1
+        (4, "unrelated totally different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.duplicate_clusters(
+        docs, num_hashes=16, bands=8, shingle_w=2).collect()}
+    assert len(out) == 4
+    # 1,2 share a fingerprint; 3 is LSH-linked to their representative
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[3]["cluster_id"] == 1 and out[1]["cluster_size"] == 3
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
