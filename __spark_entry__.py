@@ -1032,6 +1032,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MF.synth_split_image(ev), width=4, height=4
         )
 
+    def events_sessionize(spark, sf):
+        # gap-based sessionization: lag + running sum over one (user, ts)
+        # window partitioning — a single Exchange+Sort at any scale
+        from spider_spark.analysis import sessions as SS
+
+        ev = _t(spark, sf, "events")
+        return SS.sessionize(ev, gap_minutes=30).select(
+            "event_id", "user_id", "session_seq"
+        )
+
+    def events_session_stats(spark, sf):
+        # the built-in F.session_window gap window; the oracle is the
+        # classic lag/cumsum SQL, pinning the built-in's merge semantics
+        from spider_spark.analysis import sessions as SS
+
+        ev = _t(spark, sf, "events")
+        return SS.session_stats(ev, gap_minutes=30)
+
+    def sample_stratified_q(spark, sf):
+        # deterministic per-(lang, source) sample: md5-order row_number,
+        # WindowGroupLimit prunes to n per partition before the sort
+        from spider_spark.analysis import sampling as SA
+
+        docs = _t(spark, sf, "documents")
+        return SA.sample_stratified(docs, n_per_stratum=5).withColumn(
+            "sample_rank", F.col("sample_rank").cast("long")
+        )
+
+    def doc_length_stats(spark, sf):
+        # exact per-lang length quantiles (percentile == quantile_cont)
+        from spider_spark.analysis import sampling as SA
+
+        docs = _t(spark, sf, "documents")
+        return SA.length_stats(docs)
+
+    def pipeline_clean_corpus(spark, sf):
+        # the composed corpus-cleaning pipeline: lang/token/punct gates +
+        # near-dup cluster resolution, canonical docs only — one plan,
+        # one SQL oracle for the whole composition
+        from spider_spark.analysis import pipeline as P
+
+        docs = _t(spark, sf, "documents")
+        return P.clean_corpus(docs, num_hashes=16, bands=8, shingle_w=2)
+
     return {
         "r1_seed_scan": r1_seed_scan,
         "r5_inflight_dedup": r5_inflight_dedup,
@@ -1089,11 +1133,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": multimodal_audio,
         "multimodal_frames": multimodal_frames,
         "multimodal_resize": multimodal_resize,
+        "events_sessionize": events_sessionize,
+        "events_session_stats": events_session_stats,
+        "sample_stratified": sample_stratified_q,
+        "doc_length_stats": doc_length_stats,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import oracles as O
+    from spider_spark.analysis import sampling as SA
+    from spider_spark.analysis import sessions as SS
     from spider_spark.analysis import similarity as S
 
     url = _URL_SQL
@@ -1325,6 +1376,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS err
             FROM events
         """,
+        "events_sessionize": SS.sessionize_sql("events", gap_minutes=30),
+        "events_session_stats": SS.session_stats_sql(
+            "events", gap_minutes=30
+        ),
+        "sample_stratified": SA.sample_stratified_sql(
+            "documents", n_per_stratum=5
+        ),
+        "doc_length_stats": SA.length_stats_sql("documents"),
+        "pipeline_clean_corpus": O.clean_corpus_sql(
+            "documents", num_hashes=16, bands=8, shingle_w=2
+        ),
         "r2_host_extract": f"""
             SELECT regexp_extract({url}, '^[a-z]+://([^/?#]+)', 1) AS host,
                    count(*) AS n_urls

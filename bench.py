@@ -47,6 +47,8 @@ HEADLINE = [
     "ann_topk_ivf",
     "multimodal_audio",   # real WAV decode via Arrow-batched mapInPandas
     "multimodal_frames",  # seekable frame-container stride sampling
+    "events_sessionize",      # gap sessionization (lag/cumsum window)
+    "pipeline_clean_corpus",  # composed gates + near-dup cluster dedup
 ]
 
 

@@ -431,3 +431,64 @@ def duplicate_clusters_sql(
     JOIN (SELECT cluster_id, count(*) AS cluster_size
           FROM assigned GROUP BY 1) s USING (cluster_id)
     """
+
+
+def _stop_hits_sql(words) -> str:
+    return " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') "
+        "THEN 1 ELSE 0 END"
+        for w in words
+    )
+
+
+def clean_kept_subquery(
+    table: str = "documents",
+    min_ws_tokens: int = 5,
+    max_punct_pct: int = 10,
+) -> str:
+    """Parenthesized-subquery of the gated corpus — the DuckDB mirror of
+    analysis/pipeline.clean_corpus's ``kept`` stage (lang-ID gate,
+    whitespace-token floor, integer punctuation ceiling). Stopword lists
+    come from analysis/text.py so the two engines can't drift."""
+    from spider_spark.analysis.text import DE_STOPS, EN_STOPS, ES_STOPS
+
+    en, de, es = (_stop_hits_sql(w) for w in (EN_STOPS, DE_STOPS, ES_STOPS))
+    return f"""(
+      SELECT doc_id, text, lang_guess, bpe_tokens FROM (
+        SELECT doc_id, text,
+          CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+               WHEN de >= es AND de > 0 THEN 'de'
+               WHEN es > 0 THEN 'es'
+               ELSE 'unknown' END AS lang_guess,
+          len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+          len(regexp_extract_all(text,
+              '[A-Za-z]{{1,4}}|[0-9]+|[^\\sA-Za-z0-9]'))::BIGINT AS bpe_tokens,
+          length(text) AS n,
+          length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np
+        FROM (SELECT doc_id, text,
+                     ({en}) AS en, ({de}) AS de, ({es}) AS es
+              FROM {table}))
+      WHERE lang_guess <> 'unknown'
+        AND ws_tokens >= {min_ws_tokens}
+        AND (n - np) * 100 <= n * {max_punct_pct}) """
+
+
+def clean_corpus_sql(
+    table: str = "documents",
+    min_ws_tokens: int = 5,
+    max_punct_pct: int = 10,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_w: int = 2,
+) -> str:
+    """Replica of analysis/pipeline.clean_corpus: gate, then resolve
+    near-dup clusters among the survivors (the full recursive-CTE
+    closure as a derived table), keep canonical docs only."""
+    kept = clean_kept_subquery(table, min_ws_tokens, max_punct_pct)
+    dc = duplicate_clusters_sql(kept, num_hashes, bands, shingle_w)
+    return f"""
+    SELECT k.doc_id, k.lang_guess, k.bpe_tokens, dc.cluster_size
+    FROM ({dc}) dc
+    JOIN {kept} k ON k.doc_id = dc.doc_id
+    WHERE dc.doc_id = dc.cluster_id
+    """

@@ -1,0 +1,149 @@
+"""Sessionization, stratified sampling, length stats, clean-corpus
+pipeline — hand-computable fixtures plus the session_window ≡ lag/cumsum
+equivalence that the driver oracle relies on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.analysis import pipeline as P
+from spider_spark.analysis import sampling as SA
+from spider_spark.analysis import sessions as SS
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        # user 1: gap of exactly 30min MERGES (session_window ranges
+        # touch); one microsecond past the gap starts a new session
+        (1, 1, _ts(0), "a"),
+        (2, 1, _ts(10), "b"),
+        (3, 1, _ts(40), "a"),             # exactly 30min after #2: merges
+        (7, 1, _ts(10, 0, 1) + dt.timedelta(hours=1), "b"),  # > gap: new
+        # user 2: one session, gap just under threshold
+        (4, 2, _ts(0), "a"),
+        (5, 2, _ts(29, 59, 999999), "a"),
+        # user 3: singleton
+        (6, 3, _ts(5), "c"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+
+
+def test_sessionize_gap_rule(spark, events):
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in SS.sessionize(events, gap_minutes=30).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 7: 2, 4: 1, 5: 1, 6: 1}
+
+
+def test_session_stats_matches_cumsum_labels(spark, events):
+    """F.session_window groups must be exactly the lag/cumsum sessions:
+    same (user, n_events) multiset, same starts and durations."""
+    stats = {
+        (r["user_id"], r["session_start_us"]): r
+        for r in SS.session_stats(events, gap_minutes=30).collect()
+    }
+    base = 1_704_067_200_000_000  # 2024-01-01T00:00:00 naive epoch us
+    assert len(stats) == 4
+    s10 = stats[(1, base)]
+    assert s10["n_events"] == 3  # exact-gap event merged in
+    assert s10["duration_us"] == 40 * 60_000_000
+    assert s10["n_types"] == 2
+    s12 = stats[(1, base + 70 * 60_000_000 + 1)]  # _ts micro=1
+    assert s12["n_events"] == 1 and s12["duration_us"] == 0
+    s2 = stats[(2, base)]
+    assert s2["n_events"] == 2
+    assert s2["duration_us"] == 30 * 60_000_000 - 1  # 29:59.999999
+
+
+def test_session_window_equiv_on_random_events(spark):
+    """Property: built-in session_window sessions == cumsum labeling on a
+    deterministic pseudo-random event set (hash-derived timestamps)."""
+    ev = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_micros(
+            (F.xxhash64(F.col("id")) % 86_400_000_000)
+            + F.lit(1_700_000_000_000_000)
+        ).cast("timestamp_ntz").alias("ts"),
+        F.lit("t").alias("event_type"),
+    )
+    lab = SS.sessionize(ev, gap_minutes=30)
+    manual = (
+        lab.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    builtin = (
+        SS.session_stats(ev, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    a = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in manual.collect()}
+    b = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in builtin.collect()}
+    assert a == b
+
+
+def test_sample_stratified_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "web") for i in range(50)],
+        "doc_id long, lang string, source string",
+    )
+    s1 = SA.sample_stratified(docs, n_per_stratum=3)
+    rows1 = sorted((r["lang"], r["doc_id"], r["sample_rank"]) for r in s1.collect())
+    rows2 = sorted(
+        (r["lang"], r["doc_id"], r["sample_rank"])
+        for r in SA.sample_stratified(docs, n_per_stratum=3).collect()
+    )
+    assert rows1 == rows2  # same sample every run
+    per = {}
+    for lang, _, rk in rows1:
+        per.setdefault(lang, []).append(rk)
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
+
+
+def test_length_stats_exact_percentiles(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", i * 10) for i in range(1, 12)],  # 10..110
+        "doc_id long, lang string, n_chars long",
+    )
+    row = SA.length_stats(docs).collect()[0]
+    assert row["n_docs"] == 11 and row["p50"] == 60.0
+    assert row["p90"] == 100.0  # index 0.9*10 = 9 exactly
+    assert row["p99"] == 109.0  # interpolated between 100 and 110
+
+
+def test_clean_corpus_gates_and_dedup(spark):
+    rows = [
+        (1, "the cat and the dog is of the house to stay"),   # en, kept
+        (2, "the cat and the dog is of the house to stay"),   # exact dup
+        (3, "the cat and the dog is of the house to stay now"),  # near dup
+        (4, "zzz qqq vvv www xxx yyy"),                       # unknown lang
+        (5, "the and of !!! ??? ;;; ***"),                    # punct-heavy
+        (6, "the of"),                                        # too short
+        (7, "der hund und die katze ist nicht hier heute"),   # de, kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.clean_corpus(
+        docs, num_hashes=16, bands=8, shingle_w=2).collect()}
+    # doc 1 canonical for the {1,2,3} cluster; 7 its own; gates drop 4,5,6
+    assert set(out) == {1, 7}
+    assert out[1]["cluster_size"] == 3 and out[1]["lang_guess"] == "en"
+    assert out[7]["cluster_size"] == 1 and out[7]["lang_guess"] == "de"
