@@ -1,0 +1,104 @@
+"""Stateful streaming operators: watermarked session windows and a
+custom applyInPandasWithState accumulator.
+
+Two classes of state the built-in file-source topology in ingest.py
+doesn't cover:
+
+  - ``streaming_session_stats``: the SAME gap-session aggregation as
+    analysis/sessions.session_stats, but on an unbounded stream — a
+    watermark bounds how late events may arrive, and a session is
+    emitted (append mode) once the watermark passes its close. State
+    per in-flight session only, so state size tracks concurrent users,
+    not history.
+  - ``running_host_totals``: a custom stateful operator via
+    ``applyInPandasWithState`` — cumulative per-host fetch counts
+    across micro-batches (the live analogue of the batch R6 visit
+    counting). Arrow-batched: the state handle holds one counter per
+    host; each micro-batch adds its Arrow chunk sizes. This is the
+    template for any custom crawl state the built-ins can't express
+    (token-bucket politeness, per-host error EWMA, ...).
+
+Both run identically under ``Trigger.AvailableNow`` for deterministic
+catch-up (how the tests pin them to their batch equivalents).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from spider_spark.analysis.sessions import _us
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked gap-session aggregation; schema-identical to the
+    batch analysis/sessions.session_stats. In append mode a session row
+    lands once the watermark (max event time seen, minus the allowed
+    lateness) passes the session's close — i.e. only finalized sessions
+    are ever emitted, which is exactly the semantics a training-data
+    consumer wants (no retractions)."""
+    gap = f"{gap_minutes} minutes"
+    # Watermarks only accept TIMESTAMP (not NTZ): keep the portable
+    # microsecond clock derived from the NTZ wall time, and cast a
+    # separate column for the watermark/session grouping. The cast is a
+    # constant offset (session tz), so session grouping is unchanged —
+    # unless the session timezone has DST folds; run streams under UTC.
+    return (
+        events.withColumn("_ts_us", _us(ts_col))
+        .withColumn("_ts_wm", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts_wm", watermark)
+        .groupBy(user_col, F.session_window("_ts_wm", gap))
+        .agg(
+            F.min("_ts_us").alias("session_start_us"),
+            F.count("*").alias("n_events"),
+            (F.max("_ts_us") - F.min("_ts_us")).alias("duration_us"),
+            # countDistinct is not supported in streaming aggregations;
+            # size(collect_set) is the exact equivalent with state
+            # bounded by type cardinality
+            F.size(F.collect_set(type_col)).cast("long").alias("n_types"),
+        )
+        .select(
+            user_col, "session_start_us", "n_events", "duration_us", "n_types"
+        )
+    )
+
+
+def _host_totals_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    total = state.get[0] if state.exists else 0
+    batch = 0
+    for pdf in pdfs:
+        batch += len(pdf)
+    total += batch
+    state.update((total,))
+    yield pd.DataFrame(
+        {"host": [key[0]], "n_total": [total], "n_batch": [batch]}
+    )
+
+
+def running_host_totals(order: DataFrame, host_col: str = "host") -> DataFrame:
+    """Cumulative per-host fetch counts across micro-batches (update
+    mode: one row per host per micro-batch that touched it, carrying
+    the running total). State is a single int64 per host — bounded by
+    host cardinality, not crawl length."""
+    return order.groupBy(host_col).applyInPandasWithState(
+        _host_totals_fn,
+        outputStructType="host string, n_total long, n_batch long",
+        stateStructType="n_total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -132,3 +132,26 @@ def test_flagship_entry_plan(spark):
     plan = plan_str(spark, df)
     assert "LeftAnti" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window functions (lag + running sum) share one (user) hash
+    partitioning and one sort — a second Exchange would mean the two
+    windows failed to reuse the shuffle."""
+    plan = plan_str(spark, q(spark, "events_sessionize"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort") == 1, plan
+
+
+def test_sample_stratified_is_window_group_limit(spark):
+    plan = plan_str(spark, q(spark, "sample_stratified"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_clean_corpus_filters_pushed_to_scan(spark):
+    """The integer punct/length gates are scan-level filters on documents
+    (text IS NOT NULL pushes; the rest stay in the codegen Filter right
+    above the scan, never after a shuffle)."""
+    plan = plan_str(spark, q(spark, "pipeline_clean_corpus"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
