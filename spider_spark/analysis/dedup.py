@@ -416,14 +416,18 @@ def connected_components(
     edge list: (node, comp) for every node appearing in an edge, comp =
     the component's minimum node id.
 
-    Each round is one join + one min-groupBy (both shuffle on the node
-    key) and labels only ever decrease, so the loop converges in
+    Each round is one propagation join + one min-groupBy (both shuffle on
+    the node key) and labels only ever decrease, so the loop converges in
     O(component diameter) rounds — near-dup clusters are shallow, so this
-    is 2-4 bounded jobs in practice. localCheckpoint truncates per-round
-    lineage (same reasoning as operators/expand.py: N rounds must stay N
-    bounded jobs, not an N-deep re-executing plan). The hard ``max_iters``
-    cap turns a pathological chain into an explicit error instead of
-    silently wrong labels."""
+    is 2-4 bounded jobs in practice. Change detection rides the same
+    aggregation: every node carries its previous label as ``_old`` (null
+    on propagated rows; max() picks the one non-null per node), so
+    "anything changed?" is a filter-count over the just-checkpointed
+    round output — no second join, no extra shuffle. localCheckpoint
+    truncates per-round lineage (same reasoning as operators/expand.py:
+    N rounds must stay N bounded jobs, not an N-deep re-executing plan).
+    The hard ``max_iters`` cap turns a pathological chain into an explicit
+    error instead of silently wrong labels."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -436,23 +440,22 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    comp_t = labels.schema["comp"].dataType
     for _ in range(max_iters):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("comp")
+            F.col("b").alias("node"),
+            F.col("comp"),
+            F.lit(None).cast(comp_t).alias("_old"),
         )
         new = (
-            labels.unionByName(prop)
+            labels.withColumn("_old", F.col("comp"))
+            .unionByName(prop)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("_old").alias("_old"))
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("comp", "_new")
-            .join(labels, "node")
-            .where(F.col("_new") < F.col("comp"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("comp") < F.col("_old")).count()
+        labels = new.drop("_old")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -164,6 +164,7 @@ def fifo_rank(
     key_cols: tuple = ("phost", "prn", "url"),
     out: str = "rank",
     dedup: bool = False,
+    impl: str = "window",
 ) -> DataFrame:
     """Exact per-host FIFO rank (1-based), skew-proof.
 
@@ -185,13 +186,25 @@ def fifo_rank(
     unique per row, so the composed rank equals the single-window rank
     exactly — determinism and FIFO order are preserved.
 
-    ``d`` embeds ``spark_partition_id()`` on top of a sampling-based range
-    partitioning and is consumed TWICE (counts/offsets, and the join probe
-    side); correctness requires both consumers to read the same partition
-    assignment, so ``d`` is persisted here — one materialization, not an
-    exchange-reuse accident. The cache handle rides on the returned
-    DataFrame as ``_fifo_rank_cache`` for the caller to unpersist once the
-    result is materialized.
+    ``impl`` picks how step 2 is computed; both produce identical output:
+
+      - ``"window"``: ``row_number`` over (_pid, host). Simple, but the
+        window's required clustering forces a SECOND full-data hash
+        exchange + sort after the range exchange (Catalyst cannot prove
+        range-partitioning on (host, keys…) clusters (_pid, host)).
+      - ``"arrow"``: partition-local sort (no exchange) + an Arrow-batched
+        cumulative count per host run (``mapInPandas``; vectorized
+        groupby-cumcount with a carry dict across batches of the same
+        partition — no per-row Python). One wide exchange total instead
+        of two; the trade is one Arrow round-trip of the compact rows.
+
+    The intermediate embeds ``spark_partition_id()`` on top of a
+    sampling-based range partitioning and is consumed TWICE (counts/
+    offsets, and the join probe side); correctness requires both consumers
+    to read the same partition assignment, so it is persisted here — one
+    materialization, not an exchange-reuse accident. The cache handle
+    rides on the returned DataFrame as ``_fifo_rank_cache`` for the caller
+    to unpersist once the result is materialized.
     """
     d = df.repartitionByRange(num_partitions, host_col, *key_cols)
     if dedup:
@@ -200,10 +213,19 @@ def fifo_rank(
         # exchange — a fused set-dedup, not an extra shuffle (callers
         # previously paid a separate distinct() exchange for the same set)
         d = d.dropDuplicates([host_col, *key_cols])
-    d = d.withColumn("_pid", F.spark_partition_id()).persist()
-    w_local = Window.partitionBy("_pid", host_col).orderBy(*key_cols)
-    ranked = d.withColumn("_lrank", F.row_number().over(w_local))
-    counts = d.groupBy("_pid", host_col).agg(F.count("*").alias("_n"))
+    if impl == "arrow":
+        ranked = _local_rank_arrow(d, host_col, key_cols).persist()
+        cache = ranked
+        counts_src = ranked
+    elif impl == "window":
+        d = d.withColumn("_pid", F.spark_partition_id()).persist()
+        w_local = Window.partitionBy("_pid", host_col).orderBy(*key_cols)
+        ranked = d.withColumn("_lrank", F.row_number().over(w_local))
+        cache = d
+        counts_src = d
+    else:
+        raise ValueError(f"unknown fifo_rank impl {impl!r}")
+    counts = counts_src.groupBy("_pid", host_col).agg(F.count("*").alias("_n"))
     w_off = (
         Window.partitionBy(host_col)
         .orderBy("_pid")
@@ -214,11 +236,42 @@ def fifo_rank(
     ).drop("_n")
     result = (
         ranked.join(F.broadcast(offsets), ["_pid", host_col])
-        .withColumn(out, F.col("_lrank") + F.col("_off"))
+        .withColumn(out, (F.col("_lrank") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrank", "_off")
     )
-    result._fifo_rank_cache = d
+    result._fifo_rank_cache = cache
     return result
+
+
+def _local_rank_arrow(d: DataFrame, host_col: str, key_cols: tuple) -> DataFrame:
+    """(d sorted within partitions by (host, keys)) + columns ``_pid`` and
+    ``_lrank`` — the per-(partition, host) 1-based rank — computed without
+    any exchange: sortWithinPartitions is partition-local, and the rank is
+    a vectorized cumulative count streamed over each partition's Arrow
+    batches (a dict of per-host counts carries across batch boundaries;
+    ``Series.map(dict)`` keeps the carry lookup in pandas C code)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    s = d.sortWithinPartitions(host_col, *key_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    out_schema = StructType(
+        s.schema.fields + [StructField("_lrank", LongType(), False)]
+    )
+
+    def _rank(batches):
+        carry: dict = {}
+        for pdf in batches:
+            base = pdf.groupby(host_col, sort=False).cumcount().to_numpy() + 1
+            offs = (
+                pdf[host_col].map(carry).fillna(0).to_numpy(dtype="int64")
+            )
+            pdf["_lrank"] = base + offs
+            for h, c in pdf[host_col].value_counts().items():
+                carry[h] = carry.get(h, 0) + int(c)
+            yield pdf
+
+    return s.mapInPandas(_rank, schema=out_schema)
 
 
 def deferred_by_cutoff(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:

@@ -34,6 +34,34 @@ def test_fifo_rank_equals_single_window(spark):
     assert got == expect
 
 
+def test_fifo_rank_arrow_impl_identical(spark):
+    """impl='arrow' (partition-local sort + Arrow cumulative count, one
+    exchange) must equal impl='window' exactly — values, dtype, and the
+    dedup=True fused-set path."""
+    rng = random.Random(11)
+    rows = [
+        (f"h{rng.randrange(4)}", f"ph{rng.randrange(6)}", rng.randrange(500), f"u{i}")
+        for i in range(4000)
+    ]
+    schema = "thost string, phost string, prn int, url string"
+    dup_rows = rows + [("h0", "ph0", 7, "dup")] * 3  # exercised by dedup=True
+    for dedup in (False, True):
+        df = spark.createDataFrame(dup_rows if dedup else rows, schema)
+        base = df.dropDuplicates(["thost", "phost", "prn", "url"]) if dedup else df
+        w = Window.partitionBy("thost").orderBy("phost", "prn", "url")
+        expect = {
+            (r["thost"], r["url"], r["prn"]): r["rk"]
+            for r in base.withColumn("rk", F.row_number().over(w)).collect()
+        }
+        arrow = fifo_rank(df, 8, dedup=dedup, impl="arrow")
+        assert dict(arrow.dtypes)["rank"] == "bigint"
+        got = {
+            (r["thost"], r["url"], r["prn"]): r["rank"] for r in arrow.collect()
+        }
+        arrow._fifo_rank_cache.unpersist()
+        assert got == expect, f"dedup={dedup}"
+
+
 def test_schedule_topk_split(spark):
     rows = [(f"u{h}{i}", f"h{h}", i, False) for h in range(3) for i in range(10)]
     df = spark.createDataFrame(rows, "url string, host string, seq long, sm boolean")
