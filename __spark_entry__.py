@@ -125,6 +125,7 @@ def _with_url(events: DataFrame) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from spider_spark.analysis import cleaning as C
     from spider_spark.analysis import dedup as D
     from spider_spark.analysis import multimodal as M
     from spider_spark.analysis import similarity as S
@@ -849,6 +850,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return T.fingerprint(docs).select("doc_id", "fp")
 
+    def text_repetition(spark, sf):
+        # Gopher-style repetition signals (dup word/ngram/line fractions,
+        # top-bigram occupancy) over the raw word-soup text
+        docs = _t(spark, sf, "documents")
+        return C.repetition_stats(docs)
+
+    def text_gopher_filter(spark, sf):
+        # structural keep/drop gates over the deterministic multi-line
+        # rendering (line structure gives the bullet/ellipsis flags
+        # signal); booleans cast to int for bit-stable value hashing
+        docs = C.synth_multiline(_t(spark, sf, "documents"))
+        g = C.gopher_filter(docs, text_col="mtext")
+        flags = (
+            "f_words", "f_word_len", "f_symbols",
+            "f_bullets", "f_ellipsis", "f_stops", "keep",
+        )
+        return g.select(
+            "doc_id", "n_words",
+            *[F.col(c).cast("int").alias(c) for c in flags],
+        )
+
+    def text_c4_clean(spark, sf):
+        docs = C.synth_multiline(_t(spark, sf, "documents"))
+        return C.c4_line_clean(docs, text_col="mtext")
+
     def ann_cosine_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
@@ -1120,6 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text_token_count,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "text_repetition": text_repetition,
+        "text_gopher_filter": text_gopher_filter,
+        "text_c4_clean": text_c4_clean,
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pregroup": dedup_minhash_pregroup,
@@ -1661,6 +1690,15 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
         """,
+        "text_repetition": O.repetition_stats_sql("documents"),
+        "text_gopher_filter": (
+            f"WITH {O.synth_multiline_cte('documents')} "
+            + O.gopher_filter_sql("mdocs", text_col="mtext")
+        ),
+        "text_c4_clean": (
+            f"WITH {O.synth_multiline_cte('documents')} "
+            + O.c4_line_clean_sql("mdocs", text_col="mtext")
+        ),
         "dedup_embedding_cosine": """
             SELECT id_a, id_b, cos_sim FROM (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

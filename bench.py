@@ -49,6 +49,8 @@ HEADLINE = [
     "multimodal_frames",  # seekable frame-container stride sampling
     "events_sessionize",      # gap sessionization (lag/cumsum window)
     "pipeline_clean_corpus",  # composed gates + near-dup cluster dedup
+    "text_repetition",        # Gopher repetition signals (dup-ngram, top-bigram)
+    "text_c4_clean",          # C4 line-level cleaning over synthesized lines
 ]
 
 

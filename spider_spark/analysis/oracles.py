@@ -492,3 +492,168 @@ def clean_corpus_sql(
     JOIN {kept} k ON k.doc_id = dc.doc_id
     WHERE dc.doc_id = dc.cluster_id
     """
+
+
+# ----------------------------------------------- repetition / rule cleaning
+
+
+def synth_multiline_cte(
+    table: str = "documents", text_col: str = "text", words_per_line: int = 8
+) -> str:
+    """CTE chain ending in ``mdocs(doc_id, mtext)`` — the deterministic
+    multi-line re-rendering of analysis/cleaning.synth_multiline (same
+    closed-form line schedule: bare line every 3rd, '- ' bullet every 5th,
+    boilerplate marker every 7th-offset-3). DuckDB list slices are 1-based
+    inclusive, Spark ``slice`` is (1-based start, length) — both clamp at
+    the array end, so the partial last line agrees."""
+    w = words_per_line
+    toks = _TOKS.format(col=text_col)
+    return f"""
+    mtoks AS (
+      SELECT doc_id, {toks} AS t FROM {table}
+    ), mdocs AS (
+      SELECT doc_id, array_to_string(list_transform(
+        range(0, CAST(ceil(len(t) / {w}.0) AS INT)),
+        i -> CASE
+          WHEN i % 7 = 3 THEN 'see our cookie policy for details.'
+          ELSE concat(
+            CASE WHEN i % 5 = 0 THEN '- ' ELSE '' END,
+            array_to_string(t[i * {w} + 1 : i * {w} + {w}], ' '),
+            CASE WHEN i % 3 = 2 THEN '' ELSE '.' END)
+        END), chr(10)) AS mtext
+      FROM mtoks
+    )"""
+
+
+def repetition_stats_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    ngram_n: int = 3,
+) -> str:
+    """Replica of analysis/cleaning.repetition_stats: duplicate word /
+    n-gram / line fractions + count-based top-bigram occupancy."""
+    n = ngram_n
+    toks = _TOKS.format(col=text_col)
+    return f"""
+    WITH rt AS (
+      SELECT doc_id, {toks} AS t,
+             string_split({text_col}, chr(10)) AS ls
+      FROM {table}
+    ), rb AS (
+      SELECT doc_id, t, len(t) AS n_words,
+        CASE WHEN len(t) > 0
+             THEN round((len(t) - len(list_distinct(t))) / len(t), 6)
+             ELSE 0.0 END AS dup_word_frac,
+        CASE WHEN len(g) > 0
+             THEN round((len(g) - len(list_distinct(g))) / len(g), 6)
+             ELSE 0.0 END AS dup_ngram_frac,
+        CASE WHEN len(ls) > 0
+             THEN round((len(ls) - len(list_distinct(ls))) / len(ls), 6)
+             ELSE 0.0 END AS dup_line_frac
+      FROM (SELECT doc_id, t, ls,
+              CASE WHEN len(t) >= {n} THEN
+                list_transform(range(0, len(t) - {n} + 1),
+                  i -> array_to_string(t[i + 1 : i + {n}], ' '))
+              ELSE [] END AS g
+            FROM rt)
+    ), rbg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(range(0, len(t) - 1),
+            i -> t[i + 1] || ' ' || t[i + 2])
+        ELSE [] END) AS bg
+      FROM rt
+    ), rcnt AS (
+      SELECT doc_id, bg, count(*) AS c FROM rbg GROUP BY 1, 2
+    ), rtop AS (
+      SELECT doc_id, max(c) AS topc FROM rcnt GROUP BY 1
+    )
+    SELECT rb.doc_id, rb.n_words::BIGINT AS n_words,
+           rb.dup_word_frac, rb.dup_ngram_frac, rb.dup_line_frac,
+           round(CASE WHEN rb.n_words > 0
+                 THEN coalesce(rtop.topc, 0) * 2 / rb.n_words
+                 ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM rb LEFT JOIN rtop USING (doc_id)
+    """
+
+
+def gopher_filter_sql(
+    source_sql: str,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_per_10_words: int = 1,
+    max_bullet_lines_pct: int = 90,
+    max_ellipsis_lines_pct: int = 30,
+    min_stop_hits: int = 1,
+) -> str:
+    """Replica of analysis/cleaning.gopher_filter over ``source_sql`` (a
+    CTE/table name exposing doc_id + text_col); flags emitted as 0/1 ints
+    (the Spark query casts its booleans identically)."""
+    from spider_spark.analysis.text import EN_STOPS
+
+    toks = _TOKS.format(col=text_col)
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END"
+        for w in EN_STOPS
+    )
+    return f"""
+    SELECT doc_id, len(t)::BIGINT AS n_words,
+      (len(t) >= {min_words} AND len(t) <= {max_words})::INT AS f_words,
+      ({min_mean_word_len} * len(t) <= sum_len
+        AND sum_len <= {max_mean_word_len} * len(t))::INT AS f_word_len,
+      (n_sym * 10 <= {max_symbol_per_10_words} * len(t))::INT AS f_symbols,
+      (n_bullet * 100 <= {max_bullet_lines_pct} * len(ls))::INT AS f_bullets,
+      (n_ellipsis * 100 <= {max_ellipsis_lines_pct} * len(ls))::INT
+        AS f_ellipsis,
+      (({stop_hits}) >= {min_stop_hits})::INT AS f_stops,
+      ((len(t) >= {min_words} AND len(t) <= {max_words})
+       AND ({min_mean_word_len} * len(t) <= sum_len
+            AND sum_len <= {max_mean_word_len} * len(t))
+       AND (n_sym * 10 <= {max_symbol_per_10_words} * len(t))
+       AND (n_bullet * 100 <= {max_bullet_lines_pct} * len(ls))
+       AND (n_ellipsis * 100 <= {max_ellipsis_lines_pct} * len(ls))
+       AND (({stop_hits}) >= {min_stop_hits}))::INT AS keep
+    FROM (
+      SELECT doc_id, t, ls,
+        coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sum_len,
+        (len(string_split({text_col}, '#')) - 1
+         + len(regexp_split_to_array({text_col}, '\\.\\.\\.')) - 1) AS n_sym,
+        (len(list_filter(ls, x -> trim(x) LIKE '- %'))
+         + len(list_filter(ls, x -> trim(x) LIKE '* %'))) AS n_bullet,
+        len(list_filter(ls, x -> trim(x) LIKE '%...')) AS n_ellipsis
+      FROM (SELECT doc_id, {toks} AS t,
+                   string_split({text_col}, chr(10)) AS ls, {text_col}
+            FROM {source_sql})
+    )
+    """
+
+
+def c4_line_clean_sql(
+    source_sql: str, text_col: str = "text", min_words: int = 3
+) -> str:
+    """Replica of analysis/cleaning.c4_line_clean over ``source_sql``."""
+    from spider_spark.analysis.cleaning import C4_BOILERPLATE
+
+    markers = " AND ".join(
+        f"NOT contains(lower(trim(x)), '{m}')" for m in C4_BOILERPLATE
+    )
+    ok = (
+        "x -> (trim(x) LIKE '%.' OR trim(x) LIKE '%!' OR trim(x) LIKE '%?' "
+        "OR trim(x) LIKE '%\"') "
+        f"AND len(regexp_split_to_array(trim(x), '\\s+')) >= {min_words} "
+        f"AND {markers}"
+    )
+    return f"""
+    SELECT doc_id,
+           array_to_string(ks, chr(10)) AS clean_text,
+           len(ls)::BIGINT AS n_lines,
+           len(ks)::BIGINT AS n_lines_kept
+    FROM (
+      SELECT doc_id, ls, list_filter(ls, {ok}) AS ks
+      FROM (SELECT doc_id, string_split({text_col}, chr(10)) AS ls
+            FROM {source_sql})
+    )
+    """

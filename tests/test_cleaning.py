@@ -1,0 +1,106 @@
+"""Repetition / Gopher / C4 cleaning operators (analysis/cleaning.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark.analysis.cleaning import (
+    c4_line_clean,
+    gopher_filter,
+    repetition_stats,
+    synth_multiline,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        ("all_same", "a a a a"),            # 4 words, 1 distinct
+        ("no_dups", "one two three four"),
+        ("rep_line", "x y\nx y\nz w"),      # duplicate line
+        ("empty", ""),
+        ("one_word", "solo"),
+    ]
+    got = {r["doc_id"]: r for r in repetition_stats(_docs(spark, rows)).collect()}
+    assert got["all_same"]["dup_word_frac"] == 0.75
+    assert got["all_same"]["top_bigram_frac"] == 1.5  # "a a" x3 * 2 / 4
+    assert got["no_dups"]["dup_word_frac"] == 0.0
+    assert got["no_dups"]["dup_ngram_frac"] == 0.0
+    assert got["rep_line"]["dup_line_frac"] == round(1 / 3, 6)
+    assert got["empty"]["n_words"] == 0
+    assert got["empty"]["dup_word_frac"] == 0.0
+    assert got["empty"]["top_bigram_frac"] == 0.0
+    assert got["one_word"]["top_bigram_frac"] == 0.0  # no bigrams
+
+
+def test_gopher_filter_gates(spark):
+    long_ok = " ".join(["the world is a word"] * 3)  # 15 words, stopwords
+    rows = [
+        ("ok", long_ok),
+        ("too_short", "the end."),                       # < 5 words
+        ("no_stops", "zzz qqq www rrr ttt yyy"),         # no EN stopwords
+        ("symbols", "the # of # a # b # c # d"),         # hash-heavy
+        ("long_words", "the abcdefghijklmnopqrstuvwxyz " * 5),  # mean len > 10
+        ("bullets", "- the a one.\n- the a two.\n- the a three."),  # 100% bullets
+    ]
+    got = {r["doc_id"]: r for r in gopher_filter(_docs(spark, rows)).collect()}
+    assert got["ok"]["keep"] is True
+    assert got["too_short"]["keep"] is False and got["too_short"]["f_words"] is False
+    assert got["no_stops"]["keep"] is False and got["no_stops"]["f_stops"] is False
+    assert got["symbols"]["f_symbols"] is False
+    assert got["long_words"]["f_word_len"] is False
+    assert got["bullets"]["f_bullets"] is False
+
+
+def test_c4_line_clean_rules(spark):
+    text = "\n".join(
+        [
+            "This line is properly terminated.",   # kept
+            "too short.",                          # < 3 words
+            "no terminal punctuation here",        # no . ! ?
+            "Enable JavaScript to continue.",      # boilerplate marker
+            'He said "stop".',                     # kept (ends in .)
+            "Is this kept? Yes it is!",            # kept (ends in !)
+            "object = { notation }.",              # '{' marker
+        ]
+    )
+    out = c4_line_clean(_docs(spark, [("d1", text), ("all_drop", "x\ny")])).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got["d1"]["n_lines"] == 7 and got["d1"]["n_lines_kept"] == 3
+    assert got["d1"]["clean_text"].split("\n") == [
+        "This line is properly terminated.",
+        'He said "stop".',
+        "Is this kept? Yes it is!",
+    ]
+    # every line dropped -> empty clean_text, row kept
+    assert got["all_drop"]["n_lines_kept"] == 0
+    assert got["all_drop"]["clean_text"] == ""
+
+
+def test_synth_multiline_schedule(spark):
+    words = " ".join(f"w{i}" for i in range(30))  # 30 words -> 4 lines of 8
+    out = synth_multiline(_docs(spark, [("d", words), ("e", "")])).collect()
+    got = {r["doc_id"]: r["mtext"] for r in out}
+    lines = got["d"].split("\n")
+    assert len(lines) == 4
+    assert lines[0].startswith("- ") and lines[0].endswith(".")  # i=0: bullet
+    assert not lines[2].endswith(".")                            # i=2: bare
+    assert lines[3] == "see our cookie policy for details."      # i=3: marker
+    assert got["e"] == ""  # empty text -> empty rendering, no phantom lines
+
+
+def test_gopher_and_c4_nonnull_on_nulls(spark):
+    """None text must not explode the pipelines (null-safe tokenizer)."""
+    df = spark.createDataFrame(
+        [("n", None), ("o", "the a ok line here.")],
+        "doc_id string, text string",
+    )
+    r = {x["doc_id"]: x for x in repetition_stats(df).collect()}
+    assert r["n"]["n_words"] == 0
+    g = {x["doc_id"]: x for x in gopher_filter(df).collect()}
+    assert g["n"]["keep"] is False  # 0 words fails f_words
+    c = {x["doc_id"]: x for x in c4_line_clean(df).collect()}
+    assert c["o"]["n_lines_kept"] == 1

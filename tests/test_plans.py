@@ -155,3 +155,21 @@ def test_clean_corpus_filters_pushed_to_scan(spark):
     plan = plan_str(spark, q(spark, "pipeline_clean_corpus"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_and_c4_are_scan_only(spark):
+    """The structural gates and line cleaner are pure scan projections —
+    any Exchange would mean a filter accidentally became a shuffle op."""
+    for name in ("text_gopher_filter", "text_c4_clean"):
+        plan = plan_str(spark, q(spark, name), "simple")
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_repetition_single_bigram_shuffle(spark):
+    """repetition_stats shuffles only for the (doc, bigram) count — the
+    dup-fraction HOFs must stay in the scan projection. Two hash
+    exchanges: partial->final for the gram count, then the doc_id join
+    back (broadcast at this sf would also be acceptable, hence <= 3)."""
+    plan = plan_str(spark, q(spark, "text_repetition"), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
