@@ -127,6 +127,7 @@ def _with_url(events: DataFrame) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from spider_spark.analysis import cleaning as C
     from spider_spark.analysis import dedup as D
+    from spider_spark.analysis import graph as G
     from spider_spark.analysis import multimodal as M
     from spider_spark.analysis import similarity as S
     from spider_spark.analysis import text as T
@@ -875,6 +876,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = C.synth_multiline(_t(spark, sf, "documents"))
         return C.c4_line_clean(docs, text_col="mtext")
 
+    def _event_nodes(spark, sf):
+        # clickstream → host-graph reduction: node = a 32-host hash of the
+        # event (event_id % 32 — user_id%5 would make every per-user
+        # transition a self-loop)
+        return _t(spark, sf, "events").withColumn(
+            "node",
+            F.concat(F.lit("h"), (F.col("event_id") % 32).cast("string")),
+        )
+
+    def text_vocab_topk(spark, sf):
+        # tokenizer-prep vocabulary: top-100 tokens by occurrence count
+        return T.vocab_topk(_t(spark, sf, "documents"), k=100)
+
+    def graph_transition_edges(spark, sf):
+        return G.transition_edges(_event_nodes(spark, sf))
+
+    def graph_pagerank(spark, sf):
+        edges = G.transition_edges(_event_nodes(spark, sf))
+        return G.pagerank_int(edges, iters=5)
+
     def ann_cosine_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
@@ -1147,6 +1168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "text_repetition": text_repetition,
+        "text_vocab_topk": text_vocab_topk,
+        "graph_transition_edges": graph_transition_edges,
+        "graph_pagerank": graph_pagerank,
         "text_gopher_filter": text_gopher_filter,
         "text_c4_clean": text_c4_clean,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1168,6 +1192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": doc_length_stats,
         "pipeline_clean_corpus": pipeline_clean_corpus,
     }
+
+
+_GRAPH_NODE = "'h' || (event_id % 32)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1698,6 +1725,31 @@ def oracle_sql() -> dict[str, str]:
         "text_c4_clean": (
             f"WITH {O.synth_multiline_cte('documents')} "
             + O.c4_line_clean_sql("mdocs", text_col="mtext")
+        ),
+        "text_vocab_topk": """
+            WITH vt AS (
+              SELECT list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), cnts AS (
+              SELECT token, count(*)::BIGINT AS n_occurrences
+              FROM (SELECT unnest(t) AS token FROM vt) GROUP BY 1
+            ), dc AS (
+              SELECT token, count(*)::BIGINT AS n_docs
+              FROM (SELECT unnest(list_distinct(t)) AS token FROM vt) GROUP BY 1
+            )
+            SELECT token, n_occurrences, n_docs,
+                   (row_number() OVER (
+                      ORDER BY n_occurrences DESC, token))::BIGINT AS rank
+            FROM cnts JOIN dc USING (token)
+            QUALIFY rank <= 100
+        """,
+        "graph_transition_edges": (
+            f"WITH {O.transition_edges_cte('events', _GRAPH_NODE)} "
+            "SELECT src, dst, weight FROM gedges"
+        ),
+        "graph_pagerank": O.pagerank_int_sql(
+            O.transition_edges_cte("events", _GRAPH_NODE), iters=5
         ),
         "dedup_embedding_cosine": """
             SELECT id_a, id_b, cos_sim FROM (

@@ -51,6 +51,8 @@ HEADLINE = [
     "pipeline_clean_corpus",  # composed gates + near-dup cluster dedup
     "text_repetition",        # Gopher repetition signals (dup-ngram, top-bigram)
     "text_c4_clean",          # C4 line-level cleaning over synthesized lines
+    "text_vocab_topk",        # corpus vocabulary: count + distributed top-K
+    "graph_pagerank",         # integer PageRank over the host transition graph
 ]
 
 

@@ -1,0 +1,107 @@
+"""Host-graph analytics: transition-edge extraction + integer PageRank.
+
+A crawl scheduler that prioritizes important hosts needs a host-centrality
+signal. Two operators:
+
+  - ``transition_edges``: per-user consecutive-event transitions — one lag
+    window over (user, time) then a weighted groupBy — the standard
+    clickstream→graph reduction. One shuffle on the user key, one on the
+    edge key; both combine-heavy.
+  - ``pagerank_int``: fixed-iteration weighted PageRank in EXACT integer
+    arithmetic. Ranks live in micro-units (scale 10^6) and every update is
+    ``r' = ((100-d)*scale)//100 + (d * Σ_in (r*w) DIV out_w)//100`` — all
+    BIGINT operations, so the result is bit-identical on any engine and
+    any summation order (integer addition commutes; float PageRank does
+    not, which is why the usual formulation can't be oracle-checked
+    value-exactly). Dangling-node mass is dropped (the common
+    simplification), documented here so the oracle does the same.
+
+Scale shape: each iteration is one edges⋈ranks hash join (edges carry
+(src, dst, weight, out_w) — rank state joins in by src) + one groupBy(dst)
+sum, both shuffling the EDGE list, never the corpus. localCheckpoint per
+iteration keeps N iterations at N bounded jobs (same reasoning as
+analysis/dedup.connected_components). Hot destination hosts are fine — the
+sum is map-side combined; a hot SOURCE host fans its single rank row out
+through the join, not a skewed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000
+
+
+def transition_edges(
+    events: DataFrame,
+    node_col: str = "node",
+    user_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """(src, dst, weight): per-user consecutive-node transitions, self-loops
+    dropped, weight = transition count. ``order_cols`` must make the
+    per-user order total (the trailing unique id breaks timestamp ties
+    deterministically)."""
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    tr = events.select(
+        F.col(node_col).alias("dst"),
+        F.lag(node_col).over(w).alias("src"),
+    )
+    return (
+        tr.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, r): integer PageRank after exactly ``iters`` iterations.
+
+    r starts at ``scale`` for every node appearing in any edge; each step
+    every node sends ``(r * weight) DIV total_out_weight`` along each
+    out-edge and receives ``((100-damping_pct)*scale)//100 +
+    (damping_pct * Σ received)//100``. All arithmetic is 64-bit integer
+    (no float, no convergence test) so the output is deterministic and
+    value-exact against the unrolled SQL oracle."""
+    e = edges.select("src", "dst", F.col("weight").cast("long").alias("weight"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outw = e.groupBy("src").agg(F.sum("weight").alias("ow"))
+    # static per-edge routing table: (src, dst, weight, ow) — built once,
+    # checkpointed; iterations only re-join the small rank state into it
+    routed = e.join(outw, "src").localCheckpoint()
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = routed.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(r * weight) div ow").alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                # div, not '/': Column '/' is FLOAT division and a
+                # cast-truncate after it could round differently than the
+                # oracle's exact integer division on large sums
+                F.expr(
+                    f"cast({base}L + ({damping_pct}L * coalesce(s, 0L)) "
+                    "div 100 as long)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -657,3 +657,67 @@ def c4_line_clean_sql(
             FROM {source_sql})
     )
     """
+
+
+# ------------------------------------------------------- host-graph PageRank
+
+
+def transition_edges_cte(
+    source_sql: str = "events",
+    node_expr: str = "node",
+    user_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+) -> str:
+    """CTE chain ending in ``gedges(src, dst, weight)`` — the per-user
+    consecutive-transition edge list of analysis/graph.transition_edges."""
+    order = ", ".join(order_cols)
+    return f"""
+    gtr AS (
+      SELECT {node_expr} AS dst,
+             lag({node_expr}) OVER (
+               PARTITION BY {user_col} ORDER BY {order}) AS src
+      FROM {source_sql}
+    ), gedges AS (
+      SELECT src, dst, count(*)::BIGINT AS weight
+      FROM gtr WHERE src IS NOT NULL AND src <> dst
+      GROUP BY 1, 2
+    )"""
+
+
+def pagerank_int_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> str:
+    """Unrolled replica of analysis/graph.pagerank_int over ``edges_cte``
+    (a WITH-chain ending in gedges). Exactly ``iters`` CTE levels, every
+    operation 64-bit integer, so equality with Spark is bit-exact."""
+    base = (100 - damping_pct) * scale // 100
+    levels = []
+    prev = "gr0"
+    levels.append(
+        f"gr0 AS (SELECT node, {scale}::BIGINT AS r FROM gnodes)"
+    )
+    for i in range(1, iters + 1):
+        levels.append(f"""gr{i} AS (
+      SELECT n.node,
+             ({base} + ({damping_pct} * coalesce(s.c, 0)) // 100)::BIGINT AS r
+      FROM gnodes n LEFT JOIN (
+        SELECT e.dst AS node, sum((r.r * e.weight) // o.ow) AS c
+        FROM gedges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN gout o ON o.src = e.src
+        GROUP BY 1) s ON s.node = n.node
+    )""")
+        prev = f"gr{i}"
+    chain = ",\n    ".join(levels)
+    return f"""
+    WITH {edges_cte},
+    gnodes AS (
+      SELECT src AS node FROM gedges UNION SELECT dst FROM gedges
+    ),
+    gout AS (SELECT src, sum(weight) AS ow FROM gedges GROUP BY 1),
+    {chain}
+    SELECT node, r FROM {prev}
+    """

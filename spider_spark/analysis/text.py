@@ -15,7 +15,7 @@ shuffle, pushdown-friendly, and the md5/regexp work stays in codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword sets per language for the heuristic
@@ -82,3 +82,44 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-normalized lowercase md5 — the exact-dup fingerprint."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.withColumn("fp", F.md5(norm))
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """(token, n_occurrences, n_docs, rank) — the corpus's top-K vocabulary
+    by occurrence count (ties broken lexicographically, so the cut is
+    deterministic). The tokenizer-training prep step: explode lowercase
+    whitespace tokens, one combine-heavy groupBy (map-side partial counts
+    shrink the shuffle to |vocab| per partition), then a top-K that
+    compiles to a single-partition limit over pre-aggregated rows — at
+    100 TB the shuffled state is the vocabulary, not the corpus."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    docs = (
+        df.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    top = (
+        counts.join(docs, "token")
+        .filter(F.col("n_occurrences") >= min_count)
+        # orderBy+limit compiles to TakeOrderedAndProject — a DISTRIBUTED
+        # top-K (per-partition heaps, K-row merge on the driver), so the
+        # full vocabulary never funnels through one partition the way a
+        # global row_number window would
+        .orderBy(F.desc("n_occurrences"), F.col("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -104,3 +104,23 @@ def test_gopher_and_c4_nonnull_on_nulls(spark):
     assert g["n"]["keep"] is False  # 0 words fails f_words
     c = {x["doc_id"]: x for x in c4_line_clean(df).collect()}
     assert c["o"]["n_lines_kept"] == 1
+
+
+def test_vocab_topk_counts_and_rank(spark):
+    from spider_spark.analysis.text import vocab_topk
+
+    rows = [("d1", "a b a c"), ("d2", "a b b"), ("d3", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["token"]: r for r in vocab_topk(df, k=2).collect()}
+    assert set(got) == {"a", "b"}  # c (1 occurrence) cut by k=2
+    assert got["a"]["n_occurrences"] == 3 and got["a"]["n_docs"] == 2
+    assert got["b"]["n_occurrences"] == 3 and got["b"]["n_docs"] == 2
+    assert got["a"]["rank"] == 1 and got["b"]["rank"] == 2  # tie -> lexicographic
+
+
+def test_vocab_topk_distributed_topk_plan(spark):
+    from spider_spark.analysis.text import vocab_topk
+
+    df = spark.createDataFrame([("d", "x y z")], "doc_id string, text string")
+    plan = vocab_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]

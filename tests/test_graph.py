@@ -1,0 +1,60 @@
+"""Host-graph operators: transition edges + integer PageRank."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_spark.analysis.graph import PR_SCALE, pagerank_int, transition_edges
+
+
+def test_transition_edges_lag_semantics(spark):
+    # user 1 visits a,b,a,a (self-loop dropped); user 2 visits b,a
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "a"),
+        (2, 1, "b"), (2, 2, "a"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts int, node string")
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in transition_edges(
+            ev, order_cols=("ts",)
+        ).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 2}
+
+
+def test_pagerank_star_center_wins(spark):
+    # star: leaves l1..l4 -> c, c -> l1 (c has out-edges so mass cycles)
+    edges = spark.createDataFrame(
+        [("l1", "c", 1), ("l2", "c", 1), ("l3", "c", 1), ("l4", "c", 1),
+         ("c", "l1", 1)],
+        "src string, dst string, weight long",
+    )
+    r = {x["node"]: x["r"] for x in pagerank_int(edges, iters=5).collect()}
+    assert r["c"] > r["l1"] > r["l2"]  # l1 receives from c; l2..l4 only base
+    assert r["l2"] == r["l3"] == r["l4"]
+
+
+def test_pagerank_two_cycle_exact(spark):
+    """a<->b: hand-computed fixed point of the integer recurrence.
+    r0 = S; r' = 0.15S + 0.85*r (weights 1, outdeg 1) -> stays S forever
+    modulo integer flooring: 150000 + (85*1000000)//100 = 1000000."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, weight long"
+    )
+    r = {x["node"]: x["r"] for x in pagerank_int(edges, iters=3).collect()}
+    assert r == {"a": PR_SCALE, "b": PR_SCALE}
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    ev = spark.range(500).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.concat(F.lit("h"), (F.col("id") % 13).cast("string")).alias("node"),
+        F.col("id").alias("event_id"),
+    )
+    e = transition_edges(ev)
+    a = sorted(map(tuple, pagerank_int(e, iters=4).collect()))
+    b = sorted(map(tuple, pagerank_int(e, iters=4).collect()))
+    assert a == b
+    assert len(a) == 13
