@@ -889,6 +889,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer-prep vocabulary: top-100 tokens by occurrence count
         return T.vocab_topk(_t(spark, sf, "documents"), k=100)
 
+    def text_pii_scrub(spark, sf):
+        # PII redaction over deterministically injected emails/phones (the
+        # raw corpus carries none — synth_pii is the fixture-shaping step)
+        docs = C.synth_pii(_t(spark, sf, "documents"))
+        return C.pii_scrub(docs, text_col="ptext")
+
     def graph_transition_edges(spark, sf):
         return G.transition_edges(_event_nodes(spark, sf))
 
@@ -1169,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_repetition": text_repetition,
         "text_vocab_topk": text_vocab_topk,
+        "text_pii_scrub": text_pii_scrub,
         "graph_transition_edges": graph_transition_edges,
         "graph_pagerank": graph_pagerank,
         "text_gopher_filter": text_gopher_filter,
@@ -1747,6 +1754,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_transition_edges": (
             f"WITH {O.transition_edges_cte('events', _GRAPH_NODE)} "
             "SELECT src, dst, weight FROM gedges"
+        ),
+        "text_pii_scrub": O.pii_scrub_sql(
+            "documents", text_expr=O.synth_pii_expr()
         ),
         "graph_pagerank": O.pagerank_int_sql(
             O.transition_edges_cte("events", _GRAPH_NODE), iters=5

@@ -271,3 +271,55 @@ def synth_multiline(
             """
         ),
     ).drop("_smt")
+
+
+# PII patterns: kept deliberately simple/portable (same regex dialect
+# subset in Spark's Java regex and DuckDB's RE2: no backrefs, no lookarounds)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_emails, n_phones, scrubbed) — count and redact email /
+    international-phone matches ([EMAIL] / [PHONE] placeholders). One
+    codegen scan projection; counts come from regexp_count so the text is
+    scanned, never exploded."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ).alias("scrubbed"),
+    )
+
+
+def synth_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_key: str = "doc_id",
+    out: str = "ptext",
+) -> DataFrame:
+    """Adds ``out``: text with deterministic synthetic PII appended —
+    every doc whose md5_u32(doc_id) lands in a residue class gains an
+    email, a phone, or both (closed-form, both engines rebuild it
+    identically via functions/hashing's portable md5_u32 pair; see
+    oracles.synth_pii_expr). Fixture shaping for pii_scrub queries: the
+    test corpus carries no real PII."""
+    from spider_spark.functions.hashing import md5_u32_sql
+
+    h = F.expr(f"{md5_u32_sql(f'cast({id_key} as string)')} % 4")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sid = F.col(id_key).cast("string")
+    email = F.concat(F.lit(" reach me at user"), sid, F.lit("@example.com"))
+    phone = F.concat(F.lit(" call +1-555-"), sid)
+    return df.withColumn(
+        out,
+        F.when(h == 0, F.concat(t, email))
+        .when(h == 1, F.concat(t, phone))
+        .when(h == 2, F.concat(t, email, phone))
+        .otherwise(t),
+    )

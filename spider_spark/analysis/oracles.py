@@ -721,3 +721,37 @@ def pagerank_int_sql(
     {chain}
     SELECT node, r FROM {prev}
     """
+
+
+# ------------------------------------------------------------- PII scrubbing
+
+
+def synth_pii_expr(text_col: str = "text", id_key: str = "doc_id") -> str:
+    """SQL expression replicating analysis/cleaning.synth_pii's ptext."""
+    h = f"({md5_u32_duckdb(f'CAST({id_key} AS VARCHAR)')} % 4)"
+    t = f"coalesce({text_col}, '')"
+    sid = f"CAST({id_key} AS VARCHAR)"
+    email = f"' reach me at user' || {sid} || '@example.com'"
+    phone = f"' call +1-555-' || {sid}"
+    return f"""CASE {h}
+      WHEN 0 THEN {t} || {email}
+      WHEN 1 THEN {t} || {phone}
+      WHEN 2 THEN {t} || {email} || {phone}
+      ELSE {t} END"""
+
+
+def pii_scrub_sql(
+    table: str = "documents", text_expr: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Replica of analysis/cleaning.pii_scrub over ``text_expr``."""
+    from spider_spark.analysis.cleaning import EMAIL_RE, PHONE_RE
+
+    em, ph = EMAIL_RE.replace("'", "''"), PHONE_RE.replace("'", "''")
+    return f"""
+    SELECT {id_col} AS doc_id,
+           len(regexp_extract_all(t, '{em}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '{ph}'))::BIGINT AS n_phones,
+           regexp_replace(regexp_replace(t, '{em}', '[EMAIL]', 'g'),
+                          '{ph}', '[PHONE]', 'g') AS scrubbed
+    FROM (SELECT {id_col}, coalesce({text_expr}, '') AS t FROM {table})
+    """

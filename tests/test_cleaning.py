@@ -124,3 +124,21 @@ def test_vocab_topk_distributed_topk_plan(spark):
     df = spark.createDataFrame([("d", "x y z")], "doc_id string, text string")
     plan = vocab_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_pii_scrub_redaction(spark):
+    from spider_spark.analysis.cleaning import pii_scrub
+
+    rows = [
+        ("d1", "mail me at a.b+c@ex-ample.co.uk or call +44-123-4567890 now"),
+        ("d2", "no pii here"),
+        ("d3", None),
+        ("d4", "two mails x@y.io z@w.ai"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got["d1"]["n_emails"] == 1 and got["d1"]["n_phones"] == 1
+    assert got["d1"]["scrubbed"] == "mail me at [EMAIL] or call [PHONE] now"
+    assert got["d2"]["n_emails"] == 0 and got["d2"]["scrubbed"] == "no pii here"
+    assert got["d3"]["scrubbed"] == ""
+    assert got["d4"]["n_emails"] == 2 and got["d4"]["scrubbed"].count("[EMAIL]") == 2
