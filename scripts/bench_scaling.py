@@ -101,7 +101,7 @@ def run_once(
         "--master",
         f"local[{cores}]",
         "--conf",
-        "spark.driver.memory=24g",
+        f"spark.driver.memory={args.driver_mem}",
         "--py-files",
         zip_path,
         os.path.join(REPO, "scripts", "crawl_job.py"),
@@ -188,6 +188,7 @@ def main() -> None:
     ap.add_argument("--bloom", action="store_true")
     ap.add_argument("--salt", type=int, default=1)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--driver-mem", default="24g")
     ap.add_argument(
         "--hot-machine",
         action="store_true",

@@ -61,6 +61,10 @@ class CrawlConfig:
     # stores it, so a single serial materialization is the safer trade.
     serial_materialize: bool = False
     sitemap_max_depth: int = 16         # index-recursion bound (cycle guard)
+    # columnar cache batch rows for the persisted doc tables; 0 = leave the
+    # session default. Small batches keep blob-column (html) cache-builder
+    # allocations under G1's humongous threshold — see engine.__init__
+    columnar_batch_rows: int = 2500
     user_agent: str = "SpiderSparkBot"  # matched against robots.txt groups
 
     # reference-parity documentation only (unused in batch model)

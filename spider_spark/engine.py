@@ -204,6 +204,19 @@ class CrawlEngine:
         self.metrics: list[dict] = []
         self._recover_compaction()
 
+        # blob-heavy cache batches: the default 10k-row columnar batch over
+        # ~KB html payloads makes every builder allocation humongous (G1),
+        # and 32 concurrent builders GCLocker-thrash the JVM to death on
+        # multi-GB doc tables (observed: 'Retried waiting for GCLocker too
+        # often' at 4M x 1.5KB docs / 24g heap). Smaller batches keep each
+        # allocation under the humongous threshold; scan efficiency is
+        # unaffected (batches are per-partition anyway).
+        if cfg is None or self.cfg.columnar_batch_rows:
+            spark.conf.set(
+                "spark.sql.inMemoryColumnarStorage.batchSize",
+                str(self.cfg.columnar_batch_rows),
+            )
+
         self.documents = spark.read.parquet(
             os.path.join(input_dir, "documents.parquet")
         )
