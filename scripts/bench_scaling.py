@@ -96,12 +96,25 @@ def run_once(
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
+    # On a real cluster, going N -> 4N executors multiplies aggregate heap
+    # by 4 (per-executor memory is fixed). A single local JVM shares one
+    # heap across all task slots, so holding --driver-mem constant across
+    # legs starves the high-parallelism leg once the workload outgrows it
+    # (32 concurrent tasks' execution memory + the same cached tables in
+    # one fixed heap). --mem-per-core-mb restores the cluster-faithful
+    # protocol: heap = cores * per-core memory, like N executors of a
+    # fixed size.
+    heap = (
+        f"{cores * args.mem_per_core_mb}m"
+        if args.mem_per_core_mb
+        else args.driver_mem
+    )
     cmd += [
         "spark-submit",
         "--master",
         f"local[{cores}]",
         "--conf",
-        f"spark.driver.memory={args.driver_mem}",
+        f"spark.driver.memory={heap}",
         "--py-files",
         zip_path,
         os.path.join(REPO, "scripts", "crawl_job.py"),
@@ -132,7 +145,9 @@ def run_once(
         print(proc.stdout[-3000:], file=sys.stderr)
         print(proc.stderr[-3000:], file=sys.stderr)
         raise RuntimeError(f"crawl_job produced no JSON at local[{cores}]")
-    return json.loads(line[-1])
+    res = json.loads(line[-1])
+    res["heap"] = heap
+    return res
 
 
 _CEIL_RX = None
@@ -189,6 +204,14 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=1)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--driver-mem", default="24g")
+    ap.add_argument(
+        "--mem-per-core-mb",
+        type=int,
+        default=0,
+        help="cluster-faithful memory: heap = cores * this many MB per "
+        "leg (models fixed-size executors scaling N -> 4N); 0 = use "
+        "--driver-mem for both legs",
+    )
     ap.add_argument(
         "--hot-machine",
         action="store_true",
