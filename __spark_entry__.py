@@ -895,6 +895,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = C.synth_pii(_t(spark, sf, "documents"))
         return C.pii_scrub(docs, text_col="ptext")
 
+    def text_decontaminate(spark, sf):
+        # benchmark-overlap decontamination (GPT-3/PaLM n-gram rule): the
+        # "eval set" is a deterministic md5-residue class of the corpus
+        # itself (closed-form, no external data), its gram hashes
+        # broadcast against the full corpus
+        from spider_spark.analysis import decontam as DC
+        from spider_spark.functions.hashing import md5_u32_sql
+
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter(
+            F.expr(md5_u32_sql("cast(doc_id as string)")) % 25 == 0
+        )
+        out = DC.decontaminate(docs, bench, n=3)
+        return out.withColumn(
+            "contaminated", F.col("contaminated").cast("int")
+        )
+
+    def text_surprisal(spark, sf):
+        # integer-exact IDF/surprisal quality score (floor-log2 via
+        # length(bin(x))-1 — bit-identical on any engine/summation order)
+        from spider_spark.analysis import decontam as DC
+
+        return DC.surprisal_score(_t(spark, sf, "documents"))
+
     def graph_transition_edges(spark, sf):
         return G.transition_edges(_event_nodes(spark, sf))
 
@@ -1176,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_vocab_topk": text_vocab_topk,
         "text_pii_scrub": text_pii_scrub,
+        "text_decontaminate": text_decontaminate,
+        "text_surprisal": text_surprisal,
         "graph_transition_edges": graph_transition_edges,
         "graph_pagerank": graph_pagerank,
         "text_gopher_filter": text_gopher_filter,
@@ -1758,6 +1784,10 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": O.pii_scrub_sql(
             "documents", text_expr=O.synth_pii_expr()
         ),
+        "text_decontaminate": O.decontaminate_sql(
+            "documents", n=3, bench_residue_mod=25
+        ),
+        "text_surprisal": O.surprisal_score_sql("documents"),
         "graph_pagerank": O.pagerank_int_sql(
             O.transition_edges_cte("events", _GRAPH_NODE), iters=5
         ),

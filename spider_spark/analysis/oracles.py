@@ -755,3 +755,94 @@ def pii_scrub_sql(
                           '{ph}', '[PHONE]', 'g') AS scrubbed
     FROM (SELECT {id_col}, coalesce({text_expr}, '') AS t FROM {table})
     """
+
+
+# ----------------------------------------- decontamination / surprisal score
+
+
+def gram_hashes_cte(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """CTE chain ending in ``dgrams(doc_id, g)`` — distinct md5_u32 word
+    n-gram hashes per doc, mirroring analysis/decontam.gram_hash_sets."""
+    toks = _TOKS.format(col=text_col)
+    h32 = md5_u32_duckdb(f"array_to_string(t[i+1:i+{n}], ' ')")
+    return f"""
+    dtoks AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ), dgrams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {n}
+                  THEN list_distinct(list_transform(
+                       range(0, len(t) - {n} + 1), i -> {h32}))
+                  ELSE [] END AS g
+      FROM dtoks
+    )"""
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n: int = 3,
+    bench_residue_mod: int = 25,
+) -> str:
+    """Replica of analysis/decontam.decontaminate with the benchmark set
+    drawn from the same table by a deterministic doc_id residue class
+    (md5_u32(doc_id) % mod == 0 — the closed-form fixture both engines
+    compute; the corpus itself is the only input, per the no-external-data
+    rule). Emits (doc_id, n_grams, n_hit_grams, contaminated::INT)."""
+    h = md5_u32_duckdb("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH {gram_hashes_cte(table, text_col, n=n)},
+    dblock AS (
+      SELECT DISTINCT unnest(g) AS gram FROM dgrams
+      WHERE {h} % {bench_residue_mod} = 0
+    ),
+    dhits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, unnest(g) AS gram FROM dgrams) eg
+      JOIN dblock USING (gram)
+      GROUP BY 1
+    )
+    SELECT g.doc_id, len(g.g)::BIGINT AS n_grams,
+           coalesce(h.n_hit, 0)::BIGINT AS n_hit_grams,
+           (coalesce(h.n_hit, 0) > 0)::INT AS contaminated
+    FROM dgrams g LEFT JOIN dhits h USING (doc_id)
+    """
+
+
+def surprisal_score_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Replica of analysis/decontam.surprisal_score — integer floor-log2
+    surprisal (length(bin(x)) - 1 agrees between Spark and DuckDB: both
+    render minimal binary strings for positive int64)."""
+    toks = _TOKS.format(col=text_col)
+    return f"""
+    WITH stoks AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ), socc AS (
+      SELECT doc_id, unnest(t) AS token FROM stoks
+    ), suni AS (
+      SELECT token, count(*)::BIGINT AS c FROM socc GROUP BY 1
+    ), stot AS (
+      SELECT sum(c)::BIGINT AS n_total FROM suni
+    ), ssc AS (
+      SELECT token, (length(bin(n_total // c)) - 1)::BIGINT AS s
+      FROM suni, stot
+    ), spd AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(s)::BIGINT AS sum_surprisal
+      FROM socc JOIN ssc USING (token) GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(p.sum_surprisal, 0)::BIGINT AS sum_surprisal,
+           (CASE WHEN coalesce(p.n_tokens, 0) > 0
+                 THEN (1000 * p.sum_surprisal) // p.n_tokens
+                 ELSE 0 END)::BIGINT AS mean_surprisal_milli
+    FROM (SELECT {id_col} AS doc_id FROM {table}) d
+    LEFT JOIN spd p USING (doc_id)
+    """
