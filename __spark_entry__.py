@@ -876,6 +876,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = C.synth_multiline(_t(spark, sf, "documents"))
         return C.c4_line_clean(docs, text_col="mtext")
 
+    def text_line_dedup(spark, sf):
+        # corpus-level line dedup (CCNet/RefinedWeb boilerplate pass) over
+        # the multi-line rendering — its injected boilerplate line recurs
+        # across docs, so the blocklist is non-trivial
+        docs = C.synth_multiline(_t(spark, sf, "documents"))
+        return C.line_dedup(docs, text_col="mtext", max_doc_freq=2)
+
+    def text_pack_sequences(spark, sf):
+        # greedy contiguous sequence packing into 256-token training packs,
+        # 8 shards (analysis/packing.py)
+        from spider_spark.analysis import packing as PK
+
+        return PK.pack_sequences(
+            _t(spark, sf, "documents"), window=256, n_shards=8
+        )
+
+    def dedup_winnow(spark, sf):
+        # winnowing document fingerprints (Schleimer et al. 2003): k=5
+        # token grams, window 8 — substring-level near-dup signatures
+        return D.winnow_fingerprints(
+            _t(spark, sf, "documents"), k=5, w=8
+        )
+
     def _event_nodes(spark, sf):
         # clickstream → host-graph reduction: node = a 32-host hash of the
         # event (event_id % 32 — user_id%5 would make every per-user
@@ -1206,6 +1229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "text_gopher_filter": text_gopher_filter,
         "text_c4_clean": text_c4_clean,
+        "text_line_dedup": text_line_dedup,
+        "text_pack_sequences": text_pack_sequences,
+        "dedup_winnow": dedup_winnow,
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pregroup": dedup_minhash_pregroup,
@@ -1759,6 +1785,14 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {O.synth_multiline_cte('documents')} "
             + O.c4_line_clean_sql("mdocs", text_col="mtext")
         ),
+        "text_line_dedup": (
+            f"WITH {O.synth_multiline_cte('documents')} "
+            + O.line_dedup_sql("mdocs", text_col="mtext", max_doc_freq=2)
+        ),
+        "text_pack_sequences": O.pack_sequences_sql(
+            "documents", window=256, n_shards=8
+        ),
+        "dedup_winnow": O.winnow_fps_sql("documents", k=5, w=8),
         "text_vocab_topk": """
             WITH vt AS (
               SELECT list_filter(regexp_split_to_array(

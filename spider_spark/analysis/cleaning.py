@@ -323,3 +323,67 @@ def synth_pii(
         .when(h == 2, F.concat(t, email, phone))
         .otherwise(t),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_lines_kept) — corpus-level line
+    deduplication (the CCNet / RefinedWeb boilerplate pass): a line that
+    appears in MORE than ``max_doc_freq`` distinct documents is dropped
+    from every document; survivors re-assemble in original order.
+
+    Unlike c4_line_clean (per-doc rules), the drop decision here is a
+    corpus aggregate — repeated nav bars / cookie banners / footers are
+    exactly the lines whose document frequency explodes.
+
+    Scale shape: one explode over lines, one combine-heavy groupBy(line)
+    over (doc_id, line)-distinct rows to find frequent lines, then a
+    BROADCAST anti-join of the exploded lines against that blocklist —
+    under any useful threshold the frequent-line set is tiny relative to
+    the corpus (it is the boilerplate), so the corpus-side join is
+    map-side. Reassembly is one groupBy(doc_id) with an array_sort over
+    (pos, line) structs — positions are per-doc unique, so the rebuild is
+    deterministic. Docs whose every line drops keep a row with
+    clean_text = '' (thresholding whole docs is the caller's decision)."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("_lines"),
+    )
+    ex = d.select(
+        "doc_id", F.posexplode("_lines").alias("pos", "line")
+    )
+    hot = (
+        ex.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("line")
+    )
+    kept = ex.join(F.broadcast(hot), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_ct"),
+        F.count("*").alias("_nk"),
+    )
+    return (
+        d.select("doc_id", F.size("_lines").cast("long").alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_ct"), F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias(
+                "n_lines_kept"
+            ),
+        )
+    )

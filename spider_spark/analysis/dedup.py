@@ -506,3 +506,63 @@ def duplicate_clusters(
     return assigned.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+# ------------------------------------------------------------- Winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (Schleimer, Wilkerson
+    & Aiken 2003, "Winnowing: Local Algorithms for Document Fingerprinting").
+
+    Token k-gram hashes (portable md5-u32, functions/hashing.py) slide
+    under a window of ``w`` consecutive grams; each window contributes its
+    minimum hash, and the distinct minima are the document's fingerprint
+    set. The guarantee: any shared token run of length >= k + w - 1 between
+    two documents yields at least one shared fingerprint, while storage is
+    ~2/(w+1) of the gram count — the standard local fingerprinting scheme
+    for substring-level near-dup detection (vs MinHash's whole-document
+    Jaccard).
+
+    All array work is JVM-side higher-order functions over one scan — the
+    only data movement is the exploded (doc_id, fp) output, already
+    distinct per doc. Docs with fewer than k+w-1 tokens degrade gracefully
+    (one window over whatever grams exist); docs with no tokens emit no
+    rows. The md5 hex binds once per gram (nested transform) — interpreted
+    HOF lambdas have no common-subexpression elimination."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_tokens_expr(text_col)).alias("_wn_t"),
+    )
+    d = d.withColumn(
+        "_wn_hex",
+        F.expr(
+            f"CASE WHEN size(_wn_t) >= {k} THEN "
+            f"transform(sequence(0, size(_wn_t) - {k}), "
+            f"i -> md5(array_join(slice(_wn_t, i + 1, {k}), chr(32)))) "
+            f"ELSE CASE WHEN size(_wn_t) > 0 THEN "
+            f"array(md5(array_join(_wn_t, chr(32)))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END END"
+        ),
+    )
+    d = d.withColumn(
+        "_wn_h",
+        F.expr(
+            "transform(_wn_hex, x -> cast(conv(concat("
+            "substring(x, 23, 2), substring(x, 21, 2), "
+            "substring(x, 19, 2), substring(x, 17, 2)), 16, 10) as bigint))"
+        ),
+    )
+    fps = F.expr(
+        f"CASE WHEN size(_wn_h) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"WHEN size(_wn_h) <= {w} THEN array(array_min(_wn_h)) "
+        f"ELSE array_distinct(transform(sequence(0, size(_wn_h) - {w}), "
+        f"j -> array_min(slice(_wn_h, j + 1, {w})))) END"
+    )
+    return d.select("doc_id", F.explode(fps).alias("fp"))

@@ -846,3 +846,108 @@ def surprisal_score_sql(
     FROM (SELECT {id_col} AS doc_id FROM {table}) d
     LEFT JOIN spd p USING (doc_id)
     """
+
+
+# ------------------------------------------------------- winnowing
+
+
+def winnow_fps_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> str:
+    """Replica of analysis/dedup.winnow_fingerprints: distinct per-window
+    minima of md5-u32 token k-gram hashes."""
+    toks = _TOKS.format(col=text_col)
+    u32 = md5_u32_duckdb("array_to_string(t[i+1:i+{0}], chr(32))".format(k))
+    u32_short = md5_u32_duckdb("array_to_string(t, chr(32))")
+    return f"""
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id, unnest(fps) AS fp FROM (
+        SELECT doc_id,
+          CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+               WHEN len(h) <= {w} THEN [list_min(h)]
+               ELSE list_distinct(list_transform(
+                     range(0, len(h) - {w} + 1),
+                     j -> list_min(h[j+1:j+{w}]))) END AS fps
+        FROM (
+          SELECT doc_id,
+            CASE WHEN len(t) >= {k} THEN list_transform(
+                   range(0, len(t) - {k} + 1), i -> {u32})
+                 WHEN len(t) > 0 THEN [{u32_short}]
+                 ELSE CAST([] AS BIGINT[]) END AS h
+          FROM (SELECT {id_col} AS doc_id, {toks} AS t FROM {table})
+        )
+      )
+    )
+    """
+
+
+# ------------------------------------------------------- line dedup
+
+
+def line_dedup_sql(
+    source_sql: str, text_col: str = "text", max_doc_freq: int = 2
+) -> str:
+    """Replica of analysis/cleaning.line_dedup over ``source_sql`` (plain
+    nested subqueries, composable after a WITH chain like c4_line_clean_sql)."""
+    split = (
+        f"SELECT doc_id, string_split(coalesce({text_col}, ''), chr(10)) "
+        f"AS ls FROM {source_sql}"
+    )
+    lex = (
+        f"SELECT doc_id, unnest(ls) AS line, "
+        f"unnest(range(1, len(ls) + 1)) AS pos FROM ({split})"
+    )
+    return f"""
+    SELECT d.doc_id,
+           coalesce(a.ct, '') AS clean_text,
+           len(d.ls)::BIGINT AS n_lines,
+           coalesce(a.nk, 0)::BIGINT AS n_lines_kept
+    FROM ({split}) d
+    LEFT JOIN (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct,
+             count(*)::BIGINT AS nk
+      FROM ({lex})
+      WHERE line NOT IN (
+        SELECT line FROM (
+          SELECT DISTINCT doc_id, line FROM ({lex}))
+        GROUP BY line HAVING count(*) > {max_doc_freq})
+      GROUP BY doc_id
+    ) a USING (doc_id)
+    """
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 256,
+    n_shards: int = 8,
+) -> str:
+    """Replica of analysis/packing.pack_sequences — same integer cumsum /
+    integer-division pack assignment."""
+    toks = _TOKS.format(col=text_col)
+    u32 = md5_u32_duckdb(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum - n_tokens) // {window} AS BIGINT) AS pack_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard, (cum - n_tokens) // {window}
+             ORDER BY doc_id) AS INT) AS pos_in_pack
+    FROM (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM (
+        SELECT {id_col} AS doc_id,
+               len({toks})::BIGINT AS n_tokens,
+               CAST({u32} % {n_shards} AS INT) AS shard
+        FROM {table})
+    )
+    """

@@ -1,0 +1,83 @@
+"""Sequence packing — assigning documents to fixed-token-budget training
+sequences, the step between a cleaned corpus and a tokenized training run.
+
+``pack_sequences`` implements deterministic greedy contiguous packing:
+documents are sharded by a portable md5 hash of their id, ordered within
+the shard (binary string order on the unique id — identical in Spark and
+DuckDB for the ASCII ids used here), and assigned to packs by cumulative
+token count: ``pack_id = (cum_tokens_before_doc) div window``. A document
+therefore lands in the pack where its first token would fall — packs fill
+to at least ``window`` tokens (the last doc of a pack may straddle the
+boundary), matching the common "greedy concat-and-chunk" pretraining
+packer rather than bin-packing (which is neither order-stable nor
+SQL-expressible).
+
+Every step is exact integer arithmetic — token counts, cumulative sums,
+integer division — so pack assignment can never drift between engines on
+a float ULP, and the whole operator is two window functions over a
+shard-partitioned frame: embarrassingly parallel across shards, no
+global sort, no driver state. At 100 TB, shards map 1:1 onto partitions
+(`n_shards` ≈ corpus partitions) and each pack's docs are co-located for
+the downstream tokenizer by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spider_spark.functions.hashing import md5_u32_sql
+
+from .dedup import _tokens_expr
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, pack_id, pos_in_pack) — greedy contiguous
+    pack assignment per shard (see module docstring). ``window`` is the
+    token budget per pack; ``n_shards`` the parallelism unit (a shard's
+    packs are independent of every other shard's)."""
+    assert window > 0 and n_shards > 0
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size({_tokens_expr(text_col)})").cast("long").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            f"{md5_u32_sql(f'cast({id_col} as string)')} % {n_shards}"
+        ).cast("int").alias("shard"),
+    )
+    w_cum = Window.partitionBy("shard").orderBy("doc_id")
+    d = d.withColumn("_cum", F.sum("n_tokens").over(w_cum)).withColumn(
+        "pack_id", F.expr(f"(_cum - n_tokens) div {window}")
+    )
+    w_pos = Window.partitionBy("shard", "pack_id").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "pack_id",
+        F.row_number().over(w_pos).alias("pos_in_pack"),
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(shard, pack_id, n_docs, pack_tokens) — per-pack fill summary over
+    the same assignment as pack_sequences (one extra combine-heavy
+    groupBy; the fill ratio is the caller's division to make)."""
+    packs = pack_sequences(df, text_col, id_col, window, n_shards)
+    return packs.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from spider_spark.analysis.cleaning import (
     c4_line_clean,
+    line_dedup,
     gopher_filter,
     repetition_stats,
     synth_multiline,
@@ -142,3 +143,39 @@ def test_pii_scrub_redaction(spark):
     assert got["d2"]["n_emails"] == 0 and got["d2"]["scrubbed"] == "no pii here"
     assert got["d3"]["scrubbed"] == ""
     assert got["d4"]["n_emails"] == 2 and got["d4"]["scrubbed"].count("[EMAIL]") == 2
+
+
+def test_line_dedup_corpus_blocklist(spark):
+    rows = [
+        ("d1", "shared line\nuniq a\nshared line"),
+        ("d2", "shared line\nuniq b"),
+        ("d3", "shared line\nalso shared"),
+        ("d4", "also shared\nuniq d"),
+        ("d5", "solo only"),
+        ("d6", ""),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup(_docs(spark, rows), max_doc_freq=2).collect()
+    }
+    # 'shared line' appears in 3 distinct docs > 2 -> dropped everywhere;
+    # in-doc multiplicity does not count (d1 carries it twice, df is 3)
+    assert got["d1"]["clean_text"] == "uniq a"
+    assert got["d1"]["n_lines"] == 3 and got["d1"]["n_lines_kept"] == 1
+    assert got["d2"]["clean_text"] == "uniq b"
+    # 'also shared' sits in exactly max_doc_freq docs -> kept, order intact
+    assert got["d3"]["clean_text"] == "also shared"
+    assert got["d4"]["clean_text"] == "also shared\nuniq d"
+    assert got["d5"]["clean_text"] == "solo only"
+    assert got["d6"]["clean_text"] == "" and got["d6"]["n_lines"] == 1
+
+
+def test_line_dedup_all_lines_dropped_keeps_row(spark):
+    rows = [("a", "x\ny"), ("b", "x"), ("c", "x"), ("d", "x")]
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup(_docs(spark, rows), max_doc_freq=2).collect()
+    }
+    assert got["b"]["clean_text"] == "" and got["b"]["n_lines_kept"] == 0
+    assert got["a"]["clean_text"] == "y"
+    assert len(got) == 4
