@@ -104,6 +104,9 @@ ALLPAIRS_OK = {
     "ann_topk_lsh",  # one probe row, bucket-pruned
     "ann_topk_ivf",  # one probe row, nprobe-pruned
     "r16_retry_budget",  # crossJoin of a broadcast 1-row aggregate (scalar)
+    "text_surprisal",  # crossJoin of the broadcast 1-row corpus-total N
+    # (vocab x 1-row scalar; the window alternative would funnel the whole
+    # vocabulary through a single unpartitioned task)
 }
 
 
