@@ -1001,6 +1001,19 @@ class CrawlEngine:
         # them serially is pure driver-side dead time that becomes the
         # Amdahl floor at high core counts — submit them from threads and
         # let the scheduler interleave tasks
+        def timed(fn):
+            # per-sink wall clock (threads overlap, so these measure each
+            # sink's own span; the max is the critical sink of the round)
+            def wrapped():
+                ts = time.time()
+                try:
+                    return fn()
+                finally:
+                    m.phases[fn.__name__] = round(time.time() - ts, 2)
+
+            wrapped.__name__ = fn.__name__
+            return wrapped
+
         def sink_urls():
             new_urls.write.mode("overwrite").parquet(self._p("urls", r))
             m.indexed_urls = self._parquet_rows(self._p("urls", r))
@@ -1079,9 +1092,9 @@ class CrawlEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        sinks = [sink_frontier, sink_seen, sink_urls]
+        sinks = [timed(sink_frontier), timed(sink_seen), timed(sink_urls)]
         if cfg.sanity_check:
-            sinks.append(sink_sanity)
+            sinks.append(timed(sink_sanity))
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
             futures = [pool.submit(s) for s in sinks]
             lineage = futures[0].result()
