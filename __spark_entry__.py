@@ -942,6 +942,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return DC.surprisal_score(_t(spark, sf, "documents"))
 
+    def text_importance(spark, sf):
+        # DSIR-style importance scoring (Xie et al. 2023): hashed
+        # {1,2}-gram bucket distributions, integer floor-log2 log-weight.
+        # The "target" corpus is a deterministic md5-residue class of the
+        # corpus itself (closed-form, no external data)
+        from spider_spark.analysis import importance as IW
+        from spider_spark.functions.hashing import md5_u32_sql
+
+        docs = _t(spark, sf, "documents")
+        target = docs.filter(
+            F.expr(md5_u32_sql("cast(doc_id as string)")) % 16 == 0
+        )
+        return IW.importance_score(docs, target)
+
+    def tok_bpe_pairs(spark, sf):
+        # BPE tokenizer-training merge-selection step (Sennrich et al.
+        # 2016): corpus word-frequency reduction, then frequency-weighted
+        # adjacent character-pair counts, distributed top-50
+        from spider_spark.analysis import tokenizer as TK
+
+        return TK.bpe_pair_counts(_t(spark, sf, "documents"), k=50)
+
     def graph_transition_edges(spark, sf):
         return G.transition_edges(_event_nodes(spark, sf))
 
@@ -1225,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "text_decontaminate": text_decontaminate,
         "text_surprisal": text_surprisal,
+        "text_importance": text_importance,
+        "tok_bpe_pairs": tok_bpe_pairs,
         "graph_transition_edges": graph_transition_edges,
         "graph_pagerank": graph_pagerank,
         "text_gopher_filter": text_gopher_filter,
@@ -1822,6 +1846,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", n=3, bench_residue_mod=25
         ),
         "text_surprisal": O.surprisal_score_sql("documents"),
+        "text_importance": O.importance_score_sql(
+            "documents", target_residue_mod=16
+        ),
+        "tok_bpe_pairs": O.bpe_pair_counts_sql("documents", k=50),
         "graph_pagerank": O.pagerank_int_sql(
             O.transition_edges_cte("events", _GRAPH_NODE), iters=5
         ),

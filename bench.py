@@ -58,6 +58,8 @@ HEADLINE = [
     "text_line_dedup",        # corpus-level boilerplate line dedup (CCNet)
     "text_pack_sequences",    # greedy contiguous training-sequence packing
     "dedup_winnow",           # winnowing substring fingerprints (SWA 2003)
+    "text_importance",        # DSIR hashed-ngram importance scoring
+    "tok_bpe_pairs",          # BPE merge-selection pair counts
 ]
 
 

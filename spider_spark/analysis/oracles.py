@@ -951,3 +951,98 @@ def pack_sequences_sql(
         FROM {table})
     )
     """
+
+
+# ---------------------------------------- BPE pair counts / DSIR importance
+
+
+def bpe_pair_counts_sql(
+    table: str = "documents", text_col: str = "text", k: int = 50
+) -> str:
+    """Replica of analysis/tokenizer.bpe_pair_counts (no end-of-word
+    marker): word-frequency-weighted adjacent character-pair counts,
+    top-k by (cnt DESC, pair ASC) — the same total order, so the
+    selected set is identical."""
+    toks = _TOKS.format(col=text_col)
+    return f"""
+    WITH btoks AS (
+      SELECT {toks} AS t FROM {table}
+    ), bwords AS (
+      SELECT unnest(t) AS w FROM btoks
+    ), bwc AS (
+      SELECT w, count(*)::BIGINT AS c FROM bwords GROUP BY 1
+    ), bpairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1)))
+               AS pair,
+             c
+      FROM bwc WHERE length(w) >= 2
+    )
+    SELECT pair, sum(c)::BIGINT AS cnt FROM bpairs GROUP BY 1
+    ORDER BY cnt DESC, pair LIMIT {k}
+    """
+
+
+def importance_score_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    target_residue_mod: int = 16,
+) -> str:
+    """Replica of analysis/importance.importance_score with the target
+    corpus drawn from the same table by a deterministic doc_id residue
+    class (md5_u32(doc_id) % mod == 0 — the closed-form fixture both
+    engines compute). Features: hashed word {{1,2}}-gram occurrence
+    buckets; integer floor-log2 score, sign-symmetric truncating mean."""
+    toks = _TOKS.format(col=text_col)
+    h32 = md5_u32_duckdb("gram")
+    hid = md5_u32_duckdb(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH itoks AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ), igrams AS (
+      SELECT doc_id,
+             list_concat(t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(0, len(t) - 1),
+                         i -> array_to_string(t[i+1:i+2], ' '))
+                    ELSE [] END) AS g
+      FROM itoks
+    ), ifeat AS (
+      SELECT doc_id, CAST({h32} % {n_buckets} AS BIGINT) AS bucket
+      FROM (SELECT doc_id, unnest(g) AS gram FROM igrams)
+    ), irawc AS (
+      SELECT bucket, count(*)::BIGINT AS c_raw FROM ifeat GROUP BY 1
+    ), itgtc AS (
+      SELECT bucket, count(*)::BIGINT AS c_tgt FROM ifeat
+      WHERE doc_id IN (
+        SELECT {id_col} FROM {table} WHERE {hid} % {target_residue_mod} = 0)
+      GROUP BY 1
+    ), itot AS (
+      SELECT (SELECT sum(c_raw) FROM irawc)::BIGINT AS n_raw,
+             coalesce((SELECT sum(c_tgt) FROM itgtc), 0)::BIGINT AS n_tgt
+    ), iscore AS (
+      SELECT r.bucket,
+             ((length(bin(greatest((t.n_raw + {n_buckets})
+                   // (r.c_raw + 1), 1))) - 1)
+              - (length(bin(greatest((t.n_tgt + {n_buckets})
+                   // (coalesce(g.c_tgt, 0) + 1), 1))) - 1))::BIGINT AS s
+      FROM irawc r LEFT JOIN itgtc g USING (bucket), itot t
+    ), iperdoc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_feats,
+             sum(s)::BIGINT AS log2_weight
+      FROM ifeat JOIN iscore USING (bucket)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+           coalesce(p.log2_weight, 0)::BIGINT AS log2_weight,
+           (CASE WHEN coalesce(p.n_feats, 0) > 0 THEN
+              CASE WHEN p.log2_weight >= 0
+                   THEN (1000 * p.log2_weight) // p.n_feats
+                   ELSE -((1000 * -p.log2_weight) // p.n_feats) END
+            ELSE 0 END)::BIGINT AS mean_weight_milli
+    FROM (SELECT {id_col} AS doc_id FROM {table}) d
+    LEFT JOIN iperdoc p USING (doc_id)
+    """
