@@ -899,6 +899,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), k=5, w=8
         )
 
+    def dedup_substring_spans(spark, sf):
+        # Lee et al. 2021 ExactSubstr at token-5-gram granularity:
+        # maximal per-doc spans covered by corpus-duplicated grams
+        return D.duplicate_gram_spans(
+            _t(spark, sf, "documents"), k=5, min_doc_freq=2
+        )
+
+    def text_dup_span_stats(spark, sf):
+        # per-doc duplicated-token totals (the keep/trim signal a
+        # substring-dedup pass thresholds on); exact integer milli frac
+        return D.dup_span_stats(
+            _t(spark, sf, "documents"), k=5, min_doc_freq=2
+        )
+
+    def text_chunk_tokens(spark, sf):
+        # RAG / long-doc chunking: 32-token windows, stride 24 (docs run
+        # 10-99 tokens, so multi-chunk docs with a short tail exist)
+        from spider_spark.analysis import packing as PK
+
+        return PK.chunk_tokens(
+            _t(spark, sf, "documents"), chunk=32, stride=24
+        )
+
     def _event_nodes(spark, sf):
         # clickstream → host-graph reduction: node = a 32-host hash of the
         # event (event_id % 32 — user_id%5 would make every per-user
@@ -984,6 +1007,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # string-format for bit-stable cross-engine value comparison
             .select("vec_id", F.format_string("%.4f", "cos_r").alias("cos_sim"))
         )
+
+    def ann_topk_quantized(spark, sf):
+        # fixed-point int64 dot-product top-10 (query = vec_id 0): the
+        # quantized scoring kernel — exact integer scores, no rounding
+        emb = _t(spark, sf, "embeddings")
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+        query = [float(x) for x in qrow[0]["embedding"]]
+        return S.ann_topk_quantized(emb, query, k=10, frac_bits=8)
 
     def dedup_minhash_lsh(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -1256,7 +1287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": text_line_dedup,
         "text_pack_sequences": text_pack_sequences,
         "dedup_winnow": dedup_winnow,
+        "dedup_substring_spans": dedup_substring_spans,
+        "text_dup_span_stats": text_dup_span_stats,
+        "text_chunk_tokens": text_chunk_tokens,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_topk_quantized": ann_topk_quantized,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pregroup": dedup_minhash_pregroup,
         "dedup_clusters": dedup_clusters,
@@ -1817,6 +1852,18 @@ def oracle_sql() -> dict[str, str]:
             "documents", window=256, n_shards=8
         ),
         "dedup_winnow": O.winnow_fps_sql("documents", k=5, w=8),
+        "dedup_substring_spans": O.dup_spans_sql(
+            "documents", k=5, min_doc_freq=2
+        ),
+        "text_dup_span_stats": O.dup_span_stats_sql(
+            "documents", k=5, min_doc_freq=2
+        ),
+        "text_chunk_tokens": O.chunk_tokens_sql(
+            "documents", chunk=32, stride=24
+        ),
+        "ann_topk_quantized": O.ann_topk_quantized_sql(
+            "embeddings", query_id=0, k=10, frac_bits=8
+        ),
         "text_vocab_topk": """
             WITH vt AS (
               SELECT list_filter(regexp_split_to_array(

@@ -12,6 +12,9 @@ Four families, scale-ranked:
     implies at least one identical 16-bit quarter).
   - n-gram Jaccard: exact verification on LSH candidates (the
     re-rank/verify stage after either LSH).
+  - duplicate-substring spans: corpus-duplicated token k-grams merged
+    into maximal per-document spans (Lee et al. 2021 ExactSubstr, at
+    gram granularity) — substring-level removal rather than whole-doc.
 
 Everything runs JVM-side in whole-stage codegen — no Python UDFs anywhere:
 shingling/minhash are array HOFs (transform/array_min), simhash is an
@@ -30,7 +33,7 @@ worst case is O(distinct-texts²) per bucket, not O(docs²).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spider_spark.functions.hashing import (
@@ -505,6 +508,139 @@ def duplicate_clusters(
     )
     return assigned.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+# ------------------------------------------- duplicate-substring spans
+
+
+def duplicate_gram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len, n_grams) — maximal token
+    spans covered by corpus-duplicated k-grams (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", at token
+    k-gram granularity instead of suffix-array byte granularity).
+
+    A token k-gram is *duplicated* when it occurs in at least
+    ``min_doc_freq`` distinct documents; each occurrence covers token
+    positions [pos, pos+k-1] (0-based inclusive), and overlapping or
+    adjacent covered intervals merge into maximal spans — the classic
+    gaps-and-islands pass over each document's duplicated positions.
+
+    Scale shape: the (doc, pos, gram-hash) explode is the one large
+    intermediate (one row per token — the cost every substring-level
+    scheme pays, and still a narrow 3-column stream); gram doc-frequency
+    is a distinct + combine-heavy groupBy on the 32-bit hash; duplicated
+    grams come back via a hash-keyed semi-join (AQE broadcasts it when
+    the duplicated set is small). The islands window runs per document
+    over its duplicated positions only — skew-free unless one document
+    is itself enormous. Hashes are the portable md5-u32 of
+    functions/hashing.py, so the pipeline has an exact DuckDB oracle."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_tokens_expr(text_col)).alias("_ds_t"),
+    )
+    # md5 hex binds once per gram (nested transform) — interpreted HOF
+    # lambdas have no common-subexpression elimination
+    d = d.withColumn(
+        "_ds_hex",
+        F.expr(
+            f"CASE WHEN size(_ds_t) >= {k} THEN "
+            f"transform(sequence(0, size(_ds_t) - {k}), "
+            f"i -> md5(array_join(slice(_ds_t, i + 1, {k}), chr(32)))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        ),
+    ).withColumn(
+        "_ds_h",
+        F.expr(
+            "transform(_ds_hex, x -> cast(conv(concat("
+            "substring(x, 23, 2), substring(x, 21, 2), "
+            "substring(x, 19, 2), substring(x, 17, 2)), 16, 10) as bigint))"
+        ),
+    )
+    grams = d.select("doc_id", F.posexplode("_ds_h").alias("pos", "h"))
+    dup = (
+        grams.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # intervals [p, p+k-1] and [q, q+k-1] merge iff q <= p + k
+    isl = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("_prev").isNull()
+                    | (F.col("pos") > F.col("_prev") + k),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).over(w),
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_grams",
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac_milli) — per-document
+    duplicated-token totals over ``duplicate_gram_spans``. Every document
+    keeps a row (0 when nothing duplicated); the milli-fraction is exact
+    integer arithmetic (1000·dup div n), bit-identical on any engine —
+    the keep/trim signal a Lee-et-al-style dedup pass thresholds on."""
+    spans = duplicate_gram_spans(df, text_col, id_col, k, min_doc_freq)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("dup_tokens")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size({_tokens_expr(text_col)})")
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac_milli",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN (1000 * dup_tokens) div n_tokens "
+                "ELSE 0 END"
+            ),
+        )
     )
 
 

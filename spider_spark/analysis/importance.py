@@ -125,20 +125,31 @@ def importance_score(
     Positive log2_weight = the doc's hashed-gram profile is closer to the
     target distribution than to the raw corpus average — keep it when
     resampling toward the target domain."""
+    from pyspark.sql import Window
+
     raw_feats = doc_feature_buckets(docs, text_col, id_col, n_buckets, ns)
     tgt_feats = doc_feature_buckets(target, text_col, id_col, n_buckets, ns)
     raw_c = bucket_counts(raw_feats)
     tgt_c = bucket_counts(tgt_feats)
-    raw_n = raw_c.agg(F.sum("c").cast("long").alias("n_raw"))
-    tgt_n = tgt_c.agg(
-        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tgt")
+    # per-bucket score table: <= n_buckets rows, broadcast to the scan.
+    # Corpus totals come from a single-partition window over this already
+    # bounded table (every raw/target bucket survives the outer join, so
+    # sum(c_raw)/sum(c_tgt) ARE N_raw/N_tgt) — bounded by n_buckets no
+    # matter the corpus size, and no nested-loop join enters the plan
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # per-bucket score table: <= n_buckets rows, broadcast to the scan
     score = (
         raw_c.withColumnRenamed("c", "c_raw")
         .join(tgt_c.withColumnRenamed("c", "c_tgt"), "bucket", "outer")
-        .crossJoin(F.broadcast(raw_n))
-        .crossJoin(F.broadcast(tgt_n))
+        .withColumn(
+            "n_raw",
+            F.sum(F.coalesce("c_raw", F.lit(0))).over(w_all).cast("long"),
+        )
+        .withColumn(
+            "n_tgt",
+            F.sum(F.coalesce("c_tgt", F.lit(0))).over(w_all).cast("long"),
+        )
         .select(
             "bucket",
             (

@@ -885,6 +885,153 @@ def winnow_fps_sql(
     """
 
 
+# ------------------------------------------- duplicate-substring spans
+
+
+def _dup_isl_subquery(
+    table: str, text_col: str, id_col: str, k: int, min_doc_freq: int
+) -> str:
+    """Shared islands subquery: (doc_id, pos, island) for every position
+    whose k-gram is duplicated across >= min_doc_freq docs."""
+    toks = _TOKS.format(col=text_col)
+    u32 = md5_u32_duckdb(f"array_to_string(t[i+1:i+{k}], chr(32))")
+    return f"""
+    (SELECT doc_id, pos,
+            sum(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS island
+     FROM (
+       SELECT doc_id, pos,
+              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       FROM (
+         SELECT doc_id, unnest(h) AS h, unnest(range(0, len(h))) AS pos
+         FROM (
+           SELECT doc_id,
+             CASE WHEN len(t) >= {k} THEN list_transform(
+                    range(0, len(t) - {k} + 1), i -> {u32})
+                  ELSE CAST([] AS BIGINT[]) END AS h
+           FROM (SELECT {id_col} AS doc_id, {toks} AS t FROM {table})
+         )
+       )
+       WHERE h IN (
+         SELECT h FROM (
+           SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(t) >= {k} THEN list_transform(
+                           range(0, len(t) - {k} + 1), i -> {u32})
+                         ELSE CAST([] AS BIGINT[]) END) AS h
+           FROM (SELECT {id_col} AS doc_id, {toks} AS t FROM {table})
+         ) GROUP BY h HAVING count(*) >= {min_doc_freq})
+     ))
+    """
+
+
+def dup_spans_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_doc_freq: int = 2,
+) -> str:
+    """Replica of analysis/dedup.duplicate_gram_spans (gaps-and-islands
+    merge of positions covered by corpus-duplicated md5-u32 k-grams)."""
+    isl = _dup_isl_subquery(table, text_col, id_col, k, min_doc_freq)
+    return f"""
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + {k} - 1)::BIGINT AS span_end,
+           (max(pos) - min(pos) + {k})::BIGINT AS span_len,
+           count(*)::BIGINT AS n_grams
+    FROM {isl} GROUP BY doc_id, island
+    """
+
+
+def dup_span_stats_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_doc_freq: int = 2,
+) -> str:
+    """Replica of analysis/dedup.dup_span_stats (per-doc duplicated-token
+    totals; integer milli fraction)."""
+    isl = _dup_isl_subquery(table, text_col, id_col, k, min_doc_freq)
+    toks = _TOKS.format(col=text_col)
+    return f"""
+    SELECT d.doc_id,
+           d.n_tokens,
+           coalesce(s.dup_tokens, 0)::BIGINT AS dup_tokens,
+           (CASE WHEN d.n_tokens > 0
+                 THEN (1000 * coalesce(s.dup_tokens, 0)) // d.n_tokens
+                 ELSE 0 END)::BIGINT AS dup_frac_milli
+    FROM (SELECT {id_col} AS doc_id, len({toks})::BIGINT AS n_tokens
+          FROM {table}) d
+    LEFT JOIN (
+      SELECT doc_id, sum(max_pos - min_pos + {k})::BIGINT AS dup_tokens
+      FROM (SELECT doc_id, island, min(pos) AS min_pos, max(pos) AS max_pos
+            FROM {isl} GROUP BY doc_id, island)
+      GROUP BY doc_id
+    ) s USING (doc_id)
+    """
+
+
+# ------------------------------------------------------- token chunking
+
+
+def chunk_tokens_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 128,
+    stride: int = 96,
+) -> str:
+    """Replica of analysis/packing.chunk_tokens (fixed-size overlapping
+    token windows; integer boundary arithmetic)."""
+    toks = _TOKS.format(col=text_col)
+    return f"""
+    SELECT doc_id,
+           i::BIGINT AS chunk_id,
+           len(t[i*{stride}+1 : i*{stride}+{chunk}])::BIGINT
+             AS n_chunk_tokens,
+           array_to_string(t[i*{stride}+1 : i*{stride}+{chunk}], ' ')
+             AS chunk_text
+    FROM (
+      SELECT doc_id, t,
+             unnest(range(0, 1 + (greatest(len(t) - {chunk}, 0)
+                                  + {stride} - 1) // {stride})) AS i
+      FROM (SELECT {id_col} AS doc_id, {toks} AS t FROM {table})
+      WHERE len(t) > 0
+    )
+    """
+
+
+# --------------------------------------------------- quantized ANN top-k
+
+
+def ann_topk_quantized_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+    k: int = 10,
+    frac_bits: int = 8,
+) -> str:
+    """Replica of analysis/similarity.ann_topk_quantized: integer
+    fixed-point dot-product top-k, query = the row with id ``query_id``.
+    No rounding anywhere — the scores are exact int64 on both engines."""
+    s = float(1 << frac_bits)
+    return f"""
+    SELECT {id_col}, qscore FROM (
+      SELECT e.{id_col},
+             CAST(list_sum(list_transform(range(1, len(e.{vec_col}) + 1),
+               i -> CAST(floor(CAST(e.{vec_col}[i] AS DOUBLE) * {s}) AS BIGINT)
+                    * q.qv[i])) AS BIGINT) AS qscore
+      FROM {table} e, (
+        SELECT list_transform(CAST({vec_col} AS DOUBLE[]),
+                 x -> CAST(floor(x * {s}) AS BIGINT)) AS qv
+        FROM {table} WHERE {id_col} = {query_id}) q
+    ) ORDER BY qscore DESC, {id_col} LIMIT {k}
+    """
+
+
 # ------------------------------------------------------- line dedup
 
 

@@ -81,3 +81,49 @@ def pack_stats(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk_text) — fixed-size
+    overlapping token windows: chunk i covers tokens
+    [i·stride, i·stride + chunk), the sliding-window chunker RAG indexing
+    and long-document training both need. Every token is covered, the
+    final window is the first one reaching the document's end (no empty
+    trailing chunk), and documents with zero tokens emit nothing:
+    n_chunks = 1 + ceil((n - chunk)/stride) for n > chunk, else 1.
+
+    Zero shuffle: one narrow codegen pass (tokens → index sequence →
+    slice → explode) emitting ~n/stride rows per document — the chunker
+    runs at scan speed at 100 TB and never moves data. All arithmetic is
+    integer, so chunk boundaries are engine-bit-identical."""
+    assert chunk > 0 and 0 < stride <= chunk
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_tokens_expr(text_col)).alias("_ck_t"),
+    )
+    # last chunk index = ceil((n - chunk)/stride), as exact integer div;
+    # guarded CASE because sequence(0, -1) would DESCEND, not be empty
+    chunks = (
+        f"CASE WHEN size(_ck_t) <= 0 THEN "
+        f"CAST(array() AS ARRAY<STRUCT<chunk_id: INT, toks: ARRAY<STRING>>>) "
+        f"ELSE transform(sequence(0, "
+        f"(greatest(size(_ck_t) - {chunk}, 0) + {stride} - 1) div {stride}), "
+        f"i -> struct(i AS chunk_id, "
+        f"slice(_ck_t, i * {stride} + 1, {chunk}) AS toks)) END"
+    )
+    return (
+        d.withColumn("_ck_c", F.expr(chunks))
+        .select("doc_id", F.explode("_ck_c").alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.size("c.toks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+        )
+    )
