@@ -60,6 +60,9 @@ HEADLINE = [
     "dedup_winnow",           # winnowing substring fingerprints (SWA 2003)
     "text_importance",        # DSIR hashed-ngram importance scoring
     "tok_bpe_pairs",          # BPE merge-selection pair counts
+    "dedup_substring_spans",  # Lee-et-al duplicated-gram span merge
+    "text_chunk_tokens",      # sliding token-window chunking (zero shuffle)
+    "ann_topk_quantized",     # fixed-point integer dot-product top-k
 ]
 
 
