@@ -564,9 +564,12 @@ def duplicate_gram_spans(
         ),
     )
     grams = d.select("doc_id", F.posexplode("_ds_h").alias("pos", "h"))
+    # doc-frequency needs each (doc, gram) once: dedupe per doc JVM-side
+    # (array_distinct before the explode) so the aggregation input is
+    # already (doc, h)-distinct — one combine-heavy shuffle instead of a
+    # corpus-wide distinct shuffle followed by the groupBy
     dup = (
-        grams.select("h", "doc_id")
-        .distinct()
+        d.select(F.explode(F.array_distinct("_ds_h")).alias("h"))
         .groupBy("h")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") >= min_doc_freq)
