@@ -1220,6 +1220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return SA.length_stats(docs)
 
+    def sample_split_assign(spark, sf):
+        # growth-stable train/val/test hash split (50/25 permille so all
+        # three splits are populated at the 500-doc gate scale)
+        from spider_spark.analysis import sampling as SA
+
+        docs = _t(spark, sf, "documents")
+        return SA.split_assign(docs, val_permille=25, test_permille=50)
+
     def pipeline_clean_corpus(spark, sf):
         # the composed corpus-cleaning pipeline: lang/token/punct gates +
         # near-dup cluster resolution, canonical docs only — one plan,
@@ -1307,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
         "sample_stratified": sample_stratified_q,
+        "sample_split_assign": sample_split_assign,
         "doc_length_stats": doc_length_stats,
         "pipeline_clean_corpus": pipeline_clean_corpus,
     }
@@ -1558,6 +1567,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", n_per_stratum=5
         ),
         "doc_length_stats": SA.length_stats_sql("documents"),
+        "sample_split_assign": SA.split_assign_sql(
+            "documents", val_permille=25, test_permille=50
+        ),
         "pipeline_clean_corpus": O.clean_corpus_sql(
             "documents", num_hashes=16, bands=8, shingle_w=2
         ),

@@ -10,6 +10,9 @@ expressed so the exact same answer is computable in ANSI SQL:
     and keeps the top n. One shuffle on the strata key; no global sort,
     no ``orderBy(rand())`` (whose sample changes per run and whose sort
     is a full-data exchange).
+  - ``split_assign`` gives every id a stable train/val/test assignment
+    from a salted md5 bucket — growth-stable (ids never migrate splits
+    as the corpus changes), engine-portable, zero shuffle.
   - ``length_stats`` uses Spark's exact ``percentile`` (linear
     interpolation, same rule as DuckDB's ``quantile_cont``). Exact
     percentiles shuffle all group values to one reducer per group — fine
@@ -24,6 +27,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_u32_duckdb, md5_u32_sql
 
 
 def sample_stratified(
@@ -60,6 +65,57 @@ def length_stats(
         F.round(F.expr(f"percentile({len_col}, 0.9)"), 4).alias("p90"),
         F.round(F.expr(f"percentile({len_col}, 0.99)"), 4).alias("p99"),
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_permille: int = 10,
+    test_permille: int = 10,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """(id_col, bucket, split) — deterministic train/val/test hash split:
+    bucket = md5_u32(salt || id) mod 1000; the first ``test_permille``
+    buckets are 'test', the next ``val_permille`` are 'val', the rest
+    'train'.
+
+    Assignment is a pure function of (salt, id): stable across runs,
+    engines, partitionings, AND corpus growth — a document never changes
+    split when other documents are added or removed, the leakage
+    guarantee `orderBy(rand())` splits cannot give. Change ``salt`` to
+    draw an independent split. Narrow projection, zero shuffle — at
+    100 TB this is a free column on the scan."""
+    assert 0 <= test_permille and 0 <= val_permille
+    assert test_permille + val_permille < 1000
+    bucket = F.expr(
+        f"{md5_u32_sql(f'concat({salt!r}, cast({id_col} as string))')} % 1000"
+    ).cast("long")
+    return df.select(
+        id_col,
+        bucket.alias("bucket"),
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < test_permille, F.lit("test"))
+        .when(F.col("bucket") < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def split_assign_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    val_permille: int = 10,
+    test_permille: int = 10,
+    salt: str = "split-v1",
+) -> str:
+    u32 = md5_u32_duckdb(f"{salt!r} || {id_col}::VARCHAR")
+    return f"""
+    SELECT {id_col}, bucket,
+           CASE WHEN bucket < {test_permille} THEN 'test'
+                WHEN bucket < {test_permille + val_permille} THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT {id_col}, ({u32} % 1000)::BIGINT AS bucket FROM {table})
+    """
 
 
 def sample_stratified_sql(

@@ -147,3 +147,41 @@ def test_clean_corpus_gates_and_dedup(spark):
     assert set(out) == {1, 7}
     assert out[1]["cluster_size"] == 3 and out[1]["lang_guess"] == "en"
     assert out[7]["cluster_size"] == 1 and out[7]["lang_guess"] == "de"
+
+
+def test_split_assign_deterministic_and_growth_stable(spark):
+    import duckdb
+    import pandas as pd
+
+    from spider_spark.analysis.sampling import split_assign, split_assign_sql
+
+    rows = [("doc%03d" % i,) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id string")
+    got = {r["doc_id"]: (r["bucket"], r["split"])
+           for r in split_assign(docs, val_permille=100, test_permille=100).collect()}
+    # thresholds respected and every split populated at these permilles
+    splits = {s for _, s in got.values()}
+    assert splits == {"train", "val", "test"}
+    for b, s in got.values():
+        assert 0 <= b < 1000
+        assert s == ("test" if b < 100 else "val" if b < 200 else "train")
+
+    # growth stability: a subset corpus assigns identically
+    sub = spark.createDataFrame(rows[:50], "doc_id string")
+    got_sub = {r["doc_id"]: (r["bucket"], r["split"])
+               for r in split_assign(sub, val_permille=100, test_permille=100).collect()}
+    assert got_sub == {k: v for k, v in got.items() if k in got_sub}
+
+    # an independent salt draws a different split
+    resalted = {r["doc_id"]: r["split"]
+                for r in split_assign(docs, val_permille=100,
+                                      test_permille=100, salt="v2").collect()}
+    assert any(resalted[k] != got[k][1] for k in resalted)
+
+    # DuckDB oracle equality
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id"]))
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        split_assign_sql("documents", val_permille=100, test_permille=100)
+    ).fetchall()}
+    assert want == got
