@@ -176,3 +176,34 @@ def test_repetition_single_bigram_shuffle(spark):
     plan = plan_str(spark, q(spark, "text_repetition"), "simple")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_chunk_and_split_are_scan_only(spark):
+    """chunk_tokens and split_assign claim zero shuffle: an Exchange in
+    either plan means the narrow projection accidentally became a wide
+    op."""
+    for name in ("text_chunk_tokens", "sample_split_assign"):
+        plan = plan_str(spark, q(spark, name), "simple")
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_quantized_topk_is_take_ordered(spark):
+    """ann_topk_quantized must compile to TakeOrderedAndProject (partial
+    per-partition top-k), never a global Sort + Limit."""
+    plan = plan_str(spark, q(spark, "ann_topk_quantized"), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_dup_spans_shuffle_budget(spark):
+    """duplicate_gram_spans: the doc-frequency aggregation is the only
+    token-stream-wide exchange pair; the probe side reaches the join via
+    the hash key and the islands window partitions by doc_id. No
+    cartesian/NLJ, and the per-doc dedupe must keep the distinct out of
+    the plan (no dedicated distinct aggregate over the full stream)."""
+    plan = plan_str(spark, q(spark, "dedup_substring_spans"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 4 hash exchanges max: gram-count partial->final, semi-join probe,
+    # islands window, final span groupBy (AQE may broadcast the dup set)
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
