@@ -913,6 +913,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), k=5, min_doc_freq=2
         )
 
+    def search_postings(spark, sf):
+        # inverted-index build: per-token posting lists, hapaxes gated
+        from spider_spark.analysis import search as SR
+
+        return SR.inverted_postings(_t(spark, sf, "documents"), min_df=2)
+
+    def search_conjunctive_q(spark, sf):
+        # boolean-AND retrieval as a pure scan filter (zero shuffle);
+        # 'dup' is the rare corpus token, so the conjunction is selective
+        from spider_spark.analysis import search as SR
+
+        return SR.search_conjunctive(
+            _t(spark, sf, "documents"), ["dup", "window", "sort"]
+        )
+
+    def search_topk_q(spark, sf):
+        # integer tf-idf ranked retrieval (floor-log2 surprisal weights;
+        # N passed as a literal so no corpus-count join enters the plan)
+        from spider_spark.analysis import search as SR
+
+        docs = _t(spark, sf, "documents")
+        return SR.search_topk(
+            docs, ["dup", "window", "sort"], n_docs=docs.count(), k=25
+        )
+
     def text_chunk_tokens(spark, sf):
         # RAG / long-doc chunking: 32-token windows, stride 24 (docs run
         # 10-99 tokens, so multi-chunk docs with a short tail exist)
@@ -1298,6 +1323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": dedup_substring_spans,
         "text_dup_span_stats": text_dup_span_stats,
         "text_chunk_tokens": text_chunk_tokens,
+        "search_postings": search_postings,
+        "search_conjunctive": search_conjunctive_q,
+        "search_topk": search_topk_q,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_topk_quantized": ann_topk_quantized,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1872,6 +1900,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_chunk_tokens": O.chunk_tokens_sql(
             "documents", chunk=32, stride=24
+        ),
+        "search_postings": O.inverted_postings_sql("documents", min_df=2),
+        "search_conjunctive": O.search_conjunctive_sql(
+            "documents", ["dup", "window", "sort"]
+        ),
+        "search_topk": O.search_topk_sql(
+            "documents", ["dup", "window", "sort"], k=25
         ),
         "ann_topk_quantized": O.ann_topk_quantized_sql(
             "embeddings", query_id=0, k=10, frac_bits=8

@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_substring_spans",  # Lee-et-al duplicated-gram span merge
     "text_chunk_tokens",      # sliding token-window chunking (zero shuffle)
     "ann_topk_quantized",     # fixed-point integer dot-product top-k
+    "search_topk",            # integer tf-idf ranked retrieval
 ]
 
 

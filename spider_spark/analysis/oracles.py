@@ -973,6 +973,89 @@ def dup_span_stats_sql(
     """
 
 
+# ------------------------------------------------------- corpus search
+
+
+def _pairs_subquery(table: str, text_col: str, id_col: str) -> str:
+    toks = _TOKS.format(col=text_col)
+    return (
+        f"(SELECT doc_id, unnest(list_distinct(t)) AS token "
+        f"FROM (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}))"
+    )
+
+
+def inverted_postings_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> str:
+    """Replica of analysis/search.inverted_postings."""
+    pairs = _pairs_subquery(table, text_col, id_col)
+    cap = f"AND count(*) <= {max_df}" if max_df is not None else ""
+    return f"""
+    SELECT token, count(*)::BIGINT AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM {pairs}
+    GROUP BY token HAVING count(*) >= {min_df} {cap}
+    """
+
+
+def search_conjunctive_sql(
+    table: str,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Replica of analysis/search.search_conjunctive."""
+    uniq = sorted({t.lower() for t in terms})
+    toks = _TOKS.format(col=text_col)
+    lits = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+    SELECT doc_id FROM (
+      SELECT {id_col} AS doc_id,
+             len(list_intersect(list_distinct({toks}), [{lits}])) AS hits
+      FROM {table})
+    WHERE hits = {len(uniq)}
+    """
+
+
+def search_topk_sql(
+    table: str,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Replica of analysis/search.search_topk (integer tf·idf; N is the
+    corpus row count, computed in SQL — the Spark side passes the same
+    value as a literal)."""
+    uniq = sorted({t.lower() for t in terms})
+    toks = _TOKS.format(col=text_col)
+    lits = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*)::BIGINT AS tf
+      FROM (SELECT {id_col} AS doc_id, unnest(t) AS token
+            FROM (SELECT {id_col}, {toks} AS t FROM {table}))
+      WHERE token IN ({lits})
+      GROUP BY doc_id, token
+    ), wt AS (
+      SELECT token,
+             (length(bin(greatest(
+                (SELECT count(*) FROM {table}) // count(*), 1))) - 1
+             )::BIGINT AS w
+      FROM tf GROUP BY token
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+           sum(tf.tf * wt.w)::BIGINT AS score
+    FROM tf JOIN wt USING (token)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
 # ------------------------------------------------------- token chunking
 
 
