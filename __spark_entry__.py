@@ -990,6 +990,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return DC.surprisal_score(_t(spark, sf, "documents"))
 
+    def text_bigram_lm(spark, sf):
+        # CCNet-style add-one-smoothed bigram LM surprisal (self-trained),
+        # integer-exact: floor(log2((c1+V) DIV (c12+1))) per occurrence
+        from spider_spark.analysis import decontam as DC
+
+        return DC.bigram_lm_score(_t(spark, sf, "documents"))
+
     def text_importance(spark, sf):
         # DSIR-style importance scoring (Xie et al. 2023): hashed
         # {1,2}-gram bucket distributions, integer floor-log2 log-weight.
@@ -1311,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "text_decontaminate": text_decontaminate,
         "text_surprisal": text_surprisal,
+        "text_bigram_lm": text_bigram_lm,
         "text_importance": text_importance,
         "tok_bpe_pairs": tok_bpe_pairs,
         "graph_transition_edges": graph_transition_edges,
@@ -1940,6 +1948,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", n=3, bench_residue_mod=25
         ),
         "text_surprisal": O.surprisal_score_sql("documents"),
+        "text_bigram_lm": O.bigram_lm_score_sql("documents"),
         "text_importance": O.importance_score_sql(
             "documents", target_residue_mod=16
         ),

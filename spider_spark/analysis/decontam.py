@@ -124,6 +124,130 @@ def decontaminate(
     )
 
 
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, c12) — corpus bigram occurrence counts over the shared
+    lowercase tokenization. One combine-heavy groupBy: after map-side
+    partial aggregation the shuffle carries ~|bigram vocab| rows per
+    partition, not the corpus. Docs shorter than 2 tokens contribute
+    nothing."""
+    pairs = (
+        "CASE WHEN size(_bl_t) >= 2 THEN "
+        "transform(sequence(1, size(_bl_t) - 1), "
+        "i -> named_struct('w1', element_at(_bl_t, i), "
+        "'w2', element_at(_bl_t, i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+    )
+    return (
+        df.withColumn("_bl_t", F.expr(_tokens_expr(text_col)))
+        .select(F.explode(F.expr(pairs)).alias("_bg"))
+        .select("_bg.w1", "_bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_bigrams, sum_surprisal, mean_surprisal_milli) — add-one-
+    smoothed bigram language-model surprisal: the CCNet-style "train a
+    small LM, keep documents the model finds unsurprising" quality filter,
+    in exact integer arithmetic.
+
+    Train on ``ref`` (default: the corpus itself — self-scoring flags the
+    corpus's own outliers): c12(w1,w2) bigram counts and the derived
+    prefix counts c1(w1) = Σ_w2 c12 (occurrences of w1 as a bigram
+    prefix), plus the prefix-vocabulary size V. Per bigram occurrence the
+    conditional surprisal is
+
+        s(w1,w2) = floor(log2( (c1(w1) + V) DIV (c12(w1,w2) + 1) ))
+
+    — Laplace smoothing over the prefix vocabulary, so unseen bigrams of
+    a seen prefix cost ~log2(c1+V) bits and fully unseen prefixes cost
+    floor(log2(V)). c1 >= c12 and V >= 1 make the ratio >= 1, so s >= 0.
+    floor(log2(x)) is length(bin(x)) - 1 — exact for any positive int64;
+    no floating point anywhere, so the score is bit-identical on any
+    engine and any summation order (the pagerank_int determinism
+    contract). mean_surprisal_milli = 1000 * sum DIV n_bigrams is the
+    integer log2-perplexity proxy CCNet buckets on.
+
+    Plan shape at 100 TB: training is one scan + HOF bigram projection and
+    ONE combine-heavy groupBy(w1, w2) (|bigram vocab| rows), the prefix
+    table a second groupBy over that (not the corpus); scoring is the
+    occurrence stream left-joined to the (w1,w2)-keyed score table and the
+    w1-keyed prefix table — both vocab-sized, broadcastable when they fit,
+    bucketable by w1 otherwise — and one final combine-heavy
+    groupBy(doc_id). The reference crawl has no analysis tier
+    (Indexer.scala:75-101 ends at URL indexing); this belongs to the added
+    training-pipeline surface."""
+    train = df if ref is None else ref
+    big = bigram_counts(train, text_col)
+    pre = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vsize = pre.agg(F.count("*").cast("long").alias("v"))
+
+    pairs = (
+        "CASE WHEN size(_bl_t) >= 2 THEN "
+        "transform(sequence(1, size(_bl_t) - 1), "
+        "i -> named_struct('w1', element_at(_bl_t, i), "
+        "'w2', element_at(_bl_t, i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+    )
+    occ = (
+        df.withColumn("_bl_t", F.expr(_tokens_expr(text_col)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.expr(pairs)).alias("_bg"),
+        )
+        .select("doc_id", "_bg.w1", "_bg.w2")
+    )
+    per_doc = (
+        occ.join(big, ["w1", "w2"], "left")
+        .join(pre, ["w1"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "s",
+            (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            "(coalesce(c1, 0) + v) DIV (coalesce(c12, 0) + 1)"
+                        )
+                    )
+                )
+                - 1
+            ).cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s").alias("sum_surprisal"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_surprisal", F.lit(0))
+            .cast("long")
+            .alias("sum_surprisal"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr(
+                    "CAST(1000 * coalesce(sum_surprisal, 0) DIV "
+                    "coalesce(n_bigrams, 1) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("mean_surprisal_milli"),
+        )
+    )
+
+
 def unigram_counts(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -848,6 +848,46 @@ def surprisal_score_sql(
     """
 
 
+def bigram_lm_score_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Replica of analysis/decontam.bigram_lm_score (self-trained,
+    ref=None): add-one-smoothed bigram LM surprisal
+    s = floor(log2((c1 + V) // (c12 + 1))), all-integer."""
+    toks = _TOKS.format(col=text_col)
+    return f"""
+    WITH btoks AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ), bocc AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM btoks, unnest(range(1, len(t))) AS u(i)
+    ), bbig AS (
+      SELECT w1, w2, count(*)::BIGINT AS c12 FROM bocc GROUP BY 1, 2
+    ), bpre AS (
+      SELECT w1, sum(c12)::BIGINT AS c1 FROM bbig GROUP BY 1
+    ), bv AS (
+      SELECT count(*)::BIGINT AS v FROM bpre
+    ), bsc AS (
+      SELECT o.doc_id,
+             (length(bin((p.c1 + bv.v) // (g.c12 + 1))) - 1)::BIGINT AS s
+      FROM bocc o
+      JOIN bbig g USING (w1, w2)
+      JOIN bpre p USING (w1), bv
+    ), bpd AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(s)::BIGINT AS sum_surprisal
+      FROM bsc GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(p.sum_surprisal, 0)::BIGINT AS sum_surprisal,
+           (CASE WHEN coalesce(p.n_bigrams, 0) > 0
+                 THEN (1000 * p.sum_surprisal) // p.n_bigrams
+                 ELSE 0 END)::BIGINT AS mean_surprisal_milli
+    FROM (SELECT {id_col} AS doc_id FROM {table}) d
+    LEFT JOIN bpd p USING (doc_id)
+    """
+
+
 # ------------------------------------------------------- winnowing
 
 

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from spider_spark.analysis import oracles as O
 from spider_spark.analysis.decontam import (
+    bigram_counts,
+    bigram_lm_score,
     decontaminate,
     gram_hash_sets,
     surprisal_score,
@@ -178,6 +180,73 @@ def test_blocklist_monotonicity(spark, synth_corpus):
         for r in decontaminate(docs, large, n=3).collect()
     }
     assert all(h_large[k] >= v for k, v in h_small.items())
+
+
+def test_bigram_counts(spark):
+    docs = _docs(spark, [("d1", "a b a b"), ("d2", "b a"), ("one", "x"), ("e", "")])
+    got = {(r["w1"], r["w2"]): r["c12"] for r in bigram_counts(docs).collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_bigram_lm_known_values(spark):
+    # training corpus == scoring corpus:
+    #   bigrams: (a,b) x2, (b,a) x1, (b,c) x1
+    #   prefixes: c1(a)=2, c1(b)=2 ; V = 2
+    docs = _docs(spark, [("d1", "a b a b c"), ("tiny", "z"), ("e", None)])
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    # d1 occurrences: (a,b): floor(log2((2+2)//(2+1)))=0  [x2]
+    #                 (b,a): floor(log2((2+2)//(1+1)))=1
+    #                 (b,c): floor(log2((2+2)//(1+1)))=1
+    assert got["d1"]["n_bigrams"] == 4
+    assert got["d1"]["sum_surprisal"] == 0 + 0 + 1 + 1
+    assert got["d1"]["mean_surprisal_milli"] == 1000 * 2 // 4
+    assert got["tiny"]["n_bigrams"] == 0
+    assert got["tiny"]["sum_surprisal"] == 0
+    assert got["e"]["mean_surprisal_milli"] == 0
+
+
+def test_bigram_lm_unseen_fallbacks(spark):
+    # train on ref, score a disjoint doc: unseen prefix pays floor(log2(V))
+    ref = _docs(spark, [("r1", "a b"), ("r2", "b c"), ("r3", "c a")])
+    # ref bigrams: (a,b), (b,c), (c,a); prefixes a,b,c each c1=1; V=3
+    docs = _docs(spark, [("q1", "a c"), ("q2", "zz qq")])
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs, ref=ref).collect()}
+    # (a,c): seen prefix a (c1=1), unseen bigram -> floor(log2((1+3)//1)) = 2
+    assert got["q1"]["sum_surprisal"] == 2
+    # (zz,qq): unseen prefix -> floor(log2((0+3)//1)) = 1
+    assert got["q2"]["sum_surprisal"] == 1
+
+
+def test_bigram_lm_repetitive_scores_lower(spark):
+    # a repetitive doc must look less surprising than a one-off doc
+    rows = [("rep", "p q " * 20)] + [
+        (f"odd{i}", f"m{i} n{i} o{i}") for i in range(4)
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert all(r["sum_surprisal"] >= 0 for r in got.values())
+    assert (
+        got["rep"]["mean_surprisal_milli"]
+        < got["odd0"]["mean_surprisal_milli"]
+    )
+
+
+def test_bigram_lm_matches_duckdb_oracle(spark, synth_corpus):
+    docs = spark.createDataFrame(synth_corpus, "doc_id long, text string")
+    got = (
+        bigram_lm_score(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _duck(synth_corpus)
+        .execute(O.bigram_lm_score_sql("documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_surprisal_rare_tokens_score_higher(spark):
