@@ -1019,6 +1019,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return TK.bpe_pair_counts(_t(spark, sf, "documents"), k=50)
 
+    def graph_anchor_texts(spark, sf):
+        # anchor-text link graph: HTML synthesized from the text's first
+        # words (the r13 idiom — DuckDB recomputes the expected edges in
+        # closed form), driven through the REAL extract_anchors pandas UDF
+        # (nested-markup strip, validity gate, unclosed-tag drop), then the
+        # two-level (dst, anchor) aggregation
+        docs = _t(spark, sf, "documents")
+        words = F.expr(
+            "slice(filter(split(lower(coalesce(text, '')), '\\\\s+'), "
+            "w -> w rlike '^[a-z]+$'), 1, 3)"
+        )
+        anchor = lambda acc, w: F.concat(
+            acc,
+            F.lit('<a href="https://ex.org/t/'),
+            w,
+            F.lit('">go '),
+            w,
+            F.lit("</a>"),
+        )
+        html = F.concat(
+            F.aggregate(words, F.lit(""), anchor),
+            F.lit(
+                '<a href="https://ex.org/top"><b> hi there </b></a>'
+                '<a href="http://localhost/x">skip</a>'
+                '<a href="https://ex.org/un">unclosed'
+            ),
+        )
+        d = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            html.alias("html"),
+            F.concat(F.lit("https://ex.org/p/"), F.col("doc_id")).alias(
+                "url"
+            ),
+        )
+        return G.anchor_text_agg(G.anchor_text_edges(d))
+
     def graph_transition_edges(spark, sf):
         return G.transition_edges(_event_nodes(spark, sf))
 
@@ -1321,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": text_bigram_lm,
         "text_importance": text_importance,
         "tok_bpe_pairs": tok_bpe_pairs,
+        "graph_anchor_texts": graph_anchor_texts,
         "graph_transition_edges": graph_transition_edges,
         "graph_pagerank": graph_pagerank,
         "text_gopher_filter": text_gopher_filter,
@@ -1941,6 +1978,29 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {O.transition_edges_cte('events', _GRAPH_NODE)} "
             "SELECT src, dst, weight FROM gedges"
         ),
+        "graph_anchor_texts": r"""
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     list_slice(list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '\s+'),
+                       w -> regexp_full_match(w, '[a-z]+')), 1, 3) AS words
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(words) AS word FROM base
+            ), aedges AS (
+              SELECT doc_id AS src, 'https://ex.org/t/' || word AS dst,
+                     'go ' || word AS anchor
+              FROM w
+              UNION ALL
+              SELECT doc_id, 'https://ex.org/top', 'hi there' FROM base
+            ), per_src AS (
+              SELECT dst, anchor, src, count(*) AS c
+              FROM aedges GROUP BY 1, 2, 3
+            )
+            SELECT dst, anchor, sum(c)::BIGINT AS n_refs,
+                   count(*)::BIGINT AS n_src_pages
+            FROM per_src GROUP BY 1, 2
+        """,
         "text_pii_scrub": O.pii_scrub_sql(
             "documents", text_expr=O.synth_pii_expr()
         ),

@@ -53,6 +53,7 @@ HEADLINE = [
     "text_c4_clean",          # C4 line-level cleaning over synthesized lines
     "text_vocab_topk",        # corpus vocabulary: count + distributed top-K
     "graph_pagerank",         # integer PageRank over the host transition graph
+    "graph_anchor_texts",     # anchor-text link graph via the extraction UDF
     "text_decontaminate",     # benchmark n-gram overlap vs broadcast blocklist
     "text_surprisal",         # integer-exact IDF/surprisal quality score
     "text_bigram_lm",         # add-one bigram LM surprisal (CCNet-style)

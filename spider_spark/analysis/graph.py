@@ -27,10 +27,67 @@ through the join, not a skewed shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000
+
+
+def anchor_text_edges(
+    docs: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(src, dst, anchor): one row per ``<a href>...</a>`` pair across the
+    corpus — the anchor-text link graph search indexing and LLM data
+    pipelines mine for third-party descriptions of a target page. href
+    resolution/validity matches the crawl's own link extraction
+    (functions/extract.extract_anchors; the reference extracts hrefs only,
+    ContentFilter.scala:80-85 — anchor TEXT is added pipeline surface).
+
+    Plan shape: ONE scan through an Arrow-batched pandas UDF (same
+    compiled-regex core as the R13 extraction UDF) returning
+    array<struct>, then a copy-free explode — no shuffle at all; the
+    output is the edge list downstream aggregations shuffle, never the
+    HTML."""
+    from spider_spark.functions.extract import extract_anchors
+
+    @F.pandas_udf("array<struct<url: string, anchor: string>>")
+    def anchors_udf(html: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_anchors(h or "", b or "")
+                for h, b in zip(html, base)
+            ]
+        )
+
+    return (
+        docs.select(
+            F.col(id_col).alias("src"),
+            F.explode(
+                anchors_udf(F.col(html_col), F.col(base_col))
+            ).alias("_a"),
+        )
+        .select("src", F.col("_a.url").alias("dst"), F.col("_a.anchor").alias("anchor"))
+    )
+
+
+def anchor_text_agg(edges: DataFrame) -> DataFrame:
+    """(dst, anchor, n_refs, n_src_pages) per distinct (target, anchor
+    text): total reference count and how many distinct source pages use
+    that wording. Two combine-heavy groupBys — (dst, anchor, src) then
+    (dst, anchor) — so the shuffle carries partially-aggregated rows, and
+    a hot target URL (every page links the homepage) still distributes
+    across its distinct anchor wordings and source pages."""
+    per_src = edges.groupBy("dst", "anchor", "src").agg(
+        F.count("*").alias("c")
+    )
+    return per_src.groupBy("dst", "anchor").agg(
+        F.sum("c").cast("long").alias("n_refs"),
+        F.count("*").cast("long").alias("n_src_pages"),
+    )
 
 
 def transition_edges(

@@ -127,6 +127,39 @@ def extract_hreflang(html: str, base_url: str) -> list[str]:
     return out
 
 
+_A_PAIR_RE = re.compile(
+    r"<a((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>(.*?)</a>", re.S | re.I
+)
+_INNER_TAG_RE = re.compile(r"<[^<>]*>")
+
+
+def extract_anchors(html: str, base_url: str) -> list[tuple[str, str]]:
+    """(href_abs, anchor_text) for every ``<a href>...</a>`` pair: href
+    absolutized + validity-gated exactly like extract_abs_links
+    (ContentFilter.scala:80-85 extracts hrefs only — anchor TEXT is an
+    added training-pipeline/indexing signal, not reference behavior);
+    anchor text is the inner markup with nested tags stripped and
+    whitespace collapsed ('' for image-only/empty anchors). Unclosed
+    ``<a>`` tags yield no pair (no closing tag to bound the text)."""
+    html = _COMMENT_RE.sub("", html)
+    out = []
+    for m in _A_PAIR_RE.finditer(html):
+        attrs = {}
+        for am in _ATTR_RE.finditer(m.group(1)):
+            key = am.group(1).lower()
+            val = am.group(2) or am.group(3) or am.group(4) or ""
+            if key not in attrs:
+                attrs[key] = val
+        if "href" not in attrs:
+            continue
+        u = _abs(attrs["href"], base_url)
+        if not is_valid_url(u):
+            continue
+        text = " ".join(_INNER_TAG_RE.sub(" ", m.group(2)).split())
+        out.append((u, text))
+    return out
+
+
 def _canonical_links(region_html: str, base_url: str) -> list[str]:
     out = []
     for name, attrs in _tags(region_html):

@@ -194,3 +194,27 @@ def test_spans_to_html_order_and_media_skip():
     html = spans_to_html(spans)
     assert html.startswith("<html><head></head>")
     assert "b.html" in html
+
+
+def test_extract_anchors_goldens():
+    from spider_spark.functions.extract import extract_anchors
+
+    html = (
+        '<!-- <a href="https://h.de/c">comment</a> -->'
+        '<a href="https://h.de/a">one <i>two</i>\n three</a>'
+        "<a href='/rel'><img src='x.png'/></a>"
+        '<a href="http://localhost/nodots">invalid</a>'
+        '<a name="no-href">text</a>'
+        '<A HREF="https://h.de/up">CASE</A>'
+        '<a href="https://h.de/open">unclosed'
+    )
+    got = extract_anchors(html, "https://h.de/base/")
+    assert got == [
+        ("https://h.de/a", "one two three"),
+        ("https://h.de/rel", ""),       # image-only anchor -> empty text
+        ("https://h.de/up", "CASE"),
+    ]
+    assert extract_anchors("", "https://h.de/") == []
+    assert extract_anchors("<a href='https://h.de/x'>t</a>", "") == [
+        ("https://h.de/x", "t")
+    ]

@@ -58,3 +58,41 @@ def test_pagerank_deterministic_across_runs(spark):
     b = sorted(map(tuple, pagerank_int(e, iters=4).collect()))
     assert a == b
     assert len(a) == 13
+
+
+# ----------------------------------------------------- anchor-text graph
+
+
+def test_anchor_text_edges_and_agg(spark):
+    from spider_spark.analysis.graph import anchor_text_agg, anchor_text_edges
+
+    rows = [
+        # two anchors to /t, one with nested markup, one relative href
+        ("p1", "https://h.de/p1",
+         '<a href="https://h.de/t">go <b>there</b></a>'
+         '<a href="/t">plain</a>'
+         '<a href="https://h.de/t">go  there</a>'),
+        # second page repeats one wording; invalid + unclosed dropped
+        ("p2", "https://h.de/p2",
+         '<a href="https://h.de/t">go there</a>'
+         '<a href="http://localhost/x">skip</a>'
+         '<a href="https://h.de/un">never closed'),
+        ("p3", "https://h.de/p3", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, url string, html string")
+    edges = anchor_text_edges(docs)
+    got = sorted((r["src"], r["dst"], r["anchor"]) for r in edges.collect())
+    assert got == [
+        ("p1", "https://h.de/t", "go there"),
+        ("p1", "https://h.de/t", "go there"),
+        ("p1", "https://h.de/t", "plain"),
+        ("p2", "https://h.de/t", "go there"),
+    ]
+    agg = {
+        (r["dst"], r["anchor"]): (r["n_refs"], r["n_src_pages"])
+        for r in anchor_text_agg(edges).collect()
+    }
+    assert agg == {
+        ("https://h.de/t", "go there"): (3, 2),
+        ("https://h.de/t", "plain"): (1, 1),
+    }
