@@ -938,6 +938,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, ["dup", "window", "sort"], n_docs=docs.count(), k=25
         )
 
+    def search_bm25_q(spark, sf):
+        # fixed-point int64 BM25 (length normalization + tf saturation;
+        # milli-unit arithmetic so ranking is engine-bit-identical)
+        from spider_spark.analysis import search as SR
+
+        docs = _t(spark, sf, "documents")
+        return SR.search_bm25(
+            docs, ["dup", "window", "sort"], n_docs=docs.count(), k=25
+        )
+
     def text_chunk_tokens(spark, sf):
         # RAG / long-doc chunking: 32-token windows, stride 24 (docs run
         # 10-99 tokens, so multi-chunk docs with a short tail exist)
@@ -1371,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_postings": search_postings,
         "search_conjunctive": search_conjunctive_q,
         "search_topk": search_topk_q,
+        "search_bm25": search_bm25_q,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_topk_quantized": ann_topk_quantized,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1951,6 +1962,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["dup", "window", "sort"]
         ),
         "search_topk": O.search_topk_sql(
+            "documents", ["dup", "window", "sort"], k=25
+        ),
+        "search_bm25": O.search_bm25_sql(
             "documents", ["dup", "window", "sort"], k=25
         ),
         "ann_topk_quantized": O.ann_topk_quantized_sql(

@@ -57,6 +57,7 @@ HEADLINE = [
     "text_decontaminate",     # benchmark n-gram overlap vs broadcast blocklist
     "text_surprisal",         # integer-exact IDF/surprisal quality score
     "text_bigram_lm",         # add-one bigram LM surprisal (CCNet-style)
+    "search_bm25",            # fixed-point integer BM25 ranked retrieval
     "text_line_dedup",        # corpus-level boilerplate line dedup (CCNet)
     "text_pack_sequences",    # greedy contiguous training-sequence packing
     "dedup_winnow",           # winnowing substring fingerprints (SWA 2003)

@@ -1096,6 +1096,54 @@ def search_topk_sql(
     """
 
 
+def search_bm25_sql(
+    table: str,
+    terms: list[str],
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Replica of analysis/search.search_bm25 (fixed-point int64 BM25;
+    N is the corpus row count, computed in SQL — the Spark side passes
+    the same value as a literal)."""
+    uniq = sorted({t.lower() for t in terms})
+    toks = _TOKS.format(col=text_col)
+    lits = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+    WITH bstats AS (
+      SELECT greatest((1000 * sum(len(t))) // count(*), 1)::BIGINT AS avgdl_m
+      FROM (SELECT {toks} AS t FROM {table})
+    ), btf AS (
+      SELECT doc_id, dl, token, count(*)::BIGINT AS tf
+      FROM (SELECT {id_col} AS doc_id, len(t)::BIGINT AS dl,
+                   unnest(t) AS token
+            FROM (SELECT {id_col}, {toks} AS t FROM {table}))
+      WHERE token IN ({lits})
+      GROUP BY doc_id, dl, token
+    ), bwt AS (
+      SELECT token,
+             (length(bin(greatest(
+                (SELECT count(*) FROM {table}) // count(*), 1))) - 1
+             )::BIGINT AS w
+      FROM btf GROUP BY token
+    ), bparts AS (
+      SELECT doc_id, w,
+             (tf * {1000 + k1_milli} * 1000) //
+             (tf * 1000 + ({k1_milli} *
+                (1000 - {b_milli} + ({b_milli} * dl * 1000) // avgdl_m)
+             ) // 1000) AS part_m
+      FROM btf JOIN bwt USING (token), bstats
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+           sum(w * part_m)::BIGINT AS score_milli
+    FROM bparts
+    GROUP BY doc_id
+    ORDER BY score_milli DESC, doc_id LIMIT {k}
+    """
+
+
 # ------------------------------------------------------- token chunking
 
 

@@ -151,3 +151,101 @@ def search_topk(
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(k)
     )
+
+
+def search_bm25(
+    df: DataFrame,
+    terms: Sequence[str],
+    n_docs: int,
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_terms_hit, score_milli) — top-k by BM25 (Robertson/
+    Sparck Jones), entirely in fixed-point int64 milli-units so ranking is
+    bit-identical on any engine/summation order (the family's determinism
+    contract; float BM25 can't be oracle-checked value-exactly):
+
+        norm_m  = 1000 - b_m + (b_m * dl * 1000) DIV avgdl_m
+        denom_m = tf * 1000 + (k1_m * norm_m) DIV 1000
+        part_m  = (tf * (1000 + k1_m) * 1000) DIV denom_m
+        score_milli(d) = Σ_t floor(log2(N div df_t)) * part_m
+
+    with dl = doc token count and avgdl_m the corpus milli-average
+    (computed in-plan and broadcast). Saturation (diminishing tf returns)
+    and length normalization — the two things tf·idf lacks — survive the
+    fixed-point floor because part_m is in milli-units (rounding error
+    <= 1/1000 of one term's contribution).
+
+    Plan shape: dl rides the SAME scan as the term filter (size() of the
+    token array before the HOF filter + explode — grouping by the
+    functionally-dependent dl is free), so matching docs never join back
+    to a corpus-sized length table; the corpus stats pass is one
+    columnar scan aggregating to a single broadcast row; weights derive
+    from the tiny tf table; top-k compiles to TakeOrderedAndProject.
+    Ties break by doc_id ascending."""
+    uniq = sorted({t.lower() for t in terms})
+    assert uniq and n_docs > 0
+    assert k1_milli >= 0 and 0 <= b_milli <= 1000
+    lit_terms = F.array(*[F.lit(t) for t in uniq])
+    toks = F.expr(_tokens_expr(text_col))
+
+    stats = df.select(F.size(toks).alias("_dl")).agg(
+        F.expr("greatest(cast(1000 * sum(_dl) div count(*) as bigint), 1)")
+        .alias("avgdl_m")
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+        )
+        .withColumn("dl", F.size("_toks").cast("long"))
+        .select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter("_toks", lambda x: F.array_contains(lit_terms, x))
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    wt = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("_df"))
+        .withColumn(
+            "w",
+            (
+                F.length(F.bin(F.expr(f"greatest({n_docs} div _df, 1)"))) - 1
+            ).cast("long"),
+        )
+        .select("token", "w")
+    )
+    return (
+        tf.join(F.broadcast(wt), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_norm_m",
+            F.expr(
+                f"1000 - {b_milli} + ({b_milli} * dl * 1000) div avgdl_m"
+            ),
+        )
+        .withColumn(
+            "_part_m",
+            F.expr(
+                f"(tf * {1000 + k1_milli} * 1000) div "
+                f"(tf * 1000 + ({k1_milli} * _norm_m) div 1000)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum(F.col("w") * F.col("_part_m"))
+            .cast("long")
+            .alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), F.col("doc_id"))
+        .limit(k)
+    )

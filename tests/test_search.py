@@ -98,3 +98,71 @@ def test_search_matches_duckdb(spark, soup):
         got_t.reset_index(drop=True), want_t.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_search_bm25_known_values(spark):
+    # corpus of 4 docs; query term 'q'. avgdl_m = 1000*(2+4+8+2)//4 = 4000
+    docs = _docs(
+        spark,
+        [
+            ("short", "q a"),             # dl=2, tf=1
+            ("mid", "q q a b"),           # dl=4, tf=2
+            ("long", "q a b c d e f g"),  # dl=8, tf=1
+            ("none", "a b"),
+        ],
+    )
+    # n_docs=100 keeps w(q) positive (at n_docs=4, floor(log2(4//3)) = 0)
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score_milli"])
+        for r in SR.search_bm25(docs, ["q"], n_docs=100, k=10).collect()
+    }
+    # w = floor(log2(100//3)) = floor(log2(33)) = 5
+    # short: norm=1000-750+750*2*1000//4000=625; denom=1000+1200*625//1000=1750
+    #        part=(1*2200*1000)//1750=1257 ; score=5*1257=6285
+    # mid:   norm=1000-750+750*4*1000//4000=1000; denom=2000+1200=3200
+    #        part=(2*2200*1000)//3200=1375 ; score=6875
+    # long:  norm=1000-750+750*8*1000//4000=1750; denom=1000+2100=3100
+    #        part=2200000//3100=709 ; score=3545
+    assert got == {
+        "short": (1, 6285),
+        "mid": (1, 6875),
+        "long": (1, 3545),
+    }
+
+
+def test_search_bm25_length_norm_and_saturation(spark):
+    # same tf, shorter doc wins (length normalization); 10x tf does not
+    # give 10x score (saturation)
+    rows = [("s", "q " + "f " * 4), ("l", "q " + "f " * 40),
+            ("rep", "q " * 10 + "f " * 31)]
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: r["score_milli"]
+        for r in SR.search_bm25(docs, ["q"], n_docs=64, k=10).collect()
+    }
+    assert got["s"] > got["l"]
+    assert got["rep"] < 10 * got["l"]
+    assert all(v > 0 for v in got.values())
+
+
+def test_search_bm25_matches_duckdb(spark, soup):
+    terms = ["w0", "w7", "w21"]
+    got = (
+        SR.search_bm25(
+            _docs_long(spark, soup), terms, n_docs=len(soup), k=15
+        )
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        _duck(soup)
+        .execute(O.search_bm25_sql("documents", terms, k=15))
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _docs_long(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
