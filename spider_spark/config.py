@@ -41,9 +41,11 @@ class CrawlConfig:
     cuckoo_stash_bits: int = 1 << 17    # overflow bloom stash bitmap size
     cuckoo_stash_hashes: int = 5
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
-    # frontier ordering: "fifo" (reference semantics) or "short_url"
-    # (shorter URLs first per host, FIFO within equal length — a priority
-    # frontier queue; the oracle implements the same named modes)
+    # frontier ordering: "fifo" (reference semantics), "short_url"
+    # (shorter URLs first per host, FIFO within equal length) or
+    # "indegree" (most-referenced first — backlink counts accumulated in
+    # an inlinks sidecar, Cho/Garcia-Molina 1998 crawl ordering; the
+    # oracle implements the same named modes)
     priority_mode: str = "fifo"
     # per-domain delay budgets: when on, a host's per-round budget becomes
     # min(scrape_parallelism, max(1, politeness_tick_s // its robots

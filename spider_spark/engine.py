@@ -110,11 +110,21 @@ URLS_SCHEMA = StructType(
         StructField("round", IntegerType()),
     ]
 )
+# per-round in-link reference counts (priority_mode='indegree' sidecar):
+# counted over namespace-internal candidate links BEFORE the seen
+# anti-join, so references to already-discovered pages keep accumulating
+INLINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("n", LongType()),
+        StructField("round", IntegerType()),
+    ]
+)
 # append-only delta tables eligible for compact_state; every row carries
 # its own `round` column, so merging the per-round partition dirs loses
 # nothing (parquet is self-describing — compaction reads schema-less and
 # preserves whatever the sinks wrote)
-COMPACTABLE = ("seen", "urls", "order", "fetched")
+COMPACTABLE = ("seen", "urls", "order", "fetched", "inlinks")
 _COMPACT_TMP = "_compact_tmp"
 _COMPACT_MARKER = "_compact_commit.json"
 
@@ -710,6 +720,23 @@ class CrawlEngine:
             # mid-crawl needs no rewrite
             sched_in = sched_in.withColumn("prio", prio)
             order_cols = ("prio", "seq")
+        elif cfg.priority_mode == "indegree":
+            # backlink-count ordering (Cho/Garcia-Molina 1998): most-
+            # referenced frontier URLs first, FIFO ties. Counts accumulate
+            # through round r-1 (the sidecar written below); the join is
+            # url-keyed frontier x inlinks — at lake scale bucket both by
+            # url so it co-locates. Round 1 joins an empty sidecar:
+            # all-zero priority degenerates to plain FIFO.
+            inlinks = self._read_deltas("inlinks", INLINKS_SCHEMA)
+            totals = inlinks.groupBy("url").agg(F.sum("n").alias("_in"))
+            sched_in = (
+                sched_in.join(totals, "url", "left")
+                .withColumn(
+                    "prio", -F.coalesce(F.col("_in"), F.lit(0).cast("long"))
+                )
+                .drop("_in")
+            )
+            order_cols = ("prio", "seq")
         budget_col = None
         if self._host_budgets is not None:
             sched_in = sched_in.join(
@@ -880,6 +907,12 @@ class CrawlEngine:
             "chost",
             "left_semi",
         )
+        # indegree sidecar taps the stream HERE — after namespace + R23,
+        # BEFORE the seen anti-join, so links to already-discovered pages
+        # keep accumulating references (the oracle counts at the same
+        # point). One combine-heavy groupBy(url) per round, only in
+        # indegree mode; reads the ext cache, written with the other sinks.
+        ns_links = cand if cfg.priority_mode == "indegree" else None
         # R4 seen anti-join (bloom pre-filter optional; exactness preserved).
         # The bloom sidecar is INCREMENTAL: fixed-geometry per-bucket bitmaps
         # checkpointed per round; each round hashes only its seen-delta and
@@ -1090,9 +1123,18 @@ class CrawlEngine:
                     f"urls in round {r} were never scheduled into seen"
                 )
 
+        def sink_inlinks():
+            ns_links.groupBy("url").agg(
+                F.count("*").cast("long").alias("n")
+            ).withColumn("round", F.lit(r)).write.mode("overwrite").parquet(
+                self._p("inlinks", r)
+            )
+
         from concurrent.futures import ThreadPoolExecutor
 
         sinks = [timed(sink_frontier), timed(sink_seen), timed(sink_urls)]
+        if ns_links is not None:
+            sinks.append(timed(sink_inlinks))
         if cfg.sanity_check:
             sinks.append(timed(sink_sanity))
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
@@ -1311,7 +1353,15 @@ class CrawlEngine:
         final = os.path.join(work_dir, "fetched", "final")
         if os.path.isdir(final):
             shutil.rmtree(final)
-        for kind in ("frontier", "seen", "urls", "order", "fetched", "blooms"):
+        for kind in (
+            "frontier",
+            "seen",
+            "urls",
+            "order",
+            "fetched",
+            "blooms",
+            "inlinks",
+        ):
             base = os.path.join(work_dir, kind)
             if os.path.isdir(base):
                 for d in os.listdir(base):

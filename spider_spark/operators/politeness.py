@@ -22,13 +22,19 @@ from pyspark.sql import functions as F
 
 # named frontier priority modes — the oracle simulator implements the same
 # names with plain-Python keys (oracle.PRIORITY_KEYS); both sides order
-# ascending by (priority, seq) so FIFO breaks ties deterministically
-PRIORITY_MODES = ("fifo", "short_url")
+# ascending by (priority, seq) so FIFO breaks ties deterministically.
+# 'indegree' is the stateful mode (Cho/Garcia-Molina 1998 backlink-count
+# crawl ordering): priority = -(in-link references accumulated through the
+# previous round) — resolved by the engine as a schedule-time join against
+# its inlinks sidecar, not a column expression.
+PRIORITY_MODES = ("fifo", "short_url", "indegree")
 
 
 def priority_column(mode: str):
-    """JVM-side priority expression for a named mode (None for fifo)."""
-    if mode == "fifo":
+    """JVM-side priority expression for a named mode. None for fifo AND
+    for stateful modes the engine resolves itself ('indegree' joins the
+    accumulated in-link counts at schedule time)."""
+    if mode in ("fifo", "indegree"):
         return None
     if mode == "short_url":
         return F.length("url")

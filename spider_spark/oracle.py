@@ -53,8 +53,10 @@ from spider_spark.operators.politeness import delay_budget
 
 # plain-Python twins of operators.politeness.priority_column — ascending
 # sort keys; Python's stable sort preserves FIFO among equal priorities,
-# matching the engine's (prio, seq) window order exactly
-PRIORITY_KEYS = {"fifo": None, "short_url": len}
+# matching the engine's (prio, seq) window order exactly. 'indegree' is
+# stateful (None here): crawl() sorts by -accumulated in-link count,
+# mirroring the engine's schedule-time inlinks-sidecar join
+PRIORITY_KEYS = {"fifo": None, "short_url": len, "indegree": None}
 
 
 @dataclass
@@ -196,6 +198,8 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
 
     # ---- fetch rounds -----------------------------------------------------
     prio_key = PRIORITY_KEYS[cfg.priority_mode]
+    track_inlinks = cfg.priority_mode == "indegree"
+    inlink_counts: dict[str, int] = {}
 
     def host_budget(host: str) -> int:
         if not cfg.respect_crawl_delay:
@@ -216,6 +220,26 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
                 # stable sort: equal priorities keep insertion (seq) order,
                 # and the sorted remainder re-sorts identically next round
                 q = sorted(q, key=prio_key)
+            if track_inlinks:
+                # counts accumulated through the PREVIOUS round (this loop
+                # increments during processing, scheduling happens first —
+                # same timing as the engine's round r-1 sidecar). Unlike
+                # the static prio_key modes, counts CHANGE between rounds,
+                # so the deferred remainder must stay in insertion (seq)
+                # order — storing it sorted would make future ties break on
+                # the stale sorted order instead of seq, diverging from
+                # the engine's orderBy(prio, seq).
+                b = host_budget(host)
+                idx = sorted(
+                    range(len(q)), key=lambda i: -inlink_counts.get(q[i], 0)
+                )
+                batch = [q[i] for i in idx[:b]]
+                queues[host] = [q[i] for i in sorted(idx[b:])]
+                batches.append((host, batch))
+                order.setdefault(host, []).extend(batch)
+                for pos, u in enumerate(batch):
+                    fetched_log.append((rnd, host, pos, u))
+                continue
             b = host_budget(host)
             batch, queues[host] = q[:b], q[b:]
             batches.append((host, batch))
@@ -257,9 +281,14 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
                 # IndexFinished: schedule new links (sorted intra-page order)
                 for link in links:
                     lu = strip_trailing_slash(link)
+                    lh = url_host(lu)
+                    if track_inlinks and lh in namespace:
+                        # reference counted BEFORE the seen check — links
+                        # to already-discovered pages keep accumulating
+                        # (engine taps its stream pre-anti-join too)
+                        inlink_counts[lu] = inlink_counts.get(lu, 0) + 1
                     if lu in seen:
                         continue
-                    lh = url_host(lu)
                     if lh not in namespace:
                         continue
                     before = len(seen)

@@ -199,6 +199,32 @@ def test_priority_frontier_matches_oracle(spark, tmp_path):
     assert oracle_res.order != fifo_res.order
 
 
+def test_indegree_priority_matches_oracle(spark, tmp_path):
+    """priority_mode='indegree': most-referenced frontier URLs first, FIFO
+    ties — engine schedule-time join vs its inlinks sidecar ≡ oracle
+    stable sort by -accumulated reference count, with identical count
+    timing (references tallied pre-seen-check, visible from the NEXT
+    round's scheduling on both sides)."""
+    web = synth_web(n_hosts=3, pages_per_host=40, links_per_page=6, seed=17)
+    cfg = CrawlConfig(
+        scrape_parallelism=3,
+        max_retries=1,
+        max_rounds=200,
+        priority_mode="indegree",
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "indeg")
+    assert_match(eng, oracle_res)
+    # sanity: backlink priority actually reordered fetches vs FIFO
+    fifo_res = oracle_crawl(
+        web,
+        CrawlConfig(scrape_parallelism=3, max_retries=1, max_rounds=200),
+    )
+    assert oracle_res.order != fifo_res.order
+    # and the crawl is still complete: same url set either way
+    assert set(oracle_res.urls) == set(fifo_res.urls)
+
+
 def test_crawl_delay_budgets_match_oracle(spark, tmp_path):
     """respect_crawl_delay: per-host budget from robots Crawl-delay —
     engine broadcast budget join ≡ oracle per-host slice."""
