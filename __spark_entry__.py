@@ -515,6 +515,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ = schedule_topk(fr, budget=4, budget_col="_budget")
         return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
 
+    def r8_indegree_topk(spark, sf):
+        # the REAL schedule_topk under priority_mode='indegree' (engine.py
+        # run_round: accumulated in-link totals LEFT-joined onto the
+        # frontier, prio = -count, FIFO ties) vs an independent DuckDB
+        # row_number over (-n, seq). Synthetic inlinks: every event
+        # references its (user_id, event_id % 64) collision class, so the
+        # class size IS the backlink count — deterministic, skewed, and
+        # computable by both engines without the crawl loop.
+        from spider_spark.operators.politeness import schedule_topk
+
+        ev = _t(spark, sf, "events")
+        fr = ev.select(
+            F.col("user_id").cast("string").alias("host"),
+            F.col("event_id").cast("long").alias("seq"),
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("/"),
+                (F.col("event_id") % 64).cast("string"),
+            ).alias("url"),
+            F.lit(False).alias("sm"),
+        )
+        totals = (
+            ev.select(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("/"),
+                    (F.col("event_id") % 64).cast("string"),
+                ).alias("url")
+            )
+            .groupBy("url")
+            .agg(F.count("*").cast("long").alias("_in"))
+        )
+        sched_in = (
+            fr.join(totals, "url", "left")
+            .withColumn("prio", -F.coalesce(F.col("_in"), F.lit(0).cast("long")))
+            .drop("_in")
+        )
+        s, _ = schedule_topk(sched_in, budget=3, order_cols=("prio", "seq"))
+        return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
+
     def r10_fetch_join(spark, sf):
         # fetch = left outer equi-join (frontier x documents); missing doc
         # -> error path. Stand-in: orders LEFT JOIN customer (synthetic
@@ -1339,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r8_politeness_topk": r8_politeness_topk,
         "r8_priority_topk": r8_priority_topk,
         "r8_delay_budget": r8_delay_budget,
+        "r8_indegree_topk": r8_indegree_topk,
         "r10_fetch_join": r10_fetch_join,
         "r11_response_filter": r11_response_filter,
         "r15_error_classifier": r15_error_classifier,
@@ -1717,6 +1758,20 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY event_id) AS BIGINT) AS rn
                 FROM events)
             WHERE rn <= b
+        """,
+        "r8_indegree_topk": """
+            WITH c AS (
+                SELECT user_id, event_id % 64 AS k, COUNT(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT host, seq, rn FROM (
+                SELECT CAST(e.user_id AS VARCHAR) AS host,
+                       CAST(e.event_id AS BIGINT) AS seq,
+                       CAST(row_number() OVER (
+                            PARTITION BY e.user_id
+                            ORDER BY -c.n, e.event_id) AS BIGINT) AS rn
+                FROM events e
+                JOIN c ON e.user_id = c.user_id AND e.event_id % 64 = c.k)
+            WHERE rn <= 3
         """,
         "r10_fetch_join": """
             SELECT o_orderkey,
