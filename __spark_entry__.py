@@ -515,6 +515,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ = schedule_topk(fr, budget=4, budget_col="_budget")
         return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
 
+    def r8_backoff_budget(spark, sf):
+        # the REAL schedule_topk under error_backoff budgets (engine.py
+        # run_round: budget = max(1, base >> min(prev-round errors, cap)))
+        # vs an independent DuckDB row_number + bit-shift replica.
+        # Synthetic error counts: user_id % 9 plays the herr sidecar.
+        from spider_spark.operators.politeness import schedule_topk
+
+        fr = _with_url(_t(spark, sf, "events")).select(
+            F.col("user_id").cast("string").alias("host"),
+            F.col("event_id").cast("long").alias("seq"),
+            "url",
+            F.lit(False).alias("sm"),
+            (F.col("user_id") % 9).cast("long").alias("_berr"),
+        )
+        fr = fr.withColumn(
+            "_budget",
+            F.expr(
+                "greatest(1, shiftright(4, cast(least("
+                "coalesce(_berr, 0L), 6L) as int)))"
+            ),
+        ).drop("_berr")
+        s, _ = schedule_topk(fr, budget=4, budget_col="_budget")
+        return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
+
     def r8_indegree_topk(spark, sf):
         # the REAL schedule_topk under priority_mode='indegree' (engine.py
         # run_round: accumulated in-link totals LEFT-joined onto the
@@ -1380,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r8_priority_topk": r8_priority_topk,
         "r8_delay_budget": r8_delay_budget,
         "r8_indegree_topk": r8_indegree_topk,
+        "r8_backoff_budget": r8_backoff_budget,
         "r10_fetch_join": r10_fetch_join,
         "r11_response_filter": r11_response_filter,
         "r15_error_classifier": r15_error_classifier,
@@ -1753,6 +1778,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(user_id AS VARCHAR) AS host,
                        CAST(event_id AS BIGINT) AS seq,
                        1 + (user_id % 4) AS b,
+                       CAST(row_number() OVER (
+                            PARTITION BY user_id
+                            ORDER BY event_id) AS BIGINT) AS rn
+                FROM events)
+            WHERE rn <= b
+        """,
+        "r8_backoff_budget": """
+            SELECT host, seq, rn FROM (
+                SELECT CAST(user_id AS VARCHAR) AS host,
+                       CAST(event_id AS BIGINT) AS seq,
+                       greatest(1, 4 >> least(user_id % 9, 6)) AS b,
                        CAST(row_number() OVER (
                             PARTITION BY user_id
                             ORDER BY event_id) AS BIGINT) AS rn

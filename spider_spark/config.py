@@ -53,6 +53,16 @@ class CrawlConfig:
     # (HostCrawler ticks at a fixed rate), so this is opt-in
     respect_crawl_delay: bool = False
     politeness_tick_s: float = 1.0
+    # adaptive error backoff: when on, a host that produced fetch errors
+    # (transport failures / missing docs — the R15 'err' class) in round
+    # r-1 gets its round-r budget halved per error, floored at 1:
+    # budget = max(1, base >> min(errors, error_backoff_cap)). Recovery is
+    # immediate — only the PREVIOUS round's errors count, so one clean
+    # round restores the full budget. The reference has no backoff (its
+    # tick rate is fixed); opt-in, oracle-pinned like the other
+    # scheduling extensions.
+    error_backoff: bool = False
+    error_backoff_cap: int = 6
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     sanity_check: bool = True           # R28 scrape-sanity anti-join per round
     spark_seeding: bool = True          # R21 distributed sitemap expansion

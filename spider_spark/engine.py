@@ -120,6 +120,16 @@ INLINKS_SCHEMA = StructType(
         StructField("round", IntegerType()),
     ]
 )
+# per-round per-host fetch-error counts (error_backoff sidecar). Host
+# cardinality — tiny. NOT in COMPACTABLE: the scheduler reads exactly the
+# previous round's partition dir, so merging rounds would break the lookup.
+HERR_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n", LongType()),
+        StructField("round", IntegerType()),
+    ]
+)
 # append-only delta tables eligible for compact_state; every row carries
 # its own `round` column, so merging the per-round partition dirs loses
 # nothing (parquet is self-describing — compaction reads schema-less and
@@ -746,6 +756,35 @@ class CrawlEngine:
                 F.coalesce(F.col("_budget"), F.lit(cfg.scrape_parallelism)),
             )
             budget_col = "_budget"
+        if cfg.error_backoff:
+            # halve the base budget per previous-round error, floor 1
+            # (broadcast — the sidecar is host-cardinality). Round 1, a
+            # missing sidecar dir, or an error-free previous round all
+            # degenerate to the base budget.
+            herr_dir = self._p("herr", r - 1)
+            if budget_col is None:
+                sched_in = sched_in.withColumn(
+                    "_budget", F.lit(cfg.scrape_parallelism)
+                )
+                budget_col = "_budget"
+            if os.path.isdir(herr_dir):
+                herr = (
+                    spark.read.schema(HERR_SCHEMA)
+                    .parquet(herr_dir)
+                    .select("host", F.col("n").alias("_berr"))
+                )
+                sched_in = (
+                    sched_in.join(F.broadcast(herr), "host", "left")
+                    .withColumn(
+                        "_budget",
+                        F.expr(
+                            "greatest(1, shiftright(_budget, cast(least("
+                            f"coalesce(_berr, 0L), {cfg.error_backoff_cap}L"
+                            ") as int)))"
+                        ),
+                    )
+                    .drop("_berr")
+                )
         scheduled, deferred = schedule_topk(
             sched_in,
             cfg.scrape_parallelism,
@@ -1132,9 +1171,18 @@ class CrawlEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        def sink_herr():
+            fetched.filter(F.col("cls") == "err").groupBy("host").agg(
+                F.count("*").cast("long").alias("n")
+            ).withColumn("round", F.lit(r)).write.mode("overwrite").parquet(
+                self._p("herr", r)
+            )
+
         sinks = [timed(sink_frontier), timed(sink_seen), timed(sink_urls)]
         if ns_links is not None:
             sinks.append(timed(sink_inlinks))
+        if cfg.error_backoff:
+            sinks.append(timed(sink_herr))
         if cfg.sanity_check:
             sinks.append(timed(sink_sanity))
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
@@ -1361,6 +1409,7 @@ class CrawlEngine:
             "fetched",
             "blooms",
             "inlinks",
+            "herr",
         ):
             base = os.path.join(work_dir, kind)
             if os.path.isdir(base):

@@ -201,14 +201,23 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
     track_inlinks = cfg.priority_mode == "indegree"
     inlink_counts: dict[str, int] = {}
 
+    # error_backoff: per-host fetch-error counts from the PREVIOUS round
+    # only (immediate recovery) — twins the engine's herr sidecar timing
+    prev_errs: dict[str, int] = {}
+
     def host_budget(host: str) -> int:
         if not cfg.respect_crawl_delay:
-            return cfg.scrape_parallelism
-        return delay_budget(
-            robots.rules_for(host).crawl_delay,
-            cfg.scrape_parallelism,
-            cfg.politeness_tick_s,
-        )
+            base = cfg.scrape_parallelism
+        else:
+            base = delay_budget(
+                robots.rules_for(host).crawl_delay,
+                cfg.scrape_parallelism,
+                cfg.politeness_tick_s,
+            )
+        if cfg.error_backoff:
+            e = min(prev_errs.get(host, 0), cfg.error_backoff_cap)
+            base = max(1, base >> e)
+        return base
 
     rnd = 0
     while any(queues.values()) and rnd < cfg.max_rounds:
@@ -248,11 +257,13 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
                 fetched_log.append((rnd, host, pos, u))
 
         n_new = 0
+        cur_errs: dict[str, int] = {}
         for host, batch in batches:
             for u in batch:
                 doc = web.documents.get(u)
                 if doc is None or doc.status < 0:
                     # ScrapeFailure path
+                    cur_errs[host] = cur_errs.get(host, 0) + 1
                     inflight.discard(u)
                     attempts = seen.get(u)
                     if attempts is not None and attempts <= cfg.max_retries:
@@ -295,6 +306,7 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
                     scrape(link, rnd)
                     n_new += len(seen) - before
                 inflight.discard(u)
+        prev_errs = cur_errs
         metrics.append(
             {
                 "round": rnd,

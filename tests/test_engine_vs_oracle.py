@@ -225,6 +225,39 @@ def test_indegree_priority_matches_oracle(spark, tmp_path):
     assert set(oracle_res.urls) == set(fifo_res.urls)
 
 
+def test_error_backoff_matches_oracle(spark, tmp_path):
+    """error_backoff: a host's round-r budget is halved per round-(r-1)
+    fetch error, floored at 1, recovering the full budget after one clean
+    round — engine broadcast join vs its herr sidecar ≡ oracle per-host
+    error tally with the same one-round memory."""
+    web = synth_web(
+        n_hosts=3,
+        pages_per_host=40,
+        links_per_page=6,
+        error_frac=0.15,
+        seed=23,
+    )
+    cfg = CrawlConfig(
+        scrape_parallelism=4,
+        max_retries=2,
+        max_rounds=200,
+        error_backoff=True,
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "backoff")
+    assert_match(eng, oracle_res)
+    # sanity: the backoff actually shrank some round's schedule vs plain
+    plain = oracle_crawl(
+        web,
+        CrawlConfig(scrape_parallelism=4, max_retries=2, max_rounds=200),
+    )
+    assert [m["scheduled"] for m in oracle_res.metrics] != [
+        m["scheduled"] for m in plain.metrics
+    ]
+    # and the crawl still completes: same url set either way
+    assert set(oracle_res.urls) == set(plain.urls)
+
+
 def test_crawl_delay_budgets_match_oracle(spark, tmp_path):
     """respect_crawl_delay: per-host budget from robots Crawl-delay —
     engine broadcast budget join ≡ oracle per-host slice."""
