@@ -258,6 +258,38 @@ def test_error_backoff_matches_oracle(spark, tmp_path):
     assert set(oracle_res.urls) == set(plain.urls)
 
 
+def test_combined_modes_match_oracle(spark, tmp_path):
+    """All opt-in scheduling extensions at once — indegree priority ×
+    Crawl-delay budgets × error backoff × bloom seen-prefilter — the
+    interaction pin: backoff shifts compose with delay budgets, the
+    inlinks tap sits before the bloom/anti-join split, and exactness
+    survives the sidecar prefilter."""
+    web = synth_web(
+        n_hosts=3,
+        pages_per_host=35,
+        links_per_page=6,
+        error_frac=0.12,
+        seed=31,
+    )
+    hosts = [f"host{i}.example.com" for i in range(3)]
+    web.robots[hosts[1]] = (
+        (web.robots.get(hosts[1]) or "")
+        + "\nUser-agent: *\nCrawl-delay: 0.5\n"
+    )
+    cfg = CrawlConfig(
+        scrape_parallelism=4,
+        max_retries=2,
+        max_rounds=300,
+        priority_mode="indegree",
+        respect_crawl_delay=True,
+        error_backoff=True,
+        bloom_enabled=True,
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "combo")
+    assert_match(eng, oracle_res)
+
+
 def test_crawl_delay_budgets_match_oracle(spark, tmp_path):
     """respect_crawl_delay: per-host budget from robots Crawl-delay —
     engine broadcast budget join ≡ oracle per-host slice."""
