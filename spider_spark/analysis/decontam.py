@@ -186,7 +186,12 @@ def bigram_lm_score(
     train = df if ref is None else ref
     big = bigram_counts(train, text_col)
     pre = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-    vsize = pre.agg(F.count("*").cast("long").alias("v"))
+    # V is ONE scalar over the (already vocab-sized) prefix table —
+    # collected and inlined as a literal. The alternatives both lose: a
+    # crossJoin attach plans as a nested-loop join over the corpus-side
+    # occurrence stream (the plan-audit smell), and a constant-key
+    # equi-join constant-folds back into the same nested loop.
+    v = int(pre.agg(F.count("*").cast("long").alias("v")).first()["v"])
 
     pairs = (
         "CASE WHEN size(_bl_t) >= 2 THEN "
@@ -206,14 +211,14 @@ def bigram_lm_score(
     per_doc = (
         occ.join(big, ["w1", "w2"], "left")
         .join(pre, ["w1"], "left")
-        .crossJoin(F.broadcast(vsize))
         .withColumn(
             "s",
             (
                 F.length(
                     F.bin(
                         F.expr(
-                            "(coalesce(c1, 0) + v) DIV (coalesce(c12, 0) + 1)"
+                            f"(coalesce(c1, 0) + {v}) DIV"
+                            " (coalesce(c12, 0) + 1)"
                         )
                     )
                 )

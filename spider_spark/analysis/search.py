@@ -192,9 +192,18 @@ def search_bm25(
     lit_terms = F.array(*[F.lit(t) for t in uniq])
     toks = F.expr(_tokens_expr(text_col))
 
-    stats = df.select(F.size(toks).alias("_dl")).agg(
-        F.expr("greatest(cast(1000 * sum(_dl) div count(*) as bigint), 1)")
-        .alias("avgdl_m")
+    # avgdl is ONE scalar over the corpus — collected and inlined as a
+    # literal (same single pass the broadcast attach would run, without
+    # the nested-loop join a 1-row crossJoin plans as; a constant-key
+    # equi-join constant-folds back into the same nested loop)
+    avgdl_m = int(
+        df.select(F.size(toks).alias("_dl"))
+        .agg(
+            F.expr(
+                "greatest(cast(1000 * sum(_dl) div count(*) as bigint), 1)"
+            ).alias("avgdl_m")
+        )
+        .first()["avgdl_m"]
     )
     tf = (
         df.select(
@@ -225,11 +234,10 @@ def search_bm25(
     )
     return (
         tf.join(F.broadcast(wt), "token")
-        .crossJoin(F.broadcast(stats))
         .withColumn(
             "_norm_m",
             F.expr(
-                f"1000 - {b_milli} + ({b_milli} * dl * 1000) div avgdl_m"
+                f"1000 - {b_milli} + ({b_milli} * dl * 1000) div {avgdl_m}"
             ),
         )
         .withColumn(
