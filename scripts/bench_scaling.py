@@ -135,7 +135,9 @@ def run_once(
         cmd.append("--bloom")
     print(f"[bench_scaling] {' '.join(cmd)}", file=sys.stderr)
     try:
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=args.leg_timeout
+        )
     finally:
         if burner is not None:
             burner.kill()
@@ -218,6 +220,13 @@ def main() -> None:
         help="pin the job to N cores and spin burners on the rest so both "
         "legs run at identical machine-wide load (controls for shared-VM "
         "clock variance)",
+    )
+    ap.add_argument(
+        "--leg-timeout",
+        type=int,
+        default=3600,
+        help="per-leg subprocess timeout in seconds (raise for workloads "
+        "whose slow leg exceeds an hour, e.g. 4x pages with --reps 2)",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
