@@ -1345,6 +1345,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         return SS.session_stats(ev, gap_minutes=30)
 
+    def crawl_change_rate(spark, sf):
+        # Cho & Garcia-Molina refresh estimation: per-URL consecutive-
+        # fingerprint change rate over the revisit log (one window + one
+        # groupBy sharing a single url-keyed Exchange)
+        from spider_spark.analysis import freshness as FR
+
+        ev = _with_page(_t(spark, sf, "events"))
+        return FR.change_rate(ev, fp_col="event_type")
+
+    def crawl_recrawl_topk(spark, sf):
+        # staleness-weighted volatility top-K per host (exact int64
+        # priority; rank <= k compiles to WindowGroupLimit)
+        from spider_spark.analysis import freshness as FR
+
+        ev = _with_page(_t(spark, sf, "events"))
+        rates = FR.change_rate(ev, fp_col="event_type").withColumn(
+            "host", F.expr("split_part(split_part(url, '//', 2), '/', 1)")
+        )
+        return FR.recrawl_topk(rates, host_col="host", k=7)
+
     def sample_stratified_q(spark, sf):
         # deterministic per-(lang, source) sample: md5-order row_number,
         # WindowGroupLimit prunes to n per partition before the sort
@@ -1464,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal_resize,
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
+        "crawl_change_rate": crawl_change_rate,
+        "crawl_recrawl_topk": crawl_recrawl_topk,
         "sample_stratified": sample_stratified_q,
         "sample_split_assign": sample_split_assign,
         "doc_length_stats": doc_length_stats,
@@ -1475,6 +1497,7 @@ _GRAPH_NODE = "'h' || (event_id % 32)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_spark.analysis import freshness as FR
     from spider_spark.analysis import oracles as O
     from spider_spark.analysis import sampling as SA
     from spider_spark.analysis import sessions as SS
@@ -1709,6 +1732,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS err
             FROM events
         """,
+        "crawl_change_rate": FR.change_rate_sql(
+            f"SELECT {_PAGE_SQL} AS url, ts, event_id, event_type AS fp "
+            "FROM events"
+        ),
+        "crawl_recrawl_topk": FR.recrawl_topk_sql(
+            f"SELECT {_PAGE_SQL} AS url, ts, event_id, event_type AS fp "
+            "FROM events",
+            "split_part(split_part(url, '//', 2), '/', 1)",
+            k=7,
+        ),
         "events_sessionize": SS.sessionize_sql("events", gap_minutes=30),
         "events_session_stats": SS.session_stats_sql(
             "events", gap_minutes=30
