@@ -1246,17 +1246,23 @@ class CrawlEngine:
         # eqNullSafe: a kind switch mid-run reads the other kind's parquet
         # through this kind's schema — the missing columns come back null
         # and must count as a mismatch, not vacuously pass
+        # n_buckets guards the PARTITIONING geometry: a checkpoint built
+        # under a different num_seen_buckets re-buckets probes into buckets
+        # with no (or the wrong) filter row — maybe_seen comes back False
+        # and seen urls would bypass the exact anti-join (false negatives)
         if cfg.seen_filter == "cuckoo":
             pred = ~(
                 F.col("n_ck").eqNullSafe(F.lit(cfg.cuckoo_buckets))
                 & F.col("slots").eqNullSafe(F.lit(cfg.cuckoo_slots))
                 & F.col("stash_bits").eqNullSafe(F.lit(cfg.cuckoo_stash_bits))
                 & F.col("stash_hashes").eqNullSafe(F.lit(cfg.cuckoo_stash_hashes))
+                & F.col("n_buckets").eqNullSafe(F.lit(cfg.num_seen_buckets))
             )
         else:
             pred = ~(
                 F.col("n_bits").eqNullSafe(F.lit(cfg.bloom_bits_per_bucket))
                 & F.col("n_hashes").eqNullSafe(F.lit(cfg.bloom_hashes))
+                & F.col("n_buckets").eqNullSafe(F.lit(cfg.num_seen_buckets))
             )
         return filters.filter(pred).head(1)
 

@@ -50,7 +50,7 @@ from spider_spark.operators.dedup import (
 
 CUCKOO_SCHEMA = (
     "bucket long, table binary, n_ck long, slots int, "
-    "stash binary, stash_bits long, stash_hashes int"
+    "stash binary, stash_bits long, stash_hashes int, n_buckets long"
 )
 
 # multiplicative fingerprint hash for the alternate-bucket XOR (golden
@@ -208,6 +208,7 @@ def build_cuckoo_delta(
                 "stash": [stash.tobytes()],
                 "stash_bits": [stash_bits],
                 "stash_hashes": [stash_hashes],
+                "n_buckets": [num_buckets],
             }
         )
 
@@ -218,12 +219,13 @@ def build_cuckoo_delta(
     )
 
 
-def _geometry(pdf: pd.DataFrame) -> tuple[int, int, int, int]:
+def _geometry(pdf: pd.DataFrame) -> tuple[int, int, int, int, int]:
     return (
         int(pdf["n_ck"].iloc[0]),
         int(pdf["slots"].iloc[0]),
         int(pdf["stash_bits"].iloc[0]),
         int(pdf["stash_hashes"].iloc[0]),
+        int(pdf["n_buckets"].iloc[0]),
     )
 
 
@@ -243,7 +245,7 @@ def merge_cuckoos(prev: DataFrame, delta: DataFrame) -> DataFrame:
                 f"cuckoo geometry mismatch in bucket {key}: "
                 f"{_geometry(a)} vs {_geometry(b)}"
             )
-        n_ck, slots, stash_bits, stash_hashes = _geometry(a)
+        n_ck, slots, stash_bits, stash_hashes, _nb = _geometry(a)
         table = np.frombuffer(a["table"].iloc[0], dtype=np.uint16).copy()
         occ = (table.reshape(n_ck, slots) != 0).sum(axis=1).astype(np.int64)
         stash = (
@@ -292,7 +294,7 @@ def cuckoo_prefilter(
             out = cand_pdf[out_cols].copy()
             out["maybe_seen"] = False
             return out
-        n_ck, slots, stash_bits, stash_hashes = _geometry(f_pdf)
+        n_ck, slots, stash_bits, stash_hashes, _nb = _geometry(f_pdf)
         table = np.frombuffer(f_pdf["table"].iloc[0], dtype=np.uint16)
         stash = np.frombuffer(f_pdf["stash"].iloc[0], dtype=np.uint8)
         h1, _ = _probe_arrays(cand_pdf)

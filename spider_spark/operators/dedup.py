@@ -29,7 +29,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BLOOM_SCHEMA = "bucket long, bitmap binary, n_bits long, n_hashes int"
+BLOOM_SCHEMA = (
+    "bucket long, bitmap binary, n_bits long, n_hashes int, n_buckets long"
+)
 
 # xxhash64 seeds for the two bloom probe hashes (double-hashing scheme);
 # distinct from the default-seed bucket hash
@@ -108,6 +110,7 @@ def build_blooms(
                 "bitmap": [_set_bits(h1, h2, n_bits, n_hashes).tobytes()],
                 "n_bits": [n_bits],
                 "n_hashes": [n_hashes],
+                "n_buckets": [num_buckets],
             }
         )
 
@@ -134,6 +137,7 @@ def build_bloom_delta(
                 "bitmap": [_set_bits(h1, h2, n_bits, n_hashes).tobytes()],
                 "n_bits": [n_bits],
                 "n_hashes": [n_hashes],
+                "n_buckets": [num_buckets],
             }
         )
 
@@ -161,11 +165,14 @@ def merge_blooms(prev: DataFrame, delta: DataFrame) -> DataFrame:
         if (
             int(a["n_bits"].iloc[0]) != int(b["n_bits"].iloc[0])
             or int(a["n_hashes"].iloc[0]) != int(b["n_hashes"].iloc[0])
+            or int(a["n_buckets"].iloc[0]) != int(b["n_buckets"].iloc[0])
         ):
             raise ValueError(
                 f"bloom geometry mismatch in bucket {key}: "
-                f"{int(a['n_bits'].iloc[0])}x{int(a['n_hashes'].iloc[0])} vs "
+                f"{int(a['n_bits'].iloc[0])}x{int(a['n_hashes'].iloc[0])}"
+                f"/{int(a['n_buckets'].iloc[0])}b vs "
                 f"{int(b['n_bits'].iloc[0])}x{int(b['n_hashes'].iloc[0])}"
+                f"/{int(b['n_buckets'].iloc[0])}b"
             )
         bits = np.frombuffer(a["bitmap"].iloc[0], dtype=np.uint8) | np.frombuffer(
             b["bitmap"].iloc[0], dtype=np.uint8

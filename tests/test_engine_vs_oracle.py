@@ -146,6 +146,34 @@ def test_resume_mid_crawl(spark, tmp_path):
     assert engine_urls(full) == engine_urls(resumed)
 
 
+def test_resume_rejects_rebucketed_seen_filter(spark, tmp_path):
+    """A resumed run whose cfg changes num_seen_buckets must refuse the
+    old seen-filter checkpoint: probes would re-bucket into buckets with
+    no filter row, come back definitely-unseen, and bypass the exact
+    anti-join (R4 false negatives). The n_buckets column in the sidecar
+    schema pins the partitioning geometry."""
+    web = synth_web(n_hosts=2, pages_per_host=30, links_per_page=4, seed=9)
+    input_dir = write_web(web, str(tmp_path / "web_rebucket"))
+    cfg = CrawlConfig(
+        scrape_parallelism=8, max_retries=0, bloom_enabled=True,
+        num_seen_buckets=8,
+    )
+    eng = CrawlEngine(spark, input_dir, str(tmp_path / "work_rb"), cfg)
+    eng.initialize()
+    eng.run_round()
+    eng.run_round()
+
+    rebucketed = CrawlConfig(
+        scrape_parallelism=8, max_retries=0, bloom_enabled=True,
+        num_seen_buckets=16,
+    )
+    resumed = CrawlEngine.resume(
+        spark, input_dir, str(tmp_path / "work_rb"), rebucketed
+    )
+    with pytest.raises(Exception, match="geometry"):
+        resumed.run()
+
+
 @pytest.mark.parametrize("webf", ["demo", "synth_sm"])
 def test_spark_seeding_equals_legacy(spark, tmp_path, webf):
     """R21: the distributed sitemap-expansion seeding writes the exact
