@@ -67,6 +67,7 @@ HEADLINE = [
     "text_chunk_tokens",      # sliding token-window chunking (zero shuffle)
     "ann_topk_quantized",     # fixed-point integer dot-product top-k
     "search_topk",            # integer tf-idf ranked retrieval
+    "crawl_recrawl_topk",     # change-rate + staleness re-crawl priority
 ]
 
 
