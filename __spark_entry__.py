@@ -85,6 +85,48 @@ def _with_page(events: DataFrame) -> DataFrame:
     )
 
 
+# shared Spark/DuckDB recipe: structured page URLs with closed-form path
+# segments (cyclic repeats on event_id % 3/4 residues) and query params
+# (event_id % 2), so the spider-trap operators see healthy AND trappy
+# shapes that both engines synthesize identically
+def _trap_url(cast: str) -> str:
+    c = lambda e, m: f"CAST({e} % {m} AS {cast})"  # noqa: E731
+    return (
+        f"'https://h' || {c('user_id', 5)} || '.example.com/s' || "
+        f"{c('event_id', 7)}"
+        f" || CASE WHEN event_id % 3 = 0 THEN '/s' || {c('event_id', 7)}"
+        f" ELSE '/p' || {c('event_id', 11)} END"
+        f" || CASE WHEN event_id % 4 = 0 THEN '/s' || {c('event_id', 7)}"
+        f" ELSE '' END"
+        f" || CASE WHEN event_id % 2 = 0 THEN '?sid=' || "
+        f"{c('event_id', 500)} || '&page=' || {c('event_id', 17)}"
+        f" ELSE '' END"
+    )
+
+
+# shared Spark/DuckDB recipe: two crawl snapshots keyed by a UNIQUE url
+# (event_id is unique in events); membership (% 10 / % 7 residues) and
+# fingerprints (% 4 / % 5) are closed-form in event_id, so added/removed/
+# changed/unchanged all occur and both engines derive identical tables
+def _snap_sql(cast: str, which: str) -> str:
+    mod, fpmod = (10, 4) if which == "old" else (7, 5)
+    return (
+        f"SELECT 'https://h' || CAST(event_id % 7 AS {cast}) || '.x/p' || "
+        f"CAST(event_id AS {cast}) AS url, "
+        f"'f' || CAST(event_id % {fpmod} AS {cast}) AS fp "
+        f"FROM events WHERE event_id % {mod} <> 0"
+    )
+
+
+def _snap_df(ev: DataFrame, which: str) -> DataFrame:
+    mod, fpmod = (10, 4) if which == "old" else (7, 5)
+    return ev.filter(f"event_id % {mod} != 0").selectExpr(
+        "'https://h' || CAST(event_id % 7 AS STRING) || '.x/p' || "
+        "CAST(event_id AS STRING) AS url",
+        f"'f' || CAST(event_id % {fpmod} AS STRING) AS fp",
+    )
+
+
 # shared Spark/DuckDB recipe: deterministic URL-ish strings from events so
 # the URL operators (R2/R22/R25) run on driver-provided tables
 _URL_SQL = (
@@ -1365,6 +1407,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return FR.recrawl_topk(rates, host_col="host", k=7)
 
+    def crawl_trap_signals(spark, sf):
+        # per-URL spider-trap signals (depth / repeated segments / query
+        # params) — pure scan projection, zero shuffle
+        from spider_spark.analysis import trapdetect as TD
+
+        urls = _t(spark, sf, "events").selectExpr(
+            f"{_trap_url('STRING')} AS url"
+        )
+        return TD.trap_signals(urls)
+
+    def crawl_trap_hosts(spark, sf):
+        # per-host trap verdicts: distinct-URL aggregation + exact-ppm
+        # query blow-up ratio, one host-keyed shuffle
+        from spider_spark.analysis import trapdetect as TD
+
+        urls = _t(spark, sf, "events").selectExpr(
+            f"{_trap_url('STRING')} AS url"
+        )
+        return TD.trap_hosts(urls)
+
+    def crawl_diff_q(spark, sf):
+        # incremental re-crawl delta: ONE full-outer url join classifying
+        # added/removed/changed/unchanged (null-safe fp equality)
+        from spider_spark.analysis import snapshots as SN
+
+        ev = _t(spark, sf, "events")
+        return SN.crawl_diff(_snap_df(ev, "old"), _snap_df(ev, "new"))
+
+    def crawl_diff_stats_q(spark, sf):
+        # per-host churn summary of the snapshot diff (map-side
+        # combinable conditional counts + exact-ppm churn)
+        from spider_spark.analysis import snapshots as SN
+
+        ev = _t(spark, sf, "events")
+        return SN.diff_stats(
+            SN.crawl_diff(_snap_df(ev, "old"), _snap_df(ev, "new"))
+        )
+
     def sample_stratified_q(spark, sf):
         # deterministic per-(lang, source) sample: md5-order row_number,
         # WindowGroupLimit prunes to n per partition before the sort
@@ -1486,6 +1566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": events_session_stats,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
+        "crawl_trap_signals": crawl_trap_signals,
+        "crawl_trap_hosts": crawl_trap_hosts,
+        "crawl_diff": crawl_diff_q,
+        "crawl_diff_stats": crawl_diff_stats_q,
         "sample_stratified": sample_stratified_q,
         "sample_split_assign": sample_split_assign,
         "doc_length_stats": doc_length_stats,
@@ -1501,6 +1585,8 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import oracles as O
     from spider_spark.analysis import sampling as SA
     from spider_spark.analysis import sessions as SS
+    from spider_spark.analysis import snapshots as SN
+    from spider_spark.analysis import trapdetect as TD
     from spider_spark.analysis import similarity as S
 
     url = _URL_SQL
@@ -1741,6 +1827,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM events",
             "split_part(split_part(url, '//', 2), '/', 1)",
             k=7,
+        ),
+        "crawl_trap_signals": TD.trap_signals_sql(
+            f"SELECT {_trap_url('VARCHAR')} AS url FROM events"
+        ),
+        "crawl_trap_hosts": TD.trap_hosts_sql(
+            f"SELECT {_trap_url('VARCHAR')} AS url FROM events"
+        ),
+        "crawl_diff": SN.crawl_diff_sql(
+            _snap_sql("VARCHAR", "old"), _snap_sql("VARCHAR", "new")
+        ),
+        "crawl_diff_stats": SN.diff_stats_sql(
+            _snap_sql("VARCHAR", "old"), _snap_sql("VARCHAR", "new")
         ),
         "events_sessionize": SS.sessionize_sql("events", gap_minutes=30),
         "events_session_stats": SS.session_stats_sql(

@@ -68,6 +68,8 @@ HEADLINE = [
     "ann_topk_quantized",     # fixed-point integer dot-product top-k
     "search_topk",            # integer tf-idf ranked retrieval
     "crawl_recrawl_topk",     # change-rate + staleness re-crawl priority
+    "crawl_trap_hosts",       # spider-trap verdicts (distinct-URL host agg)
+    "crawl_diff_stats",       # snapshot-diff churn (full-outer url join)
 ]
 
 
