@@ -1435,6 +1435,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         return SN.crawl_diff(_snap_df(ev, "old"), _snap_df(ev, "new"))
 
+    def events_asof_join(spark, sf):
+        # as-of backward join (union-sort window, ONE shuffle): every
+        # event gains the newest policy snapshot at-or-before its ts on
+        # its host, matches older than 10 min nulled; oracle is DuckDB's
+        # native ASOF LEFT JOIN
+        from spider_spark.operators.asof import asof_join
+
+        ev = _t(spark, sf, "events")
+        left = ev.selectExpr(
+            "'h' || CAST(user_id % 5 AS STRING) AS host", "ts", "event_id"
+        )
+        right = (
+            ev.filter("event_id % 37 = 0")
+            .selectExpr(
+                "'h' || CAST(event_id % 5 AS STRING) AS host",
+                "ts",
+                "'p' || CAST(event_id % 91 AS STRING) AS policy",
+            )
+            .groupBy("host", "ts")
+            .agg(F.max("policy").alias("policy"))
+        )
+        return asof_join(
+            left, right, key_cols=("host",), tolerance_us=600_000_000
+        ).selectExpr(
+            "host",
+            "event_id",
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS ts_us",
+            "policy",
+            "matched_ts_us",
+        )
+
     def crawl_diff_stats_q(spark, sf):
         # per-host churn summary of the snapshot diff (map-side
         # combinable conditional counts + exact-ppm churn)
@@ -1570,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_hosts": crawl_trap_hosts,
         "crawl_diff": crawl_diff_q,
         "crawl_diff_stats": crawl_diff_stats_q,
+        "events_asof_join": events_asof_join,
         "sample_stratified": sample_stratified_q,
         "sample_split_assign": sample_split_assign,
         "doc_length_stats": doc_length_stats,
@@ -1587,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import sessions as SS
     from spider_spark.analysis import snapshots as SN
     from spider_spark.analysis import trapdetect as TD
+    from spider_spark.operators import asof as AJ
     from spider_spark.analysis import similarity as S
 
     url = _URL_SQL
@@ -1839,6 +1873,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_diff_stats": SN.diff_stats_sql(
             _snap_sql("VARCHAR", "old"), _snap_sql("VARCHAR", "new")
+        ),
+        "events_asof_join": (
+            "SELECT host, event_id, epoch_us(ts)::BIGINT AS ts_us,"
+            " policy, matched_ts_us FROM ("
+            + AJ.asof_join_sql(
+                "SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host, ts,"
+                " event_id FROM events",
+                "SELECT host, ts, max(policy) AS policy FROM ("
+                "SELECT 'h' || CAST(event_id % 5 AS VARCHAR) AS host, ts,"
+                " 'p' || CAST(event_id % 91 AS VARCHAR) AS policy"
+                " FROM events WHERE event_id % 37 = 0) GROUP BY host, ts",
+                key_cols=("host",),
+                left_cols=("host", "ts", "event_id"),
+                value_cols=("policy",),
+                tolerance_us=600_000_000,
+            )
+            + ")"
         ),
         "events_sessionize": SS.sessionize_sql("events", gap_minutes=30),
         "events_session_stats": SS.session_stats_sql(
