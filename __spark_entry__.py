@@ -1076,6 +1076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer-prep vocabulary: top-100 tokens by occurrence count
         return T.vocab_topk(_t(spark, sf, "documents"), k=100)
 
+    def corpus_rollup_q(spark, sf):
+        # dataset-card rollup: docs/tokens/chars per (lang, source) with
+        # ROLLUP subtotals — one Expand + one combine-heavy aggregation
+        return T.corpus_rollup(_t(spark, sf, "documents"))
+
     def text_pii_scrub(spark, sf):
         # PII redaction over deterministically injected emails/phones (the
         # raw corpus carries none — synth_pii is the fixture-shaping step)
@@ -1559,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_repetition": text_repetition,
         "text_vocab_topk": text_vocab_topk,
+        "text_corpus_rollup": corpus_rollup_q,
         "text_pii_scrub": text_pii_scrub,
         "text_decontaminate": text_decontaminate,
         "text_surprisal": text_surprisal,
@@ -1622,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import trapdetect as TD
     from spider_spark.operators import asof as AJ
     from spider_spark.analysis import similarity as S
+    from spider_spark.analysis import text as T
 
     url = _URL_SQL
     page = _PAGE_SQL
@@ -2261,6 +2268,9 @@ def oracle_sql() -> dict[str, str]:
             FROM cnts JOIN dc USING (token)
             QUALIFY rank <= 100
         """,
+        "text_corpus_rollup": T.corpus_rollup_sql(
+            "SELECT lang, source, text FROM documents"
+        ),
         "graph_transition_edges": (
             f"WITH {O.transition_edges_cte('events', _GRAPH_NODE)} "
             "SELECT src, dst, weight FROM gedges"

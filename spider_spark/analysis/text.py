@@ -123,3 +123,71 @@ def vocab_topk(
     )
     w = Window.orderBy(F.desc("n_occurrences"), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def corpus_rollup(
+    df: DataFrame,
+    dims: tuple = ("lang", "source"),
+    text_col: str = "text",
+    grouping: str = "rollup",
+) -> DataFrame:
+    """Hierarchical corpus report: docs / whitespace tokens / chars per
+    (lang, source) with ROLLUP (or CUBE) subtotals and a grand total —
+    the dataset card every training-corpus release ships.
+
+    One aggregation: Spark's Expand node replicates each input row once
+    per grouping set BEFORE the exchange, and the map-side partial
+    aggregation collapses them to |groups| rows per partition — the
+    shuffle moves subtotal rows, not the corpus, at any scale. ``gid``
+    is the grouping bitmask (first dim = most significant bit, the
+    Postgres/DuckDB GROUPING() convention); dim values are
+    ``'(all)'``-coalesced in subtotal rows, disambiguated by gid.
+    Token/char sums are exact int64.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = df.select(
+        *dims,
+        toks.alias("_toks"),
+        F.length(text_col).cast("long").alias("_chars"),
+    )
+    grouped = base.cube(*dims) if grouping == "cube" else base.rollup(*dims)
+    return (
+        grouped.agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("_toks").alias("n_tokens"),
+            F.sum("_chars").alias("n_chars"),
+        )
+        .select(
+            *[F.coalesce(F.col(d), F.lit("(all)")).alias(d) for d in dims],
+            F.col("gid").cast("long").alias("gid"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+        )
+    )
+
+
+def corpus_rollup_sql(
+    docs_sql: str,
+    dims: tuple = ("lang", "source"),
+    text_col: str = "text",
+    grouping: str = "rollup",
+) -> str:
+    """DuckDB replica of ``corpus_rollup`` (GROUP BY ROLLUP/CUBE with
+    the same GROUPING() bitmask convention)."""
+    dsel = ", ".join(
+        f"coalesce({d}, '(all)') AS {d}" for d in dims
+    )
+    dlist = ", ".join(dims)
+    kw = "CUBE" if grouping == "cube" else "ROLLUP"
+    return f"""
+    SELECT {dsel},
+           GROUPING({dlist})::BIGINT AS gid,
+           count(*)::BIGINT AS n_docs,
+           sum(len(string_split_regex(trim({text_col}), '\\s+')))::BIGINT
+             AS n_tokens,
+           sum(length({text_col}))::BIGINT AS n_chars
+    FROM ({docs_sql})
+    GROUP BY {kw}({dlist})
+    """
