@@ -1472,6 +1472,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "matched_ts_us",
         )
 
+    def events_range_join(spark, sf):
+        # binned point-in-interval join (hash join on bin ids — never a
+        # BroadcastNestedLoopJoin): events vs 200 closed-form maintenance
+        # windows, integer-exact per-interval rollup; oracle is a plain
+        # DuckDB BETWEEN join over the same closed-form intervals
+        from spider_spark.operators.rangejoin import (
+            range_join,
+            synth_intervals,
+        )
+
+        ev = _t(spark, sf, "events").selectExpr(
+            "event_id",
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS ts_us",
+        )
+        j = range_join(
+            ev,
+            synth_intervals(spark, 200),
+            "ts_us",
+            "lo_us",
+            "hi_us",
+            bin_size=7_680_000_000,  # 128 min ≈ p95 interval width
+        )
+        return j.groupBy("interval_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+
     def crawl_diff_stats_q(spark, sf):
         # per-host churn summary of the snapshot diff (map-side
         # combinable conditional counts + exact-ppm churn)
@@ -1609,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": crawl_diff_q,
         "crawl_diff_stats": crawl_diff_stats_q,
         "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
         "sample_stratified": sample_stratified_q,
         "sample_split_assign": sample_split_assign,
         "doc_length_stats": doc_length_stats,
@@ -1627,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import snapshots as SN
     from spider_spark.analysis import trapdetect as TD
     from spider_spark.operators import asof as AJ
+    from spider_spark.operators import rangejoin as RJ
     from spider_spark.analysis import similarity as S
     from spider_spark.analysis import text as T
 
@@ -1898,6 +1928,15 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "events_range_join": f"""
+            WITH ivs AS ({RJ.synth_intervals_sql(200)}),
+                 ev AS (SELECT event_id, epoch_us(ts)::BIGINT AS ts_us
+                        FROM events)
+            SELECT interval_id, count(*)::BIGINT AS n_events,
+                   sum(event_id)::BIGINT AS sum_event_id
+            FROM ev JOIN ivs ON ts_us BETWEEN lo_us AND hi_us
+            GROUP BY interval_id
+        """,
         "events_sessionize": SS.sessionize_sql("events", gap_minutes=30),
         "events_session_stats": SS.session_stats_sql(
             "events", gap_minutes=30
