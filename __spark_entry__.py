@@ -1472,6 +1472,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "matched_ts_us",
         )
 
+    def crawl_redirects(spark, sf):
+        # redirect-chain resolution (jsoup followRedirects parity,
+        # SiteScraper.scala:81): pointer doubling — 5 self-joins resolve
+        # every chain under the 20-hop cap; edges are a closed-form
+        # function of doc_id (chains, a 2-cycle, self-loops, off-corpus
+        # hops), oracle is a DuckDB recursive CTE chasing hop-by-hop
+        from spider_spark.operators.redirects import resolve_redirects
+
+        d = F.col("doc_id")
+        u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+        edges = (
+            _t(spark, sf, "documents")
+            .select(
+                u(d).alias("src"),
+                F.when((d % 16).isin(0, 1, 2), u(d + 1))
+                .when(d % 16 == 5, u(d))
+                .when(d % 16 == 8, u(d + 1))
+                .when(d % 16 == 9, u(d - 1))
+                .when(d % 16 == 12, u(d + 1000000))
+                .alias("dst"),
+            )
+            .where(F.col("dst").isNotNull())
+        )
+        return resolve_redirects(edges, max_hops=20)
+
     def events_range_join(spark, sf):
         # binned point-in-interval join (hash join on bin ids — never a
         # BroadcastNestedLoopJoin): events vs 200 closed-form maintenance
@@ -1638,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff_stats": crawl_diff_stats_q,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
+        "crawl_redirects": crawl_redirects,
         "sample_stratified": sample_stratified_q,
         "sample_split_assign": sample_split_assign,
         "doc_length_stats": doc_length_stats,
@@ -1657,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import trapdetect as TD
     from spider_spark.operators import asof as AJ
     from spider_spark.operators import rangejoin as RJ
+    from spider_spark.operators import redirects as RD
     from spider_spark.analysis import similarity as S
     from spider_spark.analysis import text as T
 
@@ -1927,6 +1954,25 @@ def oracle_sql() -> dict[str, str]:
                 tolerance_us=600_000_000,
             )
             + ")"
+        ),
+        "crawl_redirects": RD.resolve_redirects_sql(
+            """
+            SELECT 'u' || doc_id::VARCHAR AS src,
+                   CASE WHEN doc_id % 16 IN (0, 1, 2)
+                          THEN 'u' || (doc_id + 1)::VARCHAR
+                        WHEN doc_id % 16 = 5
+                          THEN 'u' || doc_id::VARCHAR
+                        WHEN doc_id % 16 = 8
+                          THEN 'u' || (doc_id + 1)::VARCHAR
+                        WHEN doc_id % 16 = 9
+                          THEN 'u' || (doc_id - 1)::VARCHAR
+                        WHEN doc_id % 16 = 12
+                          THEN 'u' || (doc_id + 1000000)::VARCHAR
+                   END AS dst
+            FROM documents
+            WHERE doc_id % 16 IN (0, 1, 2, 5, 8, 9, 12)
+            """,
+            max_hops=20,
         ),
         "events_range_join": f"""
             WITH ivs AS ({RJ.synth_intervals_sql(200)}),
