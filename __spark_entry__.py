@@ -1392,6 +1392,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         return SS.session_stats(ev, gap_minutes=30)
 
+    def events_tumbling(spark, sf):
+        # native F.window tumbling rollup; oracle = (epoch_us // W) * W
+        # closed-form bucket arithmetic (integer us, no timezone)
+        from spider_spark.analysis import windows as WN
+
+        ev = _t(spark, sf, "events")
+        return WN.tumbling_stats(ev, width_s=3600)
+
+    def events_sliding(spark, sf):
+        # native F.window sliding (1h window, 15min hop): each event in
+        # width/slide=4 windows; the oracle expands a static replica
+        # series and filters — exactly the generator's window set
+        from spider_spark.analysis import windows as WN
+
+        ev = _t(spark, sf, "events")
+        return WN.sliding_stats(ev, width_s=3600, slide_s=900)
+
+    def sketch_hll_users(spark, sf):
+        # HyperLogLog per-event-type distinct-user estimate in exact
+        # int64 fixed-point (md5 register hash, rational alpha) — the
+        # oracle recomputes the identical sketch, not just the answer
+        from spider_spark.analysis import sketches as K
+
+        ev = _t(spark, sf, "events")
+        return K.hll_distinct(ev, "user_id", ("event_type",), p=6)
+
+    def sketch_cms_topk(spark, sf):
+        # count-min heavy hitters over the user_id stream (depth 4,
+        # width 256): upward-biased integer estimates, min over rows
+        from spider_spark.analysis import sketches as K
+
+        ev = _t(spark, sf, "events")
+        return K.cms_heavy_hitters(
+            ev, "user_id", k=20, depth=4, width=256
+        )
+
     def crawl_change_rate(spark, sf):
         # Cho & Garcia-Molina refresh estimation: per-URL consecutive-
         # fingerprint change rate over the revisit log (one window + one
@@ -1655,6 +1691,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal_resize,
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
+        "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
+        "sketch_hll_users": sketch_hll_users,
+        "sketch_cms_topk": sketch_cms_topk,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
         "crawl_trap_signals": crawl_trap_signals,
@@ -1679,7 +1719,9 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import oracles as O
     from spider_spark.analysis import sampling as SA
     from spider_spark.analysis import sessions as SS
+    from spider_spark.analysis import sketches as K
     from spider_spark.analysis import snapshots as SN
+    from spider_spark.analysis import windows as WN
     from spider_spark.analysis import trapdetect as TD
     from spider_spark.operators import asof as AJ
     from spider_spark.operators import rangejoin as RJ
@@ -1986,6 +2028,16 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SS.sessionize_sql("events", gap_minutes=30),
         "events_session_stats": SS.session_stats_sql(
             "events", gap_minutes=30
+        ),
+        "events_tumbling": WN.tumbling_sql("events", width_s=3600),
+        "events_sliding": WN.sliding_sql(
+            "events", width_s=3600, slide_s=900
+        ),
+        "sketch_hll_users": K.hll_sql(
+            "events", "user_id", ("event_type",), p=6
+        ),
+        "sketch_cms_topk": K.cms_sql(
+            "events", "user_id", k=20, depth=4, width=256
         ),
         "sample_stratified": SA.sample_stratified_sql(
             "documents", n_per_stratum=5

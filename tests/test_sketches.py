@@ -1,0 +1,183 @@
+"""HLL approx-distinct + count-min sketch (analysis/sketches): register
+math vs a pure-Python reference, estimate accuracy envelope, merge
+(max/combine) semantics, and bit-exact Spark-vs-DuckDB equality."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from spider_spark.analysis import sketches as K
+from spider_spark.functions.hashing import md5_u32_py
+
+
+def _df(spark, vals, groups=None):
+    groups = groups or ["g0"] * len(vals)
+    return spark.createDataFrame(
+        list(zip(vals, groups)), "v string, g string"
+    )
+
+
+def _py_registers(vals, p):
+    """Pure-Python HLL register reference."""
+    m, w = 1 << p, 32 - p
+    regs = {}
+    for v in vals:
+        h = md5_u32_py(v)
+        b, s = h % m, h // m
+        rho = (w + 1) if s == 0 else w - (s.bit_length() - 1)
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python(spark):
+    vals = [f"url-{i}" for i in range(500)]
+    got = {
+        r["bucket"]: r["r"]
+        for r in K.hll_registers(_df(spark, vals), "v", p=6).collect()
+    }
+    assert got == _py_registers(vals, 6)
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    # raw HLL std error = 1.04/sqrt(m); allow 4 sigma at m=64 (~52%).
+    # Actual seeds land well inside; the bound just guards regressions.
+    for n in (300, 1000, 5000):
+        vals = [f"item-{i}" for i in range(n)]
+        est = (
+            K.hll_distinct(_df(spark, vals), "v", p=6)
+            .collect()[0]["est_distinct"]
+        )
+        assert abs(est - n) / n < 0.52, (n, est)
+
+
+def test_hll_insensitive_to_duplicates_and_order(spark):
+    base = [f"u-{i}" for i in range(400)]
+    dup = base * 3 + base[::-1]
+    a = K.hll_distinct(_df(spark, base), "v", p=6).collect()[0]
+    b = K.hll_distinct(_df(spark, dup), "v", p=6).collect()[0]
+    assert a["est_distinct"] == b["est_distinct"]
+    assert a["n_nonzero"] == b["n_nonzero"]
+
+
+def test_hll_grouped_matches_duckdb(spark):
+    vals = [f"url-{i % 211}" for i in range(1500)]
+    groups = [f"g{i % 3}" for i in range(1500)]
+    df = _df(spark, vals, groups)
+    got = sorted(
+        map(tuple, K.hll_distinct(df, "v", ("g",), p=6).collect())
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals, "g": groups}))
+    want = sorted(
+        map(tuple, con.sql(K.hll_sql("t", "v", ("g",), p=6)).fetchall())
+    )
+    assert got == want
+    # registers agree too
+    got_r = sorted(
+        map(tuple, K.hll_registers(df, "v", ("g",), p=6).collect())
+    )
+    want_r = sorted(
+        map(
+            tuple,
+            con.sql(
+                K.hll_sql("t", "v", ("g",), p=6, registers_only=True)
+            ).fetchall(),
+        )
+    )
+    assert got_r == want_r
+
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    # CMS never underestimates: est >= true count, for every candidate
+    vals = [f"tok-{i % 37}" for i in range(800)] + ["hot"] * 200
+    df = _df(spark, vals)
+    est = {
+        r["value"]: r["est"]
+        for r in K.cms_heavy_hitters(df, "v", k=100, depth=4, width=512)
+        .collect()
+    }
+    from collections import Counter
+
+    truth = Counter(vals)
+    for v, c in truth.items():
+        assert est[v] >= c, (v, est[v], c)
+    # with width >> distinct values the hot key is exact and ranked first
+    assert est["hot"] == 200
+    top = (
+        K.cms_heavy_hitters(df, "v", k=1, depth=4, width=512)
+        .collect()[0]["value"]
+    )
+    assert top == "hot"
+
+
+def test_cms_weighted_sketch(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 3), ("b", 2)], "v string, w long"
+    )
+    sk = K.cms_sketch(df, "v", depth=2, width=64, weight_col="w")
+    est = {
+        r["value"]: r["est"]
+        for r in K.cms_estimate(
+            sk, df.select("v").distinct(), "v", depth=2, width=64
+        ).collect()
+    }
+    assert est == {"a": 8, "b": 2}
+
+
+def test_cms_matches_duckdb(spark):
+    vals = [f"w-{i % 53}" for i in range(900)]
+    df = _df(spark, vals)
+    got = [
+        tuple(r)
+        for r in K.cms_heavy_hitters(df, "v", k=15, depth=4, width=128)
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    want = con.sql(K.cms_sql("t", "v", k=15, depth=4, width=128)).fetchall()
+    assert got == want
+    # raw sketch grids agree cell-for-cell
+    got_g = sorted(
+        map(tuple, K.cms_sketch(df, "v", depth=4, width=128).collect())
+    )
+    want_g = sorted(
+        map(
+            tuple,
+            con.sql(
+                K.cms_sql("t", "v", depth=4, width=128, sketch_only=True)
+            ).fetchall(),
+        )
+    )
+    assert got_g == want_g
+
+
+def test_null_values_excluded(spark):
+    # NULLs never enter either sketch (count-distinct convention), and
+    # the oracles apply the same guard
+    df = spark.createDataFrame(
+        [("a", "g0"), (None, "g0"), ("b", "g0"), (None, "g0")],
+        "v string, g string",
+    )
+    clean = _df(spark, ["a", "b"])
+    got = K.hll_distinct(df, "v", p=6).collect()[0]
+    want = K.hll_distinct(clean, "v", p=6).collect()[0]
+    assert tuple(got) == tuple(want)
+    hh = K.cms_heavy_hitters(df, "v", k=10, depth=2, width=32).collect()
+    assert sorted(r["value"] for r in hh) == ["a", "b"]
+    assert all(r["est"] == 1 for r in hh)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": ["a", None, "b", None]}))
+    assert sorted(
+        map(tuple, con.sql(K.cms_sql("t", "v", k=10, depth=2, width=32)).fetchall())
+    ) == [("a", 1), ("b", 1)]
+    assert con.sql(K.hll_sql("t", "v", p=6)).fetchall()[0] == tuple(want)
+
+
+def test_hll_p_bounds():
+    class _Fake:  # never touched: p is validated before any df use
+        pass
+
+    with pytest.raises(ValueError):
+        K.hll_registers(_Fake(), "v", p=3)
+    with pytest.raises(ValueError):
+        K.hll_registers(_Fake(), "v", p=13)
