@@ -916,6 +916,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
         )
 
+    def q5_local_supplier_volume(spark, sf):
+        # TPC-H Q5 shape: the 6-way snowflake join. region/nation are
+        # broadcast dims (tiny), customer/supplier hash-join, the
+        # lineitem fact streams through — the canonical
+        # broadcast-then-shuffle plan AQE keeps at any scale. Note the
+        # TPC-H c_nationkey = s_nationkey "local supplier" predicate
+        # rides the supplier join condition, not a post-filter.
+        r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        o = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = _t(spark, sf, "lineitem")
+        return (
+            F.broadcast(r)
+            .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+            .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(o, F.col("o_custkey") == F.col("c_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(
+                s,
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("s_nationkey") == F.col("c_nationkey")),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,6)")
+                        * (1 - F.col("l_discount").cast("decimal(18,6)"))
+                    ),
+                    2,
+                )
+                .cast("double")
+                .alias("revenue")
+            )
+        )
+
+    def q18_large_orders(spark, sf):
+        # TPC-H Q18 shape: self-aggregating semi-join — orders whose
+        # total lineitem quantity exceeds a threshold. The HAVING
+        # aggregate reduces lineitem to qualifying keys FIRST (combine-
+        # heavy groupBy), then joins back; the big fact is never joined
+        # unreduced.
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+            .filter(F.col("sum_qty") > 150)
+        )
+        return (
+            big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select(
+                "c_name",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                    "o_orderdate"
+                ),
+                F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
+                .cast("double")
+                .alias("o_totalprice"),
+                F.col("sum_qty").cast("long").alias("sum_qty"),
+            )
+        )
+
     def dedup_exact(spark, sf):
         docs = _t(spark, sf, "documents")
         return (
@@ -1182,6 +1253,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def graph_pagerank(spark, sf):
         edges = G.transition_edges(_event_nodes(spark, sf))
         return G.pagerank_int(edges, iters=5)
+
+    def graph_hits(spark, sf):
+        # Kleinberg hubs/authorities in exact int64 (max-normalized) —
+        # the second classic crawl-ordering signal next to PageRank
+        edges = G.transition_edges(_event_nodes(spark, sf))
+        return G.hits_int(edges, iters=4)
+
+    def text_length_histogram(spark, sf):
+        # dataset-card length distribution: one combine-heavy groupBy,
+        # shuffle carries #bins rows per partition
+        docs = _t(spark, sf, "documents")
+        return T.length_histogram(docs, bin_width=50)
+
+    def text_binned_quantiles(spark, sf):
+        # histogram-resolution P50/P90/P99 — the no-global-sort scale
+        # path next to sample_percentiles' exact quantiles
+        docs = _t(spark, sf, "documents")
+        return T.binned_quantiles(docs, bin_width=50, pcts=(50, 90, 99))
+
+    def text_corpus_pivot(spark, sf):
+        # native pivot with the value list pinned (no values-discovery
+        # job) -> ONE fused conditional-count aggregation
+        docs = _t(spark, sf, "documents")
+        return T.corpus_pivot(
+            docs,
+            pivot_col="lang",
+            pivot_values=("de", "en", "es", "fr", "zh"),
+            group_col="source",
+        )
 
     def ann_cosine_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -1646,6 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q_window_running_total": q_window_running_total,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q18_large_orders": q18_large_orders,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "text_token_count": text_token_count,
@@ -1663,6 +1765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anchor_texts": graph_anchor_texts,
         "graph_transition_edges": graph_transition_edges,
         "graph_pagerank": graph_pagerank,
+        "graph_hits": graph_hits,
+        "text_length_histogram": text_length_histogram,
+        "text_binned_quantiles": text_binned_quantiles,
+        "text_corpus_pivot": text_corpus_pivot,
         "text_gopher_filter": text_gopher_filter,
         "text_c4_clean": text_c4_clean,
         "text_line_dedup": text_line_dedup,
@@ -2297,6 +2403,32 @@ def oracle_sql() -> dict[str, str]:
                    AS running_total
             FROM orders
         """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM region, nation, customer, orders, lineitem, supplier
+            WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+              AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+              AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND s_nationkey = c_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "q18_large_orders": """
+            SELECT c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2)
+                        AS DOUBLE) AS o_totalprice,
+                   sum_qty
+            FROM (SELECT l_orderkey,
+                         sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+                  FROM lineitem GROUP BY 1 HAVING sum_qty > 150) big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+        """,
         "dedup_exact": """
             SELECT fp, count(*) AS n_docs FROM (
                 SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
@@ -2449,6 +2581,21 @@ def oracle_sql() -> dict[str, str]:
         "tok_bpe_pairs": O.bpe_pair_counts_sql("documents", k=50),
         "graph_pagerank": O.pagerank_int_sql(
             O.transition_edges_cte("events", _GRAPH_NODE), iters=5
+        ),
+        "graph_hits": O.hits_int_sql(
+            O.transition_edges_cte("events", _GRAPH_NODE), iters=4
+        ),
+        "text_length_histogram": T.length_histogram_sql(
+            "documents", bin_width=50
+        ),
+        "text_binned_quantiles": T.binned_quantiles_sql(
+            "documents", bin_width=50, pcts=(50, 90, 99)
+        ),
+        "text_corpus_pivot": T.corpus_pivot_sql(
+            "documents",
+            pivot_col="lang",
+            pivot_values=("de", "en", "es", "fr", "zh"),
+            group_col="source",
         ),
         "dedup_embedding_cosine": """
             SELECT id_a, id_b, cos_sim FROM (

@@ -162,3 +162,98 @@ def pagerank_int(
             .localCheckpoint()
         )
     return ranks
+
+
+def hits_int(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, hub, auth): Kleinberg HITS after exactly ``iters``
+    iterations, in EXACT 64-bit integer arithmetic.
+
+    Update per iteration (weighted graph):
+      auth_raw(j) = Σ_{i→j} hub(i) * weight(i,j)
+      auth(j)     = (auth_raw(j) * scale) DIV max_j auth_raw(j)
+      hub_raw(i)  = Σ_{i→j} auth(j) * weight(i,j)
+      hub(i)      = (hub_raw(i) * scale) DIV max_i hub_raw(i)
+
+    Max-normalization replaces the usual L2 norm: it needs no square
+    root, keeps every value in [0, scale] as BIGINT, and — like
+    pagerank_int's integer division — makes the result bit-identical on
+    any engine and any summation order, so the unrolled SQL oracle can
+    check it value-exactly. Nodes with no in-edges get auth 0 (and
+    symmetrically hub 0) — they receive no mass, same convention as
+    pagerank_int's dangling-mass drop.
+
+    Scale shape: per iteration two edges⋈state hash joins + two
+    combine-heavy groupBys over the EDGE list (never the corpus) plus a
+    1-row global max that broadcasts back — no wide shuffle beyond the
+    edge key. localCheckpoint per iteration keeps N iterations at N
+    bounded jobs (the pagerank_int / connected-components pattern).
+
+    The reference has no centrality at all; this is the second classic
+    crawl-ordering signal (Cho/Garcia-Molina 1998 evaluate both PageRank
+    and backlink/authority orderings — the engine's indegree priority_mode
+    is the degenerate 1-iteration case).
+    """
+    e = edges.select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = nodes.select(
+        "node",
+        F.lit(scale).cast("long").alias("hub"),
+        F.lit(scale).cast("long").alias("auth"),
+    )
+    for _ in range(iters):
+        a_raw = (
+            e.join(
+                state.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("hub * weight")).alias("ar"))
+            .localCheckpoint()
+        )
+        # the normalizer is ONE scalar over the (node-sized, already
+        # materialized) raw table — collected and inlined as a literal,
+        # the search.search_bm25 pattern, so the plan never carries a
+        # scalar-join nested loop
+        a_max = a_raw.agg(F.max("ar")).first()[0] or 1  # empty graph
+        auth = a_raw.select(
+            "node",
+            F.expr(f"(ar * CAST({scale} AS LONG)) div {a_max}").alias(
+                "auth"
+            ),
+        )
+        h_raw = (
+            e.join(
+                auth.select(F.col("node").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.expr("auth * weight")).alias("hr"))
+            .localCheckpoint()
+        )
+        h_max = h_raw.agg(F.max("hr")).first()[0] or 1
+        hub = h_raw.select(
+            "node",
+            F.expr(f"(hr * CAST({scale} AS LONG)) div {h_max}").alias(
+                "hub"
+            ),
+        )
+        state = (
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0).cast("long")).alias("hub"),
+                F.coalesce("auth", F.lit(0).cast("long")).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+    return state

@@ -723,6 +723,58 @@ def pagerank_int_sql(
     """
 
 
+def hits_int_sql(
+    edges_cte: str,
+    iters: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """Unrolled replica of analysis/graph.hits_int over ``edges_cte`` (a
+    WITH-chain ending in gedges). Max-normalized integer HITS — every
+    level is pure BIGINT arithmetic, so equality with Spark is
+    bit-exact. Iteration CTEs are MATERIALIZED: each level references
+    its predecessor more than once (value select + scalar-max
+    subquery), and DuckDB's default CTE inlining would re-evaluate the
+    whole chain per reference — exponential in iters."""
+    levels = [
+        f"gs0 AS (SELECT node, {scale}::BIGINT AS hub, "
+        f"{scale}::BIGINT AS auth FROM gnodes)"
+    ]
+    prev = "gs0"
+    for i in range(1, iters + 1):
+        levels.append(f"""ga{i} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(s.hub * e.weight) AS ar
+      FROM gedges e JOIN {prev} s ON s.node = e.src
+      GROUP BY 1
+    ), gan{i} AS MATERIALIZED (
+      SELECT node, (ar * {scale}) // (SELECT max(ar) FROM ga{i}) AS auth
+      FROM ga{i}
+    ), gh{i} AS MATERIALIZED (
+      SELECT e.src AS node, sum(a.auth * e.weight) AS hr
+      FROM gedges e JOIN gan{i} a ON a.node = e.dst
+      GROUP BY 1
+    ), ghn{i} AS MATERIALIZED (
+      SELECT node, (hr * {scale}) // (SELECT max(hr) FROM gh{i}) AS hub
+      FROM gh{i}
+    ), gs{i} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce(h.hub, 0)::BIGINT AS hub,
+             coalesce(a.auth, 0)::BIGINT AS auth
+      FROM gnodes n
+      LEFT JOIN ghn{i} h ON h.node = n.node
+      LEFT JOIN gan{i} a ON a.node = n.node
+    )""")
+        prev = f"gs{i}"
+    chain = ",\n    ".join(levels)
+    return f"""
+    WITH {edges_cte},
+    gnodes AS (
+      SELECT src AS node FROM gedges UNION SELECT dst FROM gedges
+    ),
+    {chain}
+    SELECT node, hub, auth FROM {prev}
+    """
+
+
 # ------------------------------------------------------------- PII scrubbing
 
 

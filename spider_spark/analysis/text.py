@@ -191,3 +191,155 @@ def corpus_rollup_sql(
     FROM ({docs_sql})
     GROUP BY {kw}({dlist})
     """
+
+
+def length_histogram(
+    df: DataFrame,
+    bin_width: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bin_lo, n_docs): document-length histogram with fixed-width bins
+    (bin_lo = (len // W) * W) — ONE combine-heavy groupBy whose shuffle
+    carries at most #bins rows per partition, the dataset-card length
+    distribution at any corpus size. Null text counts as length 0."""
+    lo = F.expr(
+        f"(length(coalesce({text_col}, '')) div {bin_width}) "
+        f"* {bin_width}"
+    ).cast("long")
+    return df.groupBy(lo.alias("bin_lo")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    bin_width: int = 100,
+    pcts: tuple = (50, 90, 99),
+    text_col: str = "text",
+) -> DataFrame:
+    """(pct, len_lo): histogram-resolution length quantiles — len_lo is
+    the lower bound of the first bin whose cumulative count reaches
+    ceil(pct * N / 100). The scale path next to sampling.py's EXACT
+    percentile: exact quantiles need a global sort of the corpus; this
+    needs one combine-heavy histogram groupBy, after which every step
+    (window cumsum, threshold probe) runs on #bins rows. All integer
+    arithmetic — bit-identical on any engine.
+    """
+    from pyspark.sql import Window
+
+    hist = length_histogram(df, bin_width, text_col)
+    # both windows share one (single-partition) sort over the #bins-row
+    # histogram — bounded small at any corpus size, so the global window
+    # is safe here and keeps the plan free of scalar-join nested loops
+    w = Window.orderBy("bin_lo")
+    cum = hist.select(
+        "bin_lo",
+        F.sum("n_docs")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cum"),
+        F.sum("n_docs")
+        .over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_n"),
+    )
+    pct_rows = F.explode(
+        F.array(*[F.lit(int(p)) for p in pcts])
+    ).alias("pct")
+    return (
+        cum.select(pct_rows, "bin_lo", "_cum", "_n")
+        # ceil(p*N/100) in integers: (p*N + 99) div 100
+        .filter(F.expr("_cum >= (pct * _n + 99) div 100"))
+        .groupBy("pct")
+        .agg(F.min("bin_lo").alias("len_lo"))
+        .select(F.col("pct").cast("long").alias("pct"), "len_lo")
+    )
+
+
+def length_histogram_sql(
+    table: str = "documents",
+    bin_width: int = 100,
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica of ``length_histogram``."""
+    return f"""
+    SELECT ((length(coalesce({text_col}, '')) // {bin_width})
+            * {bin_width})::BIGINT AS bin_lo,
+           count(*)::BIGINT AS n_docs
+    FROM {table}
+    GROUP BY 1
+    """
+
+
+def binned_quantiles_sql(
+    table: str = "documents",
+    bin_width: int = 100,
+    pcts: tuple = (50, 90, 99),
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica of ``binned_quantiles`` (same integer threshold)."""
+    plist = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+    WITH hist AS ({length_histogram_sql(table, bin_width, text_col)}),
+    cum AS (
+      SELECT bin_lo,
+             sum(n_docs) OVER (ORDER BY bin_lo ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS c,
+             (SELECT sum(n_docs) FROM hist) AS n
+      FROM hist
+    ),
+    p(pct) AS (VALUES {plist})
+    SELECT pct::BIGINT AS pct, min(bin_lo)::BIGINT AS len_lo
+    FROM p JOIN cum ON c >= (pct * n + 99) // 100
+    GROUP BY 1
+    """
+
+
+def corpus_pivot(
+    df: DataFrame,
+    pivot_col: str = "lang",
+    pivot_values: tuple = ("de", "en", "es", "fr", "zh"),
+    group_col: str = "source",
+) -> DataFrame:
+    """(group, n_<v>...): doc counts per group with one column per pivot
+    value — the wide-format crosstab report. Uses Spark's native
+    ``pivot`` WITH the value list pinned (so the plan needs no extra
+    values-discovery job and the schema is stable — at 100 TB an
+    unpinned pivot first runs a distinct over the corpus). Compiles to
+    two map-side-combined aggregations ((group, pivot) counts, then
+    pivotfirst on group) — both shuffles carry partial rows, never the
+    corpus. Out-of-list values are dropped, matching the
+    conditional-aggregation oracle."""
+    piv = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .pivot(pivot_col, list(pivot_values))
+        .count()
+    )
+    return piv.select(
+        "grp",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(f"n_{v}")
+            for v in pivot_values
+        ],
+    )
+
+
+def corpus_pivot_sql(
+    table: str = "documents",
+    pivot_col: str = "lang",
+    pivot_values: tuple = ("de", "en", "es", "fr", "zh"),
+    group_col: str = "source",
+) -> str:
+    """DuckDB replica of ``corpus_pivot`` as conditional aggregation."""
+    cols = ",\n           ".join(
+        f"count(*) FILTER ({pivot_col} = '{v}')::BIGINT AS n_{v}"
+        for v in pivot_values
+    )
+    return f"""
+    SELECT {group_col} AS grp,
+           {cols}
+    FROM {table}
+    GROUP BY 1
+    """

@@ -96,3 +96,65 @@ def test_anchor_text_edges_and_agg(spark):
         ("https://h.de/t", "go there"): (3, 2),
         ("https://h.de/t", "plain"): (1, 1),
     }
+
+
+# ------------------------------------------------------------ integer HITS
+
+
+def test_hits_star_authority(spark):
+    from spider_spark.analysis.graph import hits_int
+
+    # l1..l4 all point at c: c is the unique authority (auth = scale),
+    # leaves are the hubs (hub = scale each, symmetric), c has no
+    # out-edges so hub(c) = 0, leaves have no in-edges so auth(li) = 0
+    edges = spark.createDataFrame(
+        [("l1", "c", 1), ("l2", "c", 1), ("l3", "c", 1), ("l4", "c", 1)],
+        "src string, dst string, weight long",
+    )
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits_int(edges, iters=3).collect()}
+    assert got["c"] == (0, PR_SCALE)
+    assert got["l1"] == got["l2"] == got["l3"] == got["l4"] == (PR_SCALE, 0)
+
+
+def test_hits_weighted_known_value(spark):
+    from spider_spark.analysis.graph import hits_int
+
+    # a->c (w2), b->c (w1), b->d (w1): after 1 iter
+    #   a_raw: c = 2S+1S = 3S, d = 1S  -> auth: c=S, d=S//3=333333
+    #   h_raw: a = 2*S = 2S, b = S + 333333 -> hub: a=S, b=(1333333*S)//2S=666666
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_int(
+            spark.createDataFrame(
+                [("a", "c", 2), ("b", "c", 1), ("b", "d", 1)],
+                "src string, dst string, weight long",
+            ),
+            iters=1,
+        ).collect()
+    }
+    S = PR_SCALE
+    assert got["c"] == (0, S)
+    assert got["d"] == (0, S // 3)
+    assert got["a"] == (S, 0)
+    assert got["b"] == ((S + S // 3) * S // (2 * S), 0)
+
+
+def test_hits_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from spider_spark.analysis import oracles as O
+    from spider_spark.analysis.graph import hits_int
+
+    ev = spark.range(400).select(
+        (F.col("id") % 9).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.concat(F.lit("h"), (F.col("id") % 11).cast("string")).alias("node"),
+        F.col("id").alias("event_id"),
+    )
+    e = transition_edges(ev)
+    got = sorted(map(tuple, hits_int(e, iters=4).collect()))
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    sql = O.hits_int_sql(O.transition_edges_cte("events", "node"), iters=4)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want

@@ -207,3 +207,59 @@ def test_dup_spans_shuffle_budget(spark):
     # 4 hash exchanges max: gram-count partial->final, semi-join probe,
     # islands window, final span groupBy (AQE may broadcast the dup set)
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_q5_broadcasts_dims_and_pushes_date_filter(spark):
+    """TPC-H Q5 shape: region/nation are broadcast (never shuffled), and
+    the o_orderdate range predicate reaches the orders parquet scan."""
+    plan = plan_str(spark, q(spark, "q5_local_supplier_volume"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or (
+        "o_orderdate" in plan.split("PushedFilters")[1][:400]
+    ), plan
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18 shape: lineitem reduces to qualifying order keys via a
+    combine-heavy groupBy BEFORE any join touches orders/customer — the
+    HAVING aggregate must sit below the joins in the plan tree."""
+    plan = plan_str(spark, q(spark, "q18_large_orders"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    agg = plan.index("partial_sum")     # lineitem partial aggregation
+    join = plan.index("Join")           # first join in the printed tree
+    # printed tree is top-down: the first Join appears ABOVE (before in
+    # string order) the partial aggregation feeding it
+    assert join < agg, plan
+
+
+def test_binned_quantiles_single_corpus_exchange(spark):
+    """binned_quantiles: exactly one corpus-wide hash exchange (the
+    histogram groupBy); everything after runs on #bins rows (the
+    single-partition window)."""
+    plan = plan_str(spark, q(spark, "text_binned_quantiles"), "simple")
+    assert plan.split("== Initial Plan ==")[0].count(
+        "Exchange hashpartitioning"
+    ) <= 2, plan  # partial->final agg pair prints once; window is SinglePartition
+    assert "Exchange SinglePartition" in plan, plan
+
+
+def test_tumbling_window_is_single_aggregation(spark):
+    """events_tumbling: the F.window generator is a projection; the plan
+    is one map-side-combined aggregation, no explode, no extra
+    exchange."""
+    plan = plan_str(spark, q(spark, "events_tumbling"), "simple")
+    exec_plan = plan.split("== Initial Plan ==")[0]
+    assert exec_plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate" not in exec_plan, plan  # tumbling never explodes
+
+
+def test_hll_sketch_shuffles_registers_not_rows(spark):
+    """sketch_hll_users: the only wide exchanges carry (key, register)
+    partials / register rows — never raw events — and the register
+    aggregation is map-side combined."""
+    plan = plan_str(spark, q(spark, "sketch_hll_users"), "simple")
+    exec_plan = plan.split("== Initial Plan ==")[0]
+    assert "partial_max" in exec_plan or "partial_" in exec_plan, plan
+    assert "CartesianProduct" not in exec_plan, plan
