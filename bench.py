@@ -70,6 +70,15 @@ HEADLINE = [
     "crawl_recrawl_topk",     # change-rate + staleness re-crawl priority
     "crawl_trap_hosts",       # spider-trap verdicts (distinct-URL host agg)
     "crawl_diff_stats",       # snapshot-diff churn (full-outer url join)
+    "events_tumbling",        # native F.window fixed-window rollup
+    "events_sliding",         # overlapping windows (width/slide replicas)
+    "sketch_hll_users",       # integer-exact HyperLogLog distinct estimate
+    "sketch_cms_topk",        # count-min heavy hitters
+    "graph_hits",             # integer HITS hubs/authorities (4 iters)
+    "text_binned_quantiles",  # histogram-resolution corpus quantiles
+    "text_corpus_pivot",      # pinned-value pivot crosstab
+    "q5_local_supplier_volume",  # TPC-H Q5 snowflake join shape
+    "q18_large_orders",       # TPC-H Q18 HAVING semi-join shape
 ]
 
 
