@@ -375,10 +375,36 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    prune_to_candidates: bool = False,
 ) -> DataFrame:
     """Exact word-ngram Jaccard for candidate pairs (verify stage).
 
-    JVM-side: ngrams via split+transform, jaccard via array_intersect/union."""
+    JVM-side: ngrams via split+transform, jaccard via
+    array_intersect/union.
+
+    ``prune_to_candidates`` semi-joins docs to the candidate-id set
+    before computing gram arrays, so the shingle HOF runs only for docs
+    that appear in some pair. Measured both ways at sf0.1: with a
+    SPARSE candidate set (candidates ≪ corpus — e.g. pairs produced by
+    the pregrouped LSH over a realistic corpus) the prune wins by the
+    corpus/candidate ratio; with a DENSE set (the duplicate-heavy
+    fixture yields 325k pairs touching ~65% of docs) it costs ~20%
+    extra (the pairs materialization + distinct + semi-join buy
+    nothing). Candidate density is a data property, not a scale
+    property, so this stays a caller knob, default off — the scale
+    lever for dense corpora is shrinking PAIRS via
+    minhash_lsh_candidates_pregrouped, not pruning docs."""
+    if prune_to_candidates:
+        # pairs is consumed three times (both prune branches + the
+        # final join); materialize it once so the candidate generator —
+        # typically a full LSH pass — doesn't re-run per consumer
+        pairs = pairs.localCheckpoint()
+        cand_ids = (
+            pairs.select(F.col("id_l").alias(id_col))
+            .union(pairs.select(F.col("id_r").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(cand_ids, id_col, "left_semi")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.array_distinct(
         F.filter(
@@ -392,6 +418,9 @@ def ngram_jaccard(
             lambda x: x.isNotNull(),
         )
     )
+    # g feeds both sides of the pair join; recomputing the shingle
+    # projection per side beats materializing the (text-sized × n) gram
+    # arrays — measured: a localCheckpoint here LOST ~25% at sf0.1
     g = docs.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
     out = (
         pairs.join(g.withColumnRenamed("doc_id", "id_l").withColumnRenamed("grams", "g_l"), "id_l")

@@ -49,6 +49,10 @@ def test_ngram_jaccard_scores(docs):
     assert j.get(("d1", "d2")) == pytest.approx(1.0)
     for (a, b), v in j.items():
         assert 0.0 <= v <= 1.0
+    # the sparse-candidate prune path is row-identical
+    pruned = D.ngram_jaccard(pairs, docs, n=2, prune_to_candidates=True)
+    jp = {(r["id_l"], r["id_r"]): r["jaccard"] for r in pruned.collect()}
+    assert jp == j
 
 
 def test_minhash_pregroup_collapses_mega_cluster(spark):
