@@ -957,6 +957,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q4_order_priority(spark, sf):
+        # TPC-H Q4 shape: correlated EXISTS subquery — Catalyst rewrites
+        # it to a left-semi join (plan-pinned in test_plans.py), so the
+        # subquery surface costs exactly one semi-join, never a per-row
+        # probe. Predicate adapted to this lineitem's columns: an order
+        # counts when some line shipped after the order date.
+        for t in ("orders", "lineitem"):
+            _t(spark, sf, t).createOrReplaceTempView(f"_q4_{t}")
+        return spark.sql(
+            """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM _q4_orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM _q4_lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+            """
+        )
+
     def q18_large_orders(spark, sf):
         # TPC-H Q18 shape: self-aggregating semi-join — orders whose
         # total lineitem quantity exceeds a threshold. The HAVING
@@ -1746,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q_window_running_total": q_window_running_total,
+        "q4_order_priority": q4_order_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q18_large_orders": q18_large_orders,
         "dedup_exact": dedup_exact,
@@ -2402,6 +2425,17 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS running_total
             FROM orders
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

@@ -102,3 +102,43 @@ def running_host_totals(order: DataFrame, host_col: str = "host") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_tumbling_stats(
+    events: DataFrame,
+    width_s: int,
+    watermark: str = "0 seconds",
+    key_cols: tuple = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked fixed-window rollup; schema-identical to the batch
+    analysis/windows.tumbling_stats (win_start_us, key..., n_events,
+    value_sum), which doubles as its equality oracle. Append mode emits
+    a window only after the watermark passes its end — finalized rows
+    only, no retractions. Same TIMESTAMP-for-watermark /
+    integer-us-for-values split as streaming_session_stats: compared
+    values never pass through a timezone."""
+    kcols = [F.col(c) for c in key_cols]
+    return (
+        events.withColumn("_ts_wm", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts_wm", watermark)
+        .groupBy(
+            F.window("_ts_wm", f"{width_s} seconds").alias("_w"),
+            *kcols,
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            _us("_w.start").cast("long").alias("win_start_us"),
+            *kcols,
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -263,3 +263,13 @@ def test_hll_sketch_shuffles_registers_not_rows(spark):
     exec_plan = plan.split("== Initial Plan ==")[0]
     assert "partial_max" in exec_plan or "partial_" in exec_plan, plan
     assert "CartesianProduct" not in exec_plan, plan
+
+
+def test_q4_exists_rewrites_to_semi_join(spark):
+    """The correlated EXISTS must reach the physical plan as a left-semi
+    join on l_orderkey (with the correlated date predicate in the join
+    condition) — never a per-row subquery or nested loop."""
+    plan = plan_str(spark, q(spark, "q4_order_priority"), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -104,3 +104,35 @@ def test_running_host_totals_state_carries(spark, events_dir, tmp_path):
     for host, incs in batches.items():
         assert len(incs) > 1
         assert sum(incs) == finals[host]
+
+
+def test_streaming_tumbling_equals_batch_finalized(spark, events_dir, tmp_path):
+    """Watermarked tumbling windows (append mode) over forced
+    micro-batches equal the batch windows.tumbling_stats for every
+    window the watermark closed — batch is the oracle, same schema."""
+    from spider_spark.analysis.windows import tumbling_stats
+    from spider_spark.streaming.stateful import streaming_tumbling_stats
+
+    stream = _read_stream(spark, events_dir).withColumn(
+        "value", F.col("event_id").cast("double")
+    )
+    run_available_now(
+        streaming_tumbling_stats(stream, width_s=3600),
+        "t_tumbling",
+        str(tmp_path / "ck_tw"),
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in spark.table("t_tumbling").collect())
+    batch = tumbling_stats(
+        spark.read.parquet(os.path.join(events_dir, "part*")).withColumn(
+            "value", F.col("event_id").cast("double")
+        ),
+        width_s=3600,
+    )
+    closer_us = 10 * 24 * 3600 * 1_000_000 + 1_704_067_200_000_000
+    want = sorted(
+        tuple(r)
+        for r in batch.where(F.col("win_start_us") < closer_us).collect()
+    )
+    assert got == want
+    assert len(got) >= 3  # events span hours 0, 2, 3+ before the closers
