@@ -979,6 +979,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             """
         )
 
+    def q17_small_quantity(spark, sf):
+        # TPC-H Q17 shape: correlated SCALAR subquery (per-part average
+        # quantity threshold) — Catalyst rewrites it to an aggregate +
+        # equi-join, one pass over lineitem for the per-part stats. The
+        # threshold compare is cross-multiplied into pure int64
+        # (qty * 5 * cnt < sum) so no float average can diverge.
+        for t in ("lineitem", "part"):
+            _t(spark, sf, t).createOrReplaceTempView(f"_q17_{t}")
+        return spark.sql(
+            """
+            SELECT count(*) AS n_lines,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total_extprice
+            FROM _q17_lineitem l
+            WHERE CAST(l.l_quantity AS BIGINT) * 5 * (
+                    SELECT count(*) FROM _q17_lineitem i
+                    WHERE i.l_partkey = l.l_partkey)
+                  < (SELECT sum(CAST(i.l_quantity AS BIGINT))
+                     FROM _q17_lineitem i
+                     WHERE i.l_partkey = l.l_partkey)
+            """
+        )
+
     def q18_large_orders(spark, sf):
         # TPC-H Q18 shape: self-aggregating semi-join — orders whose
         # total lineitem quantity exceeds a threshold. The HAVING
@@ -1769,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q_window_running_total": q_window_running_total,
         "q4_order_priority": q4_order_priority,
+        "q17_small_quantity": q17_small_quantity,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q18_large_orders": q18_large_orders,
         "dedup_exact": dedup_exact,
@@ -2425,6 +2449,18 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS running_total
             FROM orders
+        """,
+        "q17_small_quantity": """
+            SELECT count(*) AS n_lines,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total_extprice
+            FROM lineitem l
+            WHERE CAST(l.l_quantity AS BIGINT) * 5 * (
+                    SELECT count(*) FROM lineitem i
+                    WHERE i.l_partkey = l.l_partkey)
+                  < (SELECT sum(CAST(i.l_quantity AS BIGINT))
+                     FROM lineitem i
+                     WHERE i.l_partkey = l.l_partkey)
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count

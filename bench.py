@@ -78,6 +78,7 @@ HEADLINE = [
     "text_binned_quantiles",  # histogram-resolution corpus quantiles
     "text_corpus_pivot",      # pinned-value pivot crosstab
     "q4_order_priority",      # TPC-H Q4 correlated-EXISTS semi-join shape
+    "q17_small_quantity",     # TPC-H Q17 correlated scalar subquery shape
     "q5_local_supplier_volume",  # TPC-H Q5 snowflake join shape
     "q18_large_orders",       # TPC-H Q18 HAVING semi-join shape
 ]

@@ -273,3 +273,13 @@ def test_q4_exists_rewrites_to_semi_join(spark):
     assert "LeftSemi" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q17_scalar_subquery_is_aggregate_join(spark):
+    """The correlated scalar subqueries must rewrite to per-part
+    aggregates joined back on l_partkey — one extra pass over lineitem,
+    no per-row subquery execution."""
+    plan = plan_str(spark, q(spark, "q17_small_quantity"), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan and "Join" in plan, plan
