@@ -621,6 +621,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ = schedule_topk(sched_in, budget=3, order_cols=("prio", "seq"))
         return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
 
+    def r8_pagerank_topk(spark, sf):
+        # the REAL schedule_topk under priority_mode='pagerank'
+        # (engine.py run_round: integer-PageRank ranks over the
+        # accumulated edge graph LEFT-joined onto the frontier,
+        # prio = -rank, FIFO ties) vs an independent DuckDB row_number
+        # over (-r, seq) with the rank itself recomputed by the unrolled
+        # integer-PageRank oracle — the whole rank column is value-exact,
+        # so the ordering check pins both the scheduler AND the ranks.
+        from spider_spark.operators.politeness import schedule_topk
+
+        edges = G.transition_edges(_event_nodes(spark, sf))
+        ranks = G.pagerank_int(edges, iters=3)
+        ev = _t(spark, sf, "events")
+        fr = ev.select(
+            F.col("user_id").cast("string").alias("host"),
+            F.col("event_id").cast("long").alias("seq"),
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 32).cast("string")
+            ).alias("url"),
+            F.lit(False).alias("sm"),
+        )
+        sched_in = (
+            fr.join(ranks.withColumnRenamed("node", "url"), "url", "left")
+            .withColumn(
+                "prio", -F.coalesce(F.col("r"), F.lit(0).cast("long"))
+            )
+            .drop("r")
+        )
+        s, _ = schedule_topk(sched_in, budget=3, order_cols=("prio", "seq"))
+        return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
+
     def r10_fetch_join(spark, sf):
         # fetch = left outer equi-join (frontier x documents); missing doc
         # -> error path. Stand-in: orders LEFT JOIN customer (synthetic
@@ -1775,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r8_priority_topk": r8_priority_topk,
         "r8_delay_budget": r8_delay_budget,
         "r8_indegree_topk": r8_indegree_topk,
+        "r8_pagerank_topk": r8_pagerank_topk,
         "r8_backoff_budget": r8_backoff_budget,
         "r10_fetch_join": r10_fetch_join,
         "r11_response_filter": r11_response_filter,
@@ -2286,6 +2318,21 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY -c.n, e.event_id) AS BIGINT) AS rn
                 FROM events e
                 JOIN c ON e.user_id = c.user_id AND e.event_id % 64 = c.k)
+            WHERE rn <= 3
+        """,
+        "r8_pagerank_topk": f"""
+            SELECT host, seq, rn FROM (
+                SELECT CAST(e.user_id AS VARCHAR) AS host,
+                       CAST(e.event_id AS BIGINT) AS seq,
+                       CAST(row_number() OVER (
+                            PARTITION BY e.user_id
+                            ORDER BY -coalesce(pr.r, 0), e.event_id)
+                            AS BIGINT) AS rn
+                FROM events e
+                LEFT JOIN ({O.pagerank_int_sql(
+                    O.transition_edges_cte("events", _GRAPH_NODE), iters=3
+                )}) pr
+                  ON pr.node = 'h' || (e.event_id % 32))
             WHERE rn <= 3
         """,
         "r10_fetch_join": """

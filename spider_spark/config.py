@@ -42,11 +42,18 @@ class CrawlConfig:
     cuckoo_stash_hashes: int = 5
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
     # frontier ordering: "fifo" (reference semantics), "short_url"
-    # (shorter URLs first per host, FIFO within equal length) or
+    # (shorter URLs first per host, FIFO within equal length),
     # "indegree" (most-referenced first — backlink counts accumulated in
-    # an inlinks sidecar, Cho/Garcia-Molina 1998 crawl ordering; the
-    # oracle implements the same named modes)
+    # an inlinks sidecar) or "pagerank" (highest integer PageRank over
+    # the accumulated intra-namespace link graph first — the full
+    # Cho/Garcia-Molina 1998 PageRank crawl ordering, of which indegree
+    # is the 1-iteration degenerate case; ranks recomputed each round
+    # from a (src, dst, n) edge sidecar in exact int64 arithmetic so the
+    # pure-Python oracle reproduces them bit-identically; the oracle
+    # implements all named modes)
     priority_mode: str = "fifo"
+    # fixed PageRank iterations per scheduling round (pagerank mode)
+    pagerank_iters: int = 3
     # per-domain delay budgets: when on, a host's per-round budget becomes
     # min(scrape_parallelism, max(1, politeness_tick_s // its robots
     # Crawl-delay)) — the reference parses Crawl-delay but ignores it

@@ -120,6 +120,18 @@ INLINKS_SCHEMA = StructType(
         StructField("round", IntegerType()),
     ]
 )
+# per-round intra-namespace link-graph edges (priority_mode='pagerank'
+# sidecar): counted at the same pre-anti-join tap as inlinks, with the
+# fetched page as src — the edge list analysis/graph.pagerank_int ranks
+# the frontier by at schedule time
+LEDGES_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("n", LongType()),
+        StructField("round", IntegerType()),
+    ]
+)
 # per-round per-host fetch-error counts (error_backoff sidecar). Host
 # cardinality — tiny. NOT in COMPACTABLE: the scheduler reads exactly the
 # previous round's partition dir, so merging rounds would break the lookup.
@@ -134,7 +146,7 @@ HERR_SCHEMA = StructType(
 # its own `round` column, so merging the per-round partition dirs loses
 # nothing (parquet is self-describing — compaction reads schema-less and
 # preserves whatever the sinks wrote)
-COMPACTABLE = ("seen", "urls", "order", "fetched", "inlinks")
+COMPACTABLE = ("seen", "urls", "order", "fetched", "inlinks", "ledges")
 _COMPACT_TMP = "_compact_tmp"
 _COMPACT_MARKER = "_compact_commit.json"
 
@@ -747,6 +759,37 @@ class CrawlEngine:
                 .drop("_in")
             )
             order_cols = ("prio", "seq")
+        elif cfg.priority_mode == "pagerank" and self._delta_paths(
+            "ledges", r - 1
+        ):
+            # full PageRank ordering (Cho/Garcia-Molina 1998): rank the
+            # accumulated intra-namespace link graph in exact int64
+            # (analysis/graph.pagerank_int — bit-identical to the pure-
+            # Python oracle's replica), highest rank first, FIFO ties.
+            # Edges accumulate through round r-1; per round the cost is
+            # pagerank_iters bounded edge-list jobs + one url-keyed
+            # frontier⋈ranks join (bucket both by url at lake scale).
+            # Unlinked frontier URLs rank 0 — below any ranked node's
+            # ≥ base floor, same as the oracle. Round 1 (no sidecar yet)
+            # skips straight to FIFO via the dir guard above.
+            from spider_spark.analysis.graph import pagerank_int
+
+            edges = (
+                self._read_deltas("ledges", LEDGES_SCHEMA)
+                .groupBy("src", "dst")
+                .agg(F.sum("n").alias("weight"))
+            )
+            ranks = pagerank_int(edges, iters=cfg.pagerank_iters)
+            sched_in = (
+                sched_in.join(
+                    ranks.withColumnRenamed("node", "url"), "url", "left"
+                )
+                .withColumn(
+                    "prio", -F.coalesce(F.col("r"), F.lit(0).cast("long"))
+                )
+                .drop("r")
+            )
+            order_cols = ("prio", "seq")
         budget_col = None
         if self._host_budgets is not None:
             sched_in = sched_in.join(
@@ -930,9 +973,18 @@ class CrawlEngine:
         # (written in the parallel sink phase below, off the ext cache)
 
         # ---- candidate links ---------------------------------------------
+        # pagerank mode carries the source page url through the explode so
+        # the edge sidecar can record (src, dst); other modes keep the
+        # narrow reference shape
+        _src_cols = (
+            [F.col("url").alias("purl")]
+            if cfg.priority_mode == "pagerank"
+            else []
+        )
         links = ext.select(
             F.col("host").alias("phost"),
             F.col("rn").alias("prn"),
+            *_src_cols,
             F.explode("links").alias("raw_url"),
         )
         cand = (
@@ -952,6 +1004,12 @@ class CrawlEngine:
         # point). One combine-heavy groupBy(url) per round, only in
         # indegree mode; reads the ext cache, written with the other sinks.
         ns_links = cand if cfg.priority_mode == "indegree" else None
+        # pagerank edge sidecar taps the SAME point (pre-anti-join), with
+        # the fetched page as src; the src column leaves the candidate
+        # stream immediately so frontier/dedup shapes stay unchanged
+        edge_links = cand if cfg.priority_mode == "pagerank" else None
+        if edge_links is not None:
+            cand = cand.drop("purl")
         # R4 seen anti-join (bloom pre-filter optional; exactness preserved).
         # The bloom sidecar is INCREMENTAL: fixed-geometry per-bucket bitmaps
         # checkpointed per round; each round hashes only its seen-delta and
@@ -1169,6 +1227,13 @@ class CrawlEngine:
                 self._p("inlinks", r)
             )
 
+        def sink_ledges():
+            edge_links.groupBy(
+                F.col("purl").alias("src"), F.col("url").alias("dst")
+            ).agg(F.count("*").cast("long").alias("n")).withColumn(
+                "round", F.lit(r)
+            ).write.mode("overwrite").parquet(self._p("ledges", r))
+
         from concurrent.futures import ThreadPoolExecutor
 
         def sink_herr():
@@ -1181,6 +1246,8 @@ class CrawlEngine:
         sinks = [timed(sink_frontier), timed(sink_seen), timed(sink_urls)]
         if ns_links is not None:
             sinks.append(timed(sink_inlinks))
+        if edge_links is not None:
+            sinks.append(timed(sink_ledges))
         if cfg.error_backoff:
             sinks.append(timed(sink_herr))
         if cfg.sanity_check:
@@ -1415,6 +1482,7 @@ class CrawlEngine:
             "fetched",
             "blooms",
             "inlinks",
+            "ledges",
             "herr",
         ):
             base = os.path.join(work_dir, kind)

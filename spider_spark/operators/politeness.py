@@ -27,14 +27,14 @@ from pyspark.sql import functions as F
 # crawl ordering): priority = -(in-link references accumulated through the
 # previous round) — resolved by the engine as a schedule-time join against
 # its inlinks sidecar, not a column expression.
-PRIORITY_MODES = ("fifo", "short_url", "indegree")
+PRIORITY_MODES = ("fifo", "short_url", "indegree", "pagerank")
 
 
 def priority_column(mode: str):
     """JVM-side priority expression for a named mode. None for fifo AND
     for stateful modes the engine resolves itself ('indegree' joins the
     accumulated in-link counts at schedule time)."""
-    if mode in ("fifo", "indegree"):
+    if mode in ("fifo", "indegree", "pagerank"):
         return None
     if mode == "short_url":
         return F.length("url")

@@ -53,10 +53,42 @@ from spider_spark.operators.politeness import delay_budget
 
 # plain-Python twins of operators.politeness.priority_column — ascending
 # sort keys; Python's stable sort preserves FIFO among equal priorities,
-# matching the engine's (prio, seq) window order exactly. 'indegree' is
-# stateful (None here): crawl() sorts by -accumulated in-link count,
-# mirroring the engine's schedule-time inlinks-sidecar join
-PRIORITY_KEYS = {"fifo": None, "short_url": len, "indegree": None}
+# matching the engine's (prio, seq) window order exactly. 'indegree' and
+# 'pagerank' are stateful (None here): crawl() sorts by -accumulated
+# in-link count / -integer PageRank, mirroring the engine's
+# schedule-time sidecar joins
+PRIORITY_KEYS = {
+    "fifo": None,
+    "short_url": len,
+    "indegree": None,
+    "pagerank": None,
+}
+
+
+def pagerank_int_py(
+    edges: dict,
+    iters: int,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> dict:
+    """Exact replica of analysis/graph.pagerank_int over an
+    {(src, dst): weight} dict — same int64 recurrence (per-edge
+    ``(r*w) // out_w`` then sum, ``base + (d*sum) // 100``), so ranks are
+    bit-identical to the engine's Spark computation."""
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    outw: dict = {}
+    for (s, _d), w in edges.items():
+        outw[s] = outw.get(s, 0) + w
+    base = (100 - damping_pct) * scale // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        recv: dict = {}
+        for (s, d), w in edges.items():
+            recv[d] = recv.get(d, 0) + (r[s] * w) // outw[s]
+        r = {
+            n: base + (damping_pct * recv.get(n, 0)) // 100 for n in nodes
+        }
+    return r
 
 
 @dataclass
@@ -200,6 +232,8 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
     prio_key = PRIORITY_KEYS[cfg.priority_mode]
     track_inlinks = cfg.priority_mode == "indegree"
     inlink_counts: dict[str, int] = {}
+    track_edges = cfg.priority_mode == "pagerank"
+    edge_counts: dict[tuple, int] = {}  # (src page, dst url) -> n
 
     # error_backoff: per-host fetch-error counts from the PREVIOUS round
     # only (immediate recovery) — twins the engine's herr sidecar timing
@@ -223,6 +257,16 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
     while any(queues.values()) and rnd < cfg.max_rounds:
         rnd += 1
         batches: list[tuple[str, list[str]]] = []
+        # pagerank mode: rank the edge graph accumulated through the
+        # PREVIOUS round, once per round before any host schedules —
+        # the engine computes from its round-(r-1) ledges sidecar at the
+        # same point. Unranked (never-linked) urls get 0, below every
+        # ranked node's >= base floor.
+        pr_ranks: dict = (
+            pagerank_int_py(edge_counts, cfg.pagerank_iters)
+            if track_edges and edge_counts
+            else {}
+        )
         for host in sorted(h for h, q in queues.items() if q):
             q = queues[host]
             if prio_key is not None:
@@ -241,6 +285,21 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
                 b = host_budget(host)
                 idx = sorted(
                     range(len(q)), key=lambda i: -inlink_counts.get(q[i], 0)
+                )
+                batch = [q[i] for i in idx[:b]]
+                queues[host] = [q[i] for i in sorted(idx[b:])]
+                batches.append((host, batch))
+                order.setdefault(host, []).extend(batch)
+                for pos, u in enumerate(batch):
+                    fetched_log.append((rnd, host, pos, u))
+                continue
+            if track_edges:
+                # same stateful-mode discipline as indegree: schedule by
+                # (-rank, seq) via a stable index sort, keep the deferred
+                # remainder in insertion (seq) order
+                b = host_budget(host)
+                idx = sorted(
+                    range(len(q)), key=lambda i: -pr_ranks.get(q[i], 0)
                 )
                 batch = [q[i] for i in idx[:b]]
                 queues[host] = [q[i] for i in sorted(idx[b:])]
@@ -298,6 +357,12 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
                         # to already-discovered pages keep accumulating
                         # (engine taps its stream pre-anti-join too)
                         inlink_counts[lu] = inlink_counts.get(lu, 0) + 1
+                    if track_edges and lh in namespace:
+                        # edge recorded at the same pre-seen-check tap,
+                        # src = the fetched page url (the engine's purl)
+                        edge_counts[(u, lu)] = (
+                            edge_counts.get((u, lu), 0) + 1
+                        )
                     if lu in seen:
                         continue
                     if lh not in namespace:
