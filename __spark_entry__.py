@@ -1604,6 +1604,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "user_id", k=20, depth=4, width=256
         )
 
+    def sketch_kmv_users(spark, sf):
+        # k-minimum-values distinct sketch per event type: integer
+        # estimator (k-1)*2^32 div kth_min — exact below k, engine-
+        # bit-identical above it
+        from spider_spark.analysis import sketches as K
+
+        ev = _t(spark, sf, "events")
+        return K.kmv_distinct(ev, "user_id", ("event_type",), k=64)
+
     def crawl_change_rate(spark, sf):
         # Cho & Garcia-Molina refresh estimation: per-URL consecutive-
         # fingerprint change rate over the revisit log (one window + one
@@ -1880,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": events_sliding,
         "sketch_hll_users": sketch_hll_users,
         "sketch_cms_topk": sketch_cms_topk,
+        "sketch_kmv_users": sketch_kmv_users,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
         "crawl_trap_signals": crawl_trap_signals,
@@ -2223,6 +2233,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sketch_cms_topk": K.cms_sql(
             "events", "user_id", k=20, depth=4, width=256
+        ),
+        "sketch_kmv_users": K.kmv_sql(
+            "events", "user_id", ("event_type",), k=64
         ),
         "sample_stratified": SA.sample_stratified_sql(
             "documents", n_per_stratum=5

@@ -323,3 +323,91 @@ def cms_sql(
       SELECT value, est FROM est
        ORDER BY est DESC, value ASC LIMIT {k}
     """
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    key_cols: tuple = (),
+    k: int = 64,
+) -> DataFrame:
+    """(key..., est_distinct, n_mins, kth_hash): k-minimum-values
+    distinct sketch (Bar-Yossef et al. 2002, the theta-sketch core) per
+    key group.
+
+    The sketch keeps the k smallest DISTINCT ``md5_u32`` hash values of
+    the group; with the kth minimum at ``t`` the estimator is
+    ``(k-1) * 2^32 // t`` — pure int64, so (unlike HLL's float
+    formulation) estimate included it is bit-identical on any engine.
+    Groups with fewer than k distinct values report their EXACT distinct
+    count (n_mins < k ⇒ est = n_mins) — KMV degrades to exact counting
+    on small groups, complementing hll_distinct's uncorrected small
+    range.
+
+    Plan shape: one (key, hash)-distinct aggregation (combine-heavy —
+    duplicate values collapse map-side), then a per-key bottom-k window
+    that compiles to WindowGroupLimit (per-partition k-prune before the
+    shuffle), then a k-row-per-key groupBy. The shuffle never carries
+    more than k surviving hashes per key per partition."""
+    from pyspark.sql import Window
+
+    h = F.expr(md5_u32_sql(f"cast({value_col} as string)"))
+    kcols = [F.col(c) for c in key_cols]
+    distinct_h = df.select(*kcols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy("_h")
+    mins = distinct_h.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    two32 = 1 << 32
+    return (
+        mins.groupBy(*kcols)
+        .agg(
+            F.count("*").cast("long").alias("n_mins"),
+            F.max("_h").cast("long").alias("kth_hash"),
+        )
+        .select(
+            *kcols,
+            F.expr(
+                f"cast(if(n_mins < {k}, n_mins, "
+                f"({k} - 1) * cast({two32} as bigint) div kth_hash) "
+                "as long)"
+            ).alias("est_distinct"),
+            "n_mins",
+            "kth_hash",
+        )
+    )
+
+
+def kmv_sql(
+    table: str,
+    value_col: str,
+    key_cols: tuple = (),
+    k: int = 64,
+) -> str:
+    """DuckDB replica of ``kmv_distinct`` — same hash, same integer
+    estimator."""
+    from spider_spark.functions.hashing import md5_u32_duckdb
+
+    h = md5_u32_duckdb(f"CAST({value_col} AS VARCHAR)")
+    keys = ", ".join(key_cols)
+    ksel = f"{keys}, " if key_cols else ""
+    part = f"PARTITION BY {keys} " if key_cols else ""
+    grp = f"GROUP BY {keys}" if key_cols else ""
+    two32 = 1 << 32
+    return f"""
+    WITH dh AS (
+      SELECT DISTINCT {ksel}{h} AS _h FROM {table}
+    ), mins AS (
+      SELECT {ksel}_h,
+             row_number() OVER ({part}ORDER BY _h) AS _rn
+      FROM dh
+    )
+    SELECT {ksel}
+           CAST(CASE WHEN count(*) < {k} THEN count(*)
+                ELSE ({k} - 1) * {two32} // max(_h) END AS BIGINT)
+             AS est_distinct,
+           count(*)::BIGINT AS n_mins,
+           max(_h)::BIGINT AS kth_hash
+    FROM mins WHERE _rn <= {k}
+    {grp}
+    """

@@ -6,6 +6,8 @@ import duckdb
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from spider_spark.analysis import sketches as K
 from spider_spark.functions.hashing import md5_u32_py
 
@@ -181,3 +183,79 @@ def test_hll_p_bounds():
         K.hll_registers(_Fake(), "v", p=3)
     with pytest.raises(ValueError):
         K.hll_registers(_Fake(), "v", p=13)
+
+
+# ------------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with < k distinct values report the exact distinct count."""
+    from spider_spark.analysis.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", f"v{i % 7}") for i in range(100)]
+        + [("b", f"w{i}") for i in range(3)],
+        "grp string, val string",
+    )
+    got = {
+        r["grp"]: (r["est_distinct"], r["n_mins"])
+        for r in kmv_distinct(df, "val", ("grp",), k=64).collect()
+    }
+    assert got == {"a": (7, 7), "b": (3, 3)}
+
+
+def test_kmv_estimate_error_envelope(spark):
+    """At n >> k the estimator lands within the published ~1/sqrt(k)
+    relative error band (generous 4-sigma bound)."""
+    from spider_spark.analysis.sketches import kmv_distinct
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("val")
+    )
+    est = kmv_distinct(df, "val", (), k=256).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 4 / (256 ** 0.5), est
+
+
+def test_kmv_duplicate_and_order_insensitive(spark):
+    from spider_spark.analysis.sketches import kmv_distinct
+
+    base = spark.range(500).select(
+        F.concat(F.lit("x"), (F.col("id") % 97).cast("string")).alias("val")
+    )
+    a = kmv_distinct(base, "val", (), k=32).collect()[0]
+    dup = base.union(base).orderBy(F.rand(7))
+    b = kmv_distinct(dup, "val", (), k=32).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_kmv_matches_duckdb(spark):
+    import duckdb
+
+    from spider_spark.analysis.sketches import kmv_distinct, kmv_sql
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"t{(i * 13) % 211}") for i in range(1000)],
+        "grp string, val string",
+    )
+    con = duckdb.connect()
+    con.register("t_kmv", df.toPandas())
+    got = sorted(map(tuple, kmv_distinct(df, "val", ("grp",), k=16).collect()))
+    want = sorted(
+        map(tuple, con.sql(kmv_sql("t_kmv", "val", ("grp",), k=16)).fetchall())
+    )
+    assert got == want
+
+
+def test_kmv_plan_uses_window_group_limit(spark):
+    from spider_spark.analysis.sketches import kmv_distinct
+
+    df = spark.range(100).select(
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+        F.col("id").cast("string").alias("val"),
+    )
+    sk = kmv_distinct(df, "val", ("grp",), k=8)
+    plan = sk._sc._jvm.PythonSQLUtils.explainString(
+        sk._jdf.queryExecution(), "simple"
+    )
+    assert "WindowGroupLimit" in plan, plan
