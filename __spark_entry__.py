@@ -1604,6 +1604,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "user_id", k=20, depth=4, width=256
         )
 
+    def dedup_incremental(spark, sf):
+        # incremental snapshot update: classify the "new crawl" quarter
+        # of documents (doc_id % 4 == 0) against the other three
+        # quarters as exact-dup / near-dup / new
+        docs = _t(spark, sf, "documents")
+        new = docs.filter(F.col("doc_id") % 4 == 0)
+        old = docs.filter(F.col("doc_id") % 4 != 0)
+        return D.incremental_dedup(
+            new, old, num_hashes=16, bands=8, shingle_w=2
+        )
+
     def sketch_kmv_users(spark, sf):
         # k-minimum-values distinct sketch per event type: integer
         # estimator (k-1)*2^32 div kth_min — exact below k, engine-
@@ -1890,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_users": sketch_hll_users,
         "sketch_cms_topk": sketch_cms_topk,
         "sketch_kmv_users": sketch_kmv_users,
+        "dedup_incremental": dedup_incremental,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
         "crawl_trap_signals": crawl_trap_signals,
@@ -2236,6 +2248,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sketch_kmv_users": K.kmv_sql(
             "events", "user_id", ("event_type",), k=64
+        ),
+        "dedup_incremental": O.incremental_dedup_sql(
+            "SELECT * FROM documents WHERE doc_id % 4 = 0",
+            "SELECT * FROM documents WHERE doc_id % 4 != 0",
+            num_hashes=16,
+            bands=8,
+            shingle_w=2,
         ),
         "sample_stratified": SA.sample_stratified_sql(
             "documents", n_per_stratum=5

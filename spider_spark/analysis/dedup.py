@@ -190,7 +190,7 @@ def with_minhash_signature(
     return d.withColumn(out, sig).drop("_mh_toks", "_mh_hex", "_mh_h32")
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -198,12 +198,10 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_w: int = 3,
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash-LSH.
-
-    Returns (id_l, id_r, n_bands_hit). rows_per_band = num_hashes//bands;
-    Jaccard threshold ≈ (1/bands)^(1/rows_per_band). Band bucket keys are
-    md5 prefixes of the comma-joined band slice — engine-portable and
-    fixed-width (16 hex chars), so the self-join shuffles compact keys."""
+    """(doc_id, band, bh): banded LSH bucket keys — the shared front end
+    of the self-join (minhash_lsh_candidates) and the cross-corpus join
+    (incremental_dedup). Bucket keys are md5 prefixes of the band's
+    signature slice: engine-portable, fixed 16 hex chars."""
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
     sig = with_minhash_signature(
@@ -223,9 +221,30 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    Returns (id_l, id_r, n_bands_hit). rows_per_band = num_hashes//bands;
+    Jaccard threshold ≈ (1/bands)^(1/rows_per_band). Band bucket keys are
+    md5 prefixes of the comma-joined band slice — engine-portable and
+    fixed-width (16 hex chars), so the self-join shuffles compact keys."""
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_w
+    )
     l = buckets.alias("l")
     r = buckets.alias("r")
     return (
@@ -240,6 +259,94 @@ def minhash_lsh_candidates(
         )
         .groupBy("id_l", "id_r")
         .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_w: int = 2,
+) -> DataFrame:
+    """Classify a NEW snapshot against an EXISTING corpus — the
+    incremental-update operation a monthly-crawl pipeline runs so only
+    genuinely novel documents enter the training set.
+
+    Returns one row per new doc: (doc_id, status, match_id,
+    n_bands_hit) with status in
+      - 'exact_dup_of_old'  — normalized md5 fingerprint already in the
+        old corpus (match_id null: the fp join is a semi-join, any
+        matching old doc suffices);
+      - 'near_dup_of_old'   — some banded-MinHash bucket collides with
+        an old doc; match_id = the best-matching old doc (most bands
+        hit, ties broken by MAX old id — deterministic both engines);
+      - 'new'               — neither.
+
+    Scale shape: the exact stage is one semi-join on the md5 fp (both
+    sides combine to distinct fps first). The near stage joins NEW
+    band buckets against OLD band buckets — a cross-corpus equi-join on
+    (band, bh), so its cost is bucket-collision-bounded like the self-
+    join variant, and crucially the OLD side's buckets can be
+    precomputed once and stored (bucketed by bh) — each monthly delta
+    only shingles the NEW snapshot. Exact dups are removed BEFORE the
+    near stage so byte-identical mega-clusters never reach the banded
+    join (the pregroup lesson)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    new_fp = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.md5(norm).alias("fp"),
+    )
+    old_fps = old_docs.select(F.md5(norm).alias("fp")).distinct()
+    exact = new_fp.join(old_fps, "fp", "left_semi").select("doc_id")
+    rest = new_fp.join(old_fps, "fp", "left_anti").select("doc_id", "_t")
+    bn = minhash_band_buckets(
+        rest, "_t", "doc_id", num_hashes, bands, shingle_w
+    )
+    bo = minhash_band_buckets(
+        old_docs, text_col, id_col, num_hashes, bands, shingle_w
+    )
+    near = (
+        bn.alias("n")
+        .join(
+            bo.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bh") == F.col("o.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("o.doc_id").alias("match_id"),
+        )
+        .groupBy("doc_id", "match_id")
+        .agg(F.count("*").cast("long").alias("_hits"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("_hits", "match_id")).alias("_best"))
+        .select(
+            "doc_id",
+            F.col("_best.match_id").alias("match_id"),
+            F.col("_best._hits").alias("n_bands_hit"),
+        )
+    )
+    all_new = new_fp.select("doc_id")
+    return (
+        all_new.join(exact.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e").isNotNull(), F.lit("exact_dup_of_old"))
+            .when(F.col("match_id").isNotNull(), F.lit("near_dup_of_old"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.when(F.col("_e").isNull(), F.col("match_id")).alias(
+                "match_id"
+            ),
+            F.when(F.col("_e").isNull(), F.col("n_bands_hit")).alias(
+                "n_bands_hit"
+            ),
+        )
     )
 
 

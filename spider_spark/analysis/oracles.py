@@ -34,9 +34,13 @@ def minhash_sig_cte(
     num_hashes: int = 16,
     shingle_w: int = 2,
     seed: int = 7,
+    prefix: str = "",
 ) -> str:
-    """CTE chain ending in ``sig(doc_id, sig)`` — minhash signatures."""
+    """CTE chain ending in ``{prefix}sig(doc_id, sig)`` — minhash
+    signatures. ``prefix`` namespaces the CTEs so two corpora (e.g.
+    incremental_dedup's new vs old) can carry signatures in one WITH."""
     w = shingle_w
+    p = prefix
     a_s, b_s = minhash_params(num_hashes, seed)
     toks = _TOKS.format(col=text_col)
     h32 = md5_u32_duckdb(f"array_to_string(t[i+1:i+{w}], ' ')", 8)
@@ -45,20 +49,20 @@ def minhash_sig_cte(
         for a, b in zip(a_s, b_s)
     )
     return f"""
-    toks AS (
+    {p}toks AS (
       SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
-    ), padded AS (
+    ), {p}padded AS (
       SELECT doc_id,
              CASE WHEN len(t) >= {w} THEN t
                   ELSE list_concat(t, list_transform(range({w} - len(t)), x -> ''))
              END AS t
-      FROM toks
-    ), hashes AS (
+      FROM {p}toks
+    ), {p}hashes AS (
       SELECT doc_id,
              list_transform(range(0, len(t) - {w} + 1), i -> {h32}) AS h
-      FROM padded
-    ), sig AS (
-      SELECT doc_id, [{sig_items}] AS sig FROM hashes
+      FROM {p}padded
+    ), {p}sig AS (
+      SELECT doc_id, [{sig_items}] AS sig FROM {p}hashes
     )"""
 
 
@@ -87,6 +91,78 @@ def minhash_lsh_sql(
     FROM buckets l
     JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     GROUP BY 1, 2
+    """
+
+
+def _band_bucket_selects(
+    sig_table: str, num_hashes: int, bands: int
+) -> str:
+    """UNION ALL of per-band (doc_id, band, bh) selects over a sig CTE."""
+    rpb = num_hashes // bands
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, substring(md5("
+        + " || ',' || ".join(
+            f"CAST(sig[{b * rpb + i + 1}] AS VARCHAR)" for i in range(rpb)
+        )
+        + f"), 1, 16) AS bh FROM {sig_table}"
+        for b in range(bands)
+    )
+
+
+def incremental_dedup_sql(
+    new_sql: str,
+    old_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_w: int = 2,
+) -> str:
+    """Replica of analysis/dedup.incremental_dedup: per new doc a status
+    in (exact_dup_of_old, near_dup_of_old, new) + best near match. Near
+    candidates are computed over ALL new docs and masked by the exact
+    check in the final CASE — output-identical to the engine's
+    exact-first pruning (exact rows ignore their near match either
+    way). Best-match tie-break = (hits DESC, match_id DESC), DuckDB
+    row_number mirroring Spark's max(struct(hits, match_id))."""
+    fp = (
+        f"md5(lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))))"
+    )
+    nsig = minhash_sig_cte(
+        f"({new_sql})", text_col, id_col, num_hashes, shingle_w, prefix="n_"
+    )
+    osig = minhash_sig_cte(
+        f"({old_sql})", text_col, id_col, num_hashes, shingle_w, prefix="o_"
+    )
+    return f"""
+    WITH {nsig}, {osig},
+    nb AS (
+      {_band_bucket_selects("n_sig", num_hashes, bands)}
+    ), ob AS (
+      {_band_bucket_selects("o_sig", num_hashes, bands)}
+    ), nearbest AS (
+      SELECT doc_id, match_id, hits FROM (
+        SELECT nb.doc_id, ob.doc_id AS match_id,
+               count(*)::BIGINT AS hits,
+               row_number() OVER (PARTITION BY nb.doc_id
+                   ORDER BY count(*) DESC, ob.doc_id DESC) AS _rn
+        FROM nb JOIN ob ON nb.band = ob.band AND nb.bh = ob.bh
+        GROUP BY nb.doc_id, ob.doc_id)
+      WHERE _rn = 1
+    ), nfp AS (
+      SELECT {id_col} AS doc_id, {fp} AS fp FROM ({new_sql})
+    ), ofp AS (
+      SELECT DISTINCT {fp} AS fp FROM ({old_sql})
+    )
+    SELECT f.doc_id,
+           CASE WHEN f.fp IN (SELECT fp FROM ofp) THEN 'exact_dup_of_old'
+                WHEN nr.match_id IS NOT NULL THEN 'near_dup_of_old'
+                ELSE 'new' END AS status,
+           CASE WHEN f.fp IN (SELECT fp FROM ofp) THEN NULL
+                ELSE nr.match_id END AS match_id,
+           CASE WHEN f.fp IN (SELECT fp FROM ofp) THEN NULL
+                ELSE nr.hits END AS n_bands_hit
+    FROM nfp f LEFT JOIN nearbest nr ON nr.doc_id = f.doc_id
     """
 
 

@@ -380,3 +380,70 @@ def test_connected_components_and_clusters(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
     assert out[3]["cluster_id"] == 1 and out[1]["cluster_size"] == 3
     assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+
+
+def test_incremental_dedup_classification(spark):
+    """Exact dups of old classify first, banded near-dups second,
+    genuinely novel docs pass; exact mask wins over a near match."""
+    old = spark.createDataFrame(
+        [
+            ("o1", "spark engines shuffle data across the cluster"),
+            ("o2", "a completely different document about robots"),
+        ],
+        "doc_id string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact dup of o1 modulo case/whitespace normalization
+            ("n1", "  Spark engines   shuffle data across the cluster "),
+            # near dup of o1 (one word changed)
+            ("n2", "spark engines shuffle data across the network"),
+            # novel
+            ("n3", "crawling politeness budgets per host and tick"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in D.incremental_dedup(
+            new, old, num_hashes=16, bands=8, shingle_w=2
+        ).collect()
+    }
+    assert got["n1"] == ("exact_dup_of_old", None)
+    assert got["n2"][0] == "near_dup_of_old" and got["n2"][1] == "o1"
+    assert got["n3"] == ("new", None)
+
+
+def test_incremental_dedup_matches_duckdb(spark):
+    import duckdb
+
+    from spider_spark.analysis import oracles as O
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"the quick brown fox {i % 11} jumps over dog {(i * 7) % 13}")
+            for i in range(160)
+        ],
+        "doc_id long, text string",
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    got = sorted(
+        map(
+            tuple,
+            D.incremental_dedup(
+                new, old, num_hashes=16, bands=8, shingle_w=2
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    sql = O.incremental_dedup_sql(
+        "SELECT * FROM documents WHERE doc_id % 4 = 0",
+        "SELECT * FROM documents WHERE doc_id % 4 != 0",
+        num_hashes=16,
+        bands=8,
+        shingle_w=2,
+    )
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
