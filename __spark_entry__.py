@@ -1604,6 +1604,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "user_id", k=20, depth=4, width=256
         )
 
+    def sample_corpus_mix(spark, sf):
+        # training-mixture sample: largest-remainder integer quotas per
+        # lang (60/25/15 over 300 docs), md5-ranked deterministic
+        # selection (WindowGroupLimit, no rand())
+        from spider_spark.analysis import sampling as SA
+
+        docs = _t(spark, sf, "documents")
+        return SA.mix_sample(
+            docs,
+            {"en": 600000, "de": 250000, "es": 150000},
+            total_n=300,
+        )
+
     def dedup_incremental(spark, sf):
         # incremental snapshot update: classify the "new crawl" quarter
         # of documents (doc_id % 4 == 0) against the other three
@@ -1902,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_topk": sketch_cms_topk,
         "sketch_kmv_users": sketch_kmv_users,
         "dedup_incremental": dedup_incremental,
+        "sample_corpus_mix": sample_corpus_mix,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
         "crawl_trap_signals": crawl_trap_signals,
@@ -2248,6 +2262,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sketch_kmv_users": K.kmv_sql(
             "events", "user_id", ("event_type",), k=64
+        ),
+        "sample_corpus_mix": SA.mix_sample_sql(
+            "documents",
+            {"en": 600000, "de": 250000, "es": 150000},
+            total_n=300,
         ),
         "dedup_incremental": O.incremental_dedup_sql(
             "SELECT * FROM documents WHERE doc_id % 4 = 0",

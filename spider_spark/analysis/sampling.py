@@ -150,3 +150,84 @@ def length_stats_sql(
            round(quantile_cont({len_col}, 0.99), 4) AS p99
     FROM {table} GROUP BY {group_col}
     """
+
+
+def mix_quotas(targets: dict, total_n: int) -> dict:
+    """Integer per-group quotas for a target mixture (ppm weights) by
+    the largest-remainder (Hamilton) method: floor shares first, then
+    one extra doc per group in remainder-descending order (ties by
+    group name ascending). Pure function — exact, deterministic, and
+    shared verbatim by the Spark selection and its SQL oracle.
+
+    ``targets`` maps group -> ppm (parts per million); weights need not
+    sum to exactly 1e6 — shares are normalized by the actual sum."""
+    tot_w = sum(targets.values())
+    if tot_w <= 0 or total_n <= 0:
+        return {g: 0 for g in targets}
+    floors = {
+        g: (total_n * w) // tot_w for g, w in targets.items()
+    }
+    rem = total_n - sum(floors.values())
+    by_remainder = sorted(
+        targets,
+        key=lambda g: (-((total_n * targets[g]) % tot_w), g),
+    )
+    out = dict(floors)
+    for g in by_remainder[:rem]:
+        out[g] += 1
+    return out
+
+
+def mix_sample(
+    df: DataFrame,
+    targets: dict,
+    total_n: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-mixture sample: per group, the md5-ranked
+    top ``quota`` documents, quotas from ``mix_quotas`` (largest
+    remainder). Groups outside ``targets`` are dropped; a group with
+    fewer docs than its quota contributes everything it has (the
+    shortfall is reported, not silently rebalanced — rebalancing would
+    make quota a function of data and break run-to-run comparability).
+
+    Plan: one WindowGroupLimit ranked selection (the sample_stratified
+    shape) with per-group ceilings from a broadcast quota literal —
+    never a global sort, never rand()."""
+    quotas = mix_quotas(targets, total_n)
+    qmap = F.create_map(
+        *[x for g, q in sorted(quotas.items()) for x in (F.lit(g), F.lit(q))]
+    )
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.where(F.col(group_col).isin(list(quotas)))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= qmap[F.col(group_col)])
+        .select(id_col, group_col, "sample_rank")
+    )
+
+
+def mix_sample_sql(
+    table: str,
+    targets: dict,
+    total_n: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replica of ``mix_sample`` (same python-computed quotas)."""
+    quotas = mix_quotas(targets, total_n)
+    cases = " ".join(
+        f"WHEN '{g}' THEN {q}" for g, q in sorted(quotas.items())
+    )
+    groups = ", ".join(f"'{g}'" for g in sorted(quotas))
+    return f"""
+    SELECT {id_col}, {group_col}, sample_rank FROM (
+      SELECT {id_col}, {group_col},
+             row_number() OVER (PARTITION BY {group_col}
+                 ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col})
+               AS sample_rank
+      FROM {table} WHERE {group_col} IN ({groups}))
+    WHERE sample_rank <= CASE {group_col} {cases} END
+    """

@@ -185,3 +185,66 @@ def test_split_assign_deterministic_and_growth_stable(spark):
         split_assign_sql("documents", val_permille=100, test_permille=100)
     ).fetchall()}
     assert want == got
+
+
+# --------------------------------------------------------- corpus mixing
+
+
+def test_mix_quotas_largest_remainder():
+    from spider_spark.analysis.sampling import mix_quotas
+
+    # 10 docs at 50/30/20: floors 5/3/2, no remainder
+    assert mix_quotas({"en": 500000, "de": 300000, "zh": 200000}, 10) == {
+        "en": 5, "de": 3, "zh": 2,
+    }
+    # 7 docs at 1/3 each: floors 2/2/2, one remainder -> equal
+    # remainders, tie broken by group name ascending ('a' wins)
+    assert mix_quotas({"a": 1, "b": 1, "c": 1}, 7) == {"a": 3, "b": 2, "c": 2}
+    # degenerate inputs
+    assert mix_quotas({"a": 0, "b": 0}, 5) == {"a": 0, "b": 0}
+    assert mix_quotas({"a": 1}, 0) == {"a": 0}
+
+
+def test_mix_sample_quota_and_shortfall(spark):
+    from spider_spark.analysis.sampling import mix_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 40 else ("de" if i < 50 else "xx"))
+         for i in range(60)],
+        "doc_id long, lang string",
+    )
+    # quota de=8 exceeds... no: 40 en, 10 de available; ask 30 at 2:1
+    got = mix_sample(docs, {"en": 2, "de": 1}, total_n=30).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert len(by["en"]) == 20            # full quota
+    assert len(by["de"]) == 10            # shortfall: only 10 available
+    assert "xx" not in by                 # untargeted group dropped
+    # determinism: same rows again
+    again = mix_sample(docs, {"en": 2, "de": 1}, total_n=30).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_mix_sample_matches_duckdb(spark):
+    import duckdb
+
+    from spider_spark.analysis.sampling import mix_sample, mix_sample_sql
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "es", "zh"][i % 4]) for i in range(200)],
+        "doc_id long, lang string",
+    )
+    targets = {"en": 600000, "de": 250000, "es": 150000}
+    got = sorted(
+        map(tuple, mix_sample(docs, targets, total_n=77).collect())
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.sql(mix_sample_sql("documents", targets, 77)).fetchall(),
+        )
+    )
+    assert got == want
