@@ -1604,6 +1604,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "user_id", k=20, depth=4, width=256
         )
 
+    def text_epoch_shuffle(spark, sf):
+        # deterministic per-epoch training-order permutation: md5(epoch
+        # || id) order key, shard + in-shard rank, no global sort
+        from spider_spark.analysis.packing import epoch_shuffle
+
+        docs = _t(spark, sf, "documents")
+        return epoch_shuffle(docs, epoch=3, n_shards=16)
+
     def sample_corpus_mix(spark, sf):
         # training-mixture sample: largest-remainder integer quotas per
         # lang (60/25/15 over 300 docs), md5-ranked deterministic
@@ -1916,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_users": sketch_kmv_users,
         "dedup_incremental": dedup_incremental,
         "sample_corpus_mix": sample_corpus_mix,
+        "text_epoch_shuffle": text_epoch_shuffle,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
         "crawl_trap_signals": crawl_trap_signals,
@@ -1938,6 +1947,7 @@ _GRAPH_NODE = "'h' || (event_id % 32)"
 def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import freshness as FR
     from spider_spark.analysis import oracles as O
+    from spider_spark.analysis import packing as PK
     from spider_spark.analysis import sampling as SA
     from spider_spark.analysis import sessions as SS
     from spider_spark.analysis import sketches as K
@@ -2262,6 +2272,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sketch_kmv_users": K.kmv_sql(
             "events", "user_id", ("event_type",), k=64
+        ),
+        "text_epoch_shuffle": PK.epoch_shuffle_sql(
+            "documents", 3, 16
         ),
         "sample_corpus_mix": SA.mix_sample_sql(
             "documents",

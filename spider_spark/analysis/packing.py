@@ -127,3 +127,59 @@ def chunk_tokens(
             F.array_join("c.toks", " ").alias("chunk_text"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard, pos): deterministic global training-order shuffle
+    for one epoch — every epoch a different but REPRODUCIBLE permutation
+    (the data-loader contract: re-running epoch 3 must read the same
+    order, and no two epochs may share an order).
+
+    Order key = md5(epoch || id): uniform, engine-portable, seeded by
+    the epoch number. shard = key % n_shards (uniform shard sizes,
+    ±binomial), pos = rank within shard. A training job reads shards in
+    shard order, rows in pos order — a total order with NO global sort:
+    the only wide operation is the per-shard rank window, and shards map
+    1:1 onto partitions/files at lake scale (the pack_sequences layout
+    convention)."""
+    key = F.md5(
+        F.concat(
+            F.lit(f"e{int(epoch)}:"), F.col(id_col).cast("string")
+        )
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), key.alias("_k"))
+    shard = F.expr(
+        md5_u32_sql(f"concat('e{int(epoch)}:', cast(doc_id as string))")
+    ) % n_shards
+    w = Window.partitionBy("shard").orderBy("_k", "doc_id")
+    return (
+        d.withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_k")
+    )
+
+
+def epoch_shuffle_sql(
+    table: str,
+    epoch: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replica of ``epoch_shuffle``."""
+    from spider_spark.functions.hashing import md5_u32_duckdb
+
+    e = f"'e{int(epoch)}:' || CAST({id_col} AS VARCHAR)"
+    h = md5_u32_duckdb(e)
+    return f"""
+    SELECT {id_col} AS doc_id,
+           CAST(({h}) % {n_shards} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ({h}) % {n_shards}
+               ORDER BY md5({e}), {id_col}) AS BIGINT) AS pos
+    FROM {table}
+    """

@@ -5,6 +5,7 @@ plus DuckDB-replica equality on a small corpus."""
 from __future__ import annotations
 
 import duckdb
+from pyspark.sql import functions as F
 
 from spider_spark.analysis import oracles as O
 from spider_spark.analysis.dedup import winnow_fingerprints
@@ -144,3 +145,40 @@ def test_packing_and_winnow_match_duckdb(spark):
         for r in con.execute(O.winnow_fps_sql("documents", k=3, w=4)).fetchall()
     }
     assert got_w == want_w
+
+
+# --------------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_reproducible_and_distinct_per_epoch(spark):
+    from spider_spark.analysis.packing import epoch_shuffle
+
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    a = sorted(map(tuple, epoch_shuffle(docs, epoch=3, n_shards=8).collect()))
+    b = sorted(map(tuple, epoch_shuffle(docs, epoch=3, n_shards=8).collect()))
+    assert a == b  # same epoch -> same permutation
+    c = sorted(map(tuple, epoch_shuffle(docs, epoch=4, n_shards=8).collect()))
+    assert a != c  # different epoch -> different permutation
+    # a real permutation: every doc exactly once, positions contiguous
+    rows = epoch_shuffle(docs, epoch=3, n_shards=8).collect()
+    assert len({r["doc_id"] for r in rows}) == 300
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_epoch_shuffle_matches_duckdb(spark):
+    import duckdb
+
+    from spider_spark.analysis.packing import epoch_shuffle, epoch_shuffle_sql
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    got = sorted(map(tuple, epoch_shuffle(docs, epoch=7, n_shards=16).collect()))
+    con = duckdb.connect()
+    con.register("t_docs", docs.toPandas())
+    want = sorted(
+        map(tuple, con.sql(epoch_shuffle_sql("t_docs", 7, 16)).fetchall())
+    )
+    assert got == want
