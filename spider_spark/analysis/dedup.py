@@ -622,7 +622,10 @@ def duplicate_clusters(
     exact-duplicate member inherits its representative's component via one
     fingerprint join. Singleton documents keep their own id as
     cluster_id."""
-    reps = exact_representatives(df, text_col, id_col)
+    # reps feeds two subtrees (the LSH pairs and the component join);
+    # materialize once so the corpus-wide fingerprint groupBy+join
+    # doesn't run per consumer
+    reps = exact_representatives(df, text_col, id_col).localCheckpoint()
     pairs = minhash_lsh_candidates(
         reps,
         text_col=text_col,
@@ -638,6 +641,9 @@ def duplicate_clusters(
     )
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     members = df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+    # assigned also has two consumers, but it is CORPUS-sized — measured:
+    # checkpointing it bought nothing here and would materialize the
+    # whole corpus at lake scale; recompute instead
     assigned = members.join(rep_comp, "fp").select("doc_id", "cluster_id")
     sizes = assigned.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
