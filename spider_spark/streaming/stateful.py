@@ -142,3 +142,56 @@ def streaming_tumbling_stats(
             "value_sum",
         )
     )
+
+
+def _token_bucket_fn_factory(rate: int, capacity: int):
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        tokens = state.get[0] if state.exists else capacity
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("seq", kind="mergesort").reset_index(
+            drop=True
+        )
+        take = min(int(tokens), len(rows))
+        out = rows.iloc[:take].copy()
+        out["batch_pos"] = range(1, take + 1)
+        # spend, then refill for the NEXT batch (deferred rows are
+        # dropped here — a production stream re-queues them upstream;
+        # the bounded state is the point of this template)
+        tokens = min(capacity, tokens - take + rate)
+        state.update((int(tokens),))
+        yield out[["host", "url", "seq", "batch_pos"]]
+
+    return fn
+
+
+def token_bucket_schedule(
+    frontier: DataFrame,
+    rate: int,
+    capacity: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Streaming politeness: per-host token bucket over micro-batches —
+    the custom stateful operator the built-in streaming aggregations
+    can't express (state must both gate AND mutate per batch).
+
+    Each micro-batch a host schedules at most ``tokens`` of its frontier
+    rows in seq (FIFO) order, spends them, then refills by ``rate``
+    capped at ``capacity``; buckets start full. This is the streaming
+    twin of the batch engine's R8 budget (operators/politeness.py): with
+    rate == capacity == scrape_parallelism and one micro-batch per tick
+    the schedules coincide; the bucket generalizes it to bursty
+    frontiers (unused budget accumulates up to ``capacity``).
+
+    State per host is ONE int64 — bounded by host cardinality. Arrow-
+    batched via applyInPandasWithState; update mode."""
+    return frontier.groupBy(host_col).applyInPandasWithState(
+        _token_bucket_fn_factory(int(rate), int(capacity)),
+        outputStructType="host string, url string, seq long, batch_pos long",
+        stateStructType="tokens long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -136,3 +136,59 @@ def test_streaming_tumbling_equals_batch_finalized(spark, events_dir, tmp_path):
     )
     assert got == want
     assert len(got) >= 3  # events span hours 0, 2, 3+ before the closers
+
+
+def test_token_bucket_schedule_across_batches(spark, tmp_path):
+    """Per-host token bucket over forced micro-batches ≡ a pure-Python
+    simulation of the same (batch, host, seq) stream: buckets start
+    full, spend per scheduled row, refill by rate up to capacity."""
+    from spider_spark.streaming.stateful import token_bucket_schedule
+
+    tmp = str(tmp_path / "tb_frontier")
+    schema = "host string, url string, seq long"
+    files = [
+        # batch 0: h1 bursts 5 urls (capacity 3 -> schedule 3)
+        [("h1", f"https://h1/{i}", i) for i in range(5)]
+        + [("h2", "https://h2/0", 0)],
+        # batch 1: h1 adds 2 more (tokens 0+2=2 -> schedule 2)
+        [("h1", f"https://h1/{i}", i) for i in range(5, 7)],
+        # batch 2: nothing for h1; h2 one more
+        [("h2", "https://h2/1", 1)],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(tmp, f"part{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(tmp, "part*"))
+    )
+    run_available_now(
+        token_bucket_schedule(stream, rate=2, capacity=3),
+        "t_bucket",
+        str(tmp_path / "ck_tb"),
+        output_mode="update",
+    )
+    got = {
+        (r["host"], r["url"]): r["batch_pos"]
+        for r in spark.table("t_bucket").collect()
+    }
+    # python simulation of the same bucket discipline
+    tokens = {}
+    want = {}
+    for rows in files:
+        by_host = {}
+        for h, u, s in rows:
+            by_host.setdefault(h, []).append((s, u))
+        for h, items in by_host.items():
+            t = tokens.get(h, 3)
+            items.sort()
+            take = min(t, len(items))
+            for pos, (_s, u) in enumerate(items[:take], 1):
+                want[(h, u)] = pos
+            tokens[h] = min(3, t - take + 2)
+    assert got == want
+    # the burst actually deferred: urls 3,4 of h1's first batch dropped
+    assert ("h1", "https://h1/3") not in got
+    assert ("h1", "https://h1/5") in got  # scheduled in batch 1
