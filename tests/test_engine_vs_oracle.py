@@ -382,3 +382,36 @@ def test_pagerank_priority_matches_oracle(spark, tmp_path):
     assert oracle_res.order != indeg_res.order
     # crawl completeness is mode-independent
     assert set(oracle_res.urls) == set(fifo_res.urls)
+
+
+def test_combined_modes_pagerank_match_oracle(spark, tmp_path):
+    """pagerank priority × Crawl-delay budgets × error backoff × cuckoo
+    seen-prefilter: the edge tap sits before the sidecar/anti-join
+    split, integer ranks compose with shifted per-host budgets, and
+    exactness survives the cuckoo prefilter."""
+    web = synth_web(
+        n_hosts=3,
+        pages_per_host=35,
+        links_per_page=6,
+        error_frac=0.12,
+        seed=37,
+    )
+    hosts = [f"host{i}.example.com" for i in range(3)]
+    web.robots[hosts[2]] = (
+        (web.robots.get(hosts[2]) or "")
+        + "\nUser-agent: *\nCrawl-delay: 0.5\n"
+    )
+    cfg = CrawlConfig(
+        scrape_parallelism=4,
+        max_retries=2,
+        max_rounds=300,
+        priority_mode="pagerank",
+        pagerank_iters=2,
+        respect_crawl_delay=True,
+        error_backoff=True,
+        bloom_enabled=True,
+        seen_filter="cuckoo",
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "combo_pr")
+    assert_match(eng, oracle_res)
