@@ -1612,6 +1612,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return epoch_shuffle(docs, epoch=3, n_shards=16)
 
+    def export_manifest(spark, sf):
+        # sharded-export manifest: growth-stable md5 shard assignment,
+        # per-shard doc/token/char counts + order-independent int64
+        # checksum — one combine-heavy groupBy to n_shards rows
+        from spider_spark.analysis.export import shard_manifest
+
+        docs = _t(spark, sf, "documents")
+        return shard_manifest(docs, n_shards=16)
+
     def sample_corpus_mix(spark, sf):
         # training-mixture sample: largest-remainder integer quotas per
         # lang (60/25/15 over 300 docs), md5-ranked deterministic
@@ -1925,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "sample_corpus_mix": sample_corpus_mix,
         "text_epoch_shuffle": text_epoch_shuffle,
+        "export_manifest": export_manifest,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
         "crawl_trap_signals": crawl_trap_signals,
@@ -1945,6 +1955,7 @@ _GRAPH_NODE = "'h' || (event_id % 32)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_spark.analysis import export as EX
     from spider_spark.analysis import freshness as FR
     from spider_spark.analysis import oracles as O
     from spider_spark.analysis import packing as PK
@@ -2276,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "text_epoch_shuffle": PK.epoch_shuffle_sql(
             "documents", 3, 16
         ),
+        "export_manifest": EX.shard_manifest_sql("documents", 16),
         "sample_corpus_mix": SA.mix_sample_sql(
             "documents",
             {"en": 600000, "de": 250000, "es": 150000},
