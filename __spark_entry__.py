@@ -1612,6 +1612,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return epoch_shuffle(docs, epoch=3, n_shards=16)
 
+    def text_html_blocks(spark, sf):
+        # jusText-style block classification over HTML synthesized
+        # closed-form from the corpus text (r13 idiom): link-density /
+        # length / stopword signals + the context pass, all exact ints
+        from spider_spark.analysis import boilerplate as BP
+
+        docs = _t(spark, sf, "documents")
+        d = docs.withColumn("html", F.expr(BP.synth_page_expr()))
+        return BP.html_blocks(d)
+
+    def text_main_content(spark, sf):
+        # final-good blocks reassembled in document order
+        from spider_spark.analysis import boilerplate as BP
+
+        docs = _t(spark, sf, "documents")
+        d = docs.withColumn("html", F.expr(BP.synth_page_expr()))
+        return BP.main_content(d)
+
     def export_manifest(spark, sf):
         # sharded-export manifest: growth-stable md5 shard assignment,
         # per-shard doc/token/char counts + order-independent int64
@@ -1935,6 +1953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_corpus_mix": sample_corpus_mix,
         "text_epoch_shuffle": text_epoch_shuffle,
         "export_manifest": export_manifest,
+        "text_html_blocks": text_html_blocks,
+        "text_main_content": text_main_content,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
         "crawl_trap_signals": crawl_trap_signals,
@@ -1955,6 +1975,7 @@ _GRAPH_NODE = "'h' || (event_id % 32)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_spark.analysis import boilerplate as BP
     from spider_spark.analysis import export as EX
     from spider_spark.analysis import freshness as FR
     from spider_spark.analysis import oracles as O
@@ -2288,6 +2309,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", 3, 16
         ),
         "export_manifest": EX.shard_manifest_sql("documents", 16),
+        "text_html_blocks": BP.html_blocks_sql(
+            "documents", BP.synth_page_duckdb()
+        ),
+        "text_main_content": BP.main_content_sql(
+            "documents", BP.synth_page_duckdb()
+        ),
         "sample_corpus_mix": SA.mix_sample_sql(
             "documents",
             {"en": 600000, "de": 250000, "es": 150000},
