@@ -117,6 +117,20 @@ def _gen_corpus(n=40):
     return rows
 
 
+def test_main_content_single_exchange(spark):
+    # the scale contract: context-pass windows AND the reassembly
+    # groupBy all reuse ONE doc_id hash partitioning
+    import re
+
+    plan = (
+        main_content(_docs(spark, [("d", PAGE)]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_blocks_and_content_match_duckdb(spark):
     rows = _gen_corpus()
     sdf = _docs(spark, rows)
