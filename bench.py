@@ -81,6 +81,8 @@ HEADLINE = [
     "q17_small_quantity",     # TPC-H Q17 correlated scalar subquery shape
     "q5_local_supplier_volume",  # TPC-H Q5 snowflake join shape
     "q18_large_orders",       # TPC-H Q18 HAVING semi-join shape
+    "text_main_content",      # jusText boilerplate removal (1-exchange)
+    "export_manifest",        # sharded-export manifest (combine-heavy agg)
 ]
 
 
