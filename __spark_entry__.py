@@ -1612,6 +1612,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return epoch_shuffle(docs, epoch=3, n_shards=16)
 
+    def dedup_semantic(spark, sf):
+        # SemDeDup: IVF-cell-bounded quantized-cosine pairs (exact
+        # decimal threshold test) closed transitively, min-id reps;
+        # planted exact copies (vec_id%7, shifted ids) give the fixture
+        # real duplicate structure on any sf
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        planted = emb.unionByName(
+            emb.filter(F.col("vec_id") % 7 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        cents = S.ivf_centroids(64, 8)
+        return S.semantic_dedup(planted, cents, threshold_ppm=900_000)
+
     def text_html_blocks(spark, sf):
         # jusText-style block classification over HTML synthesized
         # closed-form from the corpus text (r13 idiom): link-density /
@@ -1955,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_manifest": export_manifest,
         "text_html_blocks": text_html_blocks,
         "text_main_content": text_main_content,
+        "dedup_semantic": dedup_semantic,
         "crawl_change_rate": crawl_change_rate,
         "crawl_recrawl_topk": crawl_recrawl_topk,
         "crawl_trap_signals": crawl_trap_signals,
@@ -2309,6 +2324,16 @@ def oracle_sql() -> dict[str, str]:
             "documents", 3, 16
         ),
         "export_manifest": EX.shard_manifest_sql("documents", 16),
+        "dedup_semantic": O.semdedup_sql(
+            S.ivf_centroids(64, 8),
+            """(
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings
+              WHERE vec_id % 7 = 0
+            )""",
+            900_000,
+        ),
         "text_html_blocks": BP.html_blocks_sql(
             "documents", BP.synth_page_duckdb()
         ),

@@ -83,6 +83,7 @@ HEADLINE = [
     "q18_large_orders",       # TPC-H Q18 HAVING semi-join shape
     "text_main_content",      # jusText boilerplate removal (1-exchange)
     "export_manifest",        # sharded-export manifest (combine-heavy agg)
+    "dedup_semantic",         # SemDeDup: cell-bounded pairs + label prop
 ]
 
 

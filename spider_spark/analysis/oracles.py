@@ -1492,3 +1492,62 @@ def importance_score_sql(
     FROM (SELECT {id_col} AS doc_id FROM {table}) d
     LEFT JOIN iperdoc p USING (doc_id)
     """
+
+
+# ------------------------------------------------------------ SemDeDup
+
+
+def semdedup_sql(
+    centroids: np.ndarray,
+    table: str = "embeddings",
+    threshold_ppm: int = 900_000,
+    frac_bits: int = 8,
+) -> str:
+    """Independent replica of analysis/similarity.semantic_dedup:
+    argmax-cosine cells (shared float fold of ivf_cell_cte), fixed-point
+    quantization, within-cell pairs under the exact HUGEINT threshold
+    test (Spark side uses decimal(38,0) — both exact, so the pair set is
+    identical), recursive-CTE transitive closure, min-id representative."""
+    t = int(threshold_ppm)
+    s = float(1 << frac_bits)
+    dim = centroids.shape[1]
+    dot = " + ".join(f"a.qv[{i + 1}] * b.qv[{i + 1}]" for i in range(dim))
+    return f"""
+    WITH RECURSIVE {ivf_cell_cte(centroids, table)},
+    q AS (
+      SELECT vec_id, ivf_cell,
+             list_transform(e, x -> CAST(floor(x * {s}) AS BIGINT)) AS qv
+      FROM cells
+    ),
+    n AS (
+      SELECT vec_id, ivf_cell, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+      FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+             CAST({dot} AS BIGINT) AS qdot, a.n2 AS nl, b.n2 AS nr
+      FROM n a JOIN n b ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+    ),
+    cand AS (
+      SELECT id_l, id_r FROM pairs
+      WHERE qdot > 0
+        AND CAST(qdot AS HUGEINT) * qdot * 1000000000000
+            >= CAST({t} AS HUGEINT) * {t} * nl * nr
+    ),
+    edges AS (
+      SELECT id_l AS a, id_r AS b FROM cand
+      UNION
+      SELECT id_r, id_l FROM cand
+    ),
+    reach(node, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    SELECT s.vec_id,
+           coalesce(c.comp, s.vec_id) AS cluster_id,
+           coalesce(c.comp, s.vec_id) <> s.vec_id AS is_dup
+    FROM {table} s LEFT JOIN cc c ON c.node = s.vec_id
+    """

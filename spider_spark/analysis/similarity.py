@@ -351,3 +351,105 @@ def ann_topk_lsh(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+# ----------------------------------------------------------- SemDeDup
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold_ppm: int = 900_000,
+    frac_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_l, id_r): within-IVF-cell pairs whose fixed-point cosine
+    clears threshold_ppm/1e6 — the candidate-generation half of SemDeDup
+    (Abbas et al. 2023: cluster embeddings with k-means, prune only
+    INSIDE each cluster), recast on this module's primitives.
+
+    The self-join is keyed on ``ivf_cell``, so the quadratic blow-up is
+    bounded per cell, never corpus-wide: with k ∝ n (SemDeDup's own
+    prescription) cell population stays ~constant and total work is
+    O(n · cell_size). Skewed cells split under AQE like any hash join.
+
+    The threshold test is EXACT: cos(u,v) >= t is evaluated on quantized
+    int64 vectors as qdot > 0 AND qdot²·10¹² >= t_ppm²·|u|²·|v|² in
+    decimal(38,0) arithmetic (Spark) / HUGEINT (DuckDB oracle) — no
+    float ULP can flip a pair's membership between engines."""
+    t = int(threshold_ppm)
+    d = with_quantized(
+        with_ivf_cell(df, centroids, vec_col), vec_col, "_qv", frac_bits
+    ).select(
+        F.col(id_col).alias("_id"),
+        "ivf_cell",
+        "_qv",
+        F.aggregate(
+            F.col("_qv"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ).alias("_n2"),
+    )
+    l = d.select(
+        F.col("_id").alias("id_l"),
+        F.col("ivf_cell"),
+        F.col("_qv").alias("_qvl"),
+        F.col("_n2").alias("_n2l"),
+    )
+    r = d.select(
+        F.col("_id").alias("id_r"),
+        F.col("ivf_cell"),
+        F.col("_qv").alias("_qvr"),
+        F.col("_n2").alias("_n2r"),
+    )
+    pairs = l.join(r, ["ivf_cell"]).filter(F.col("id_l") < F.col("id_r"))
+    pairs = pairs.withColumn(
+        "_qdot",
+        F.aggregate(
+            F.zip_with(F.col("_qvl"), F.col("_qvr"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    keep = F.expr(
+        f"_qdot > 0 AND "
+        f"cast(_qdot as decimal(38,0)) * cast(_qdot as decimal(38,0))"
+        f" * cast(1000000000000 as decimal(38,0)) >= "
+        f"cast({t} as decimal(38,0)) * cast({t} as decimal(38,0))"
+        f" * cast(_n2l as decimal(38,0)) * cast(_n2r as decimal(38,0))"
+    )
+    return pairs.filter(keep).select("id_l", "id_r")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold_ppm: int = 900_000,
+    frac_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cluster_id, is_dup): full SemDeDup assignment — semantic
+    near-dup pairs closed transitively (min-label propagation), each
+    cluster keeping its min-id vector as the representative (is_dup =
+    false); singletons are their own kept cluster.
+
+    Cost = semdedup_pairs (cell-bounded join) + O(cluster diameter)
+    bounded label-propagation jobs over the EDGE list only — the corpus
+    table is touched twice (pair generation, final left join)."""
+    from .dedup import connected_components
+
+    pairs = semdedup_pairs(
+        df, centroids, threshold_ppm, frac_bits, vec_col, id_col
+    )
+    cc = connected_components(pairs, "id_l", "id_r")
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(cc, ids[id_col] == cc["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_dup", F.col("cluster_id") != F.col(id_col))
+    )
