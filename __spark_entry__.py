@@ -1550,6 +1550,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MF.synth_split_image(ev), width=4, height=4
         )
 
+    def multimodal_phash_dedup(spark, sf):
+        # REAL decode → block-mean perceptual hash → dedup: planted
+        # perceptual duplicates (content from event_id%23, size+container
+        # PPM/BMP from event_id) group on the decoded-content hash even
+        # though every payload's bytes differ; DuckDB re-derives the
+        # packed hash arithmetically from the id
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return M.phash_dedup(M.image_phash(MF.synth_quad_image(ev)))
+
     def events_sessionize(spark, sf):
         # gap-based sessionization: lag + running sum over one (user, ts)
         # window partitioning — a single Exchange+Sort at any scale
@@ -1956,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": multimodal_audio,
         "multimodal_frames": multimodal_frames,
         "multimodal_resize": multimodal_resize,
+        "multimodal_phash_dedup": multimodal_phash_dedup,
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
         "events_tumbling": events_tumbling,
@@ -2235,6 +2247,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST((event_id * 7) % 251 AS BIGINT) AS f11,
                    CAST(NULL AS VARCHAR) AS err
             FROM events
+        """,
+        "multimodal_phash_dedup": """
+            WITH h AS (
+              SELECT 'img://' || CAST(event_id AS VARCHAR) AS media_ref,
+                     (((event_id % 23) * 5) % 251) * 16777216
+                       + (((event_id % 23) * 11 + 3) % 251) * 65536
+                       + (((event_id % 23) * 17 + 7) % 251) * 256
+                       + (((event_id % 23) * 23 + 13) % 251) AS phash
+              FROM events
+            )
+            SELECT media_ref, CAST(phash AS BIGINT) AS phash,
+                   min(media_ref) OVER (PARTITION BY phash) AS rep_ref,
+                   media_ref <> min(media_ref) OVER (PARTITION BY phash)
+                     AS is_dup
+            FROM h
         """,
         "crawl_change_rate": FR.change_rate_sql(
             f"SELECT {_PAGE_SQL} AS url, ts, event_id, event_type AS fp "

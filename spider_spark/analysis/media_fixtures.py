@@ -115,3 +115,51 @@ def synth_split_image(df: DataFrame, id_col: str = "event_id") -> DataFrame:
             yield pd.DataFrame({"media_ref": refs, "payload": blobs})
 
     return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def quad_image_params(i: int, group_mod: int = 23) -> dict:
+    """Quadrant-image parameters for id ``i`` (mirrored in SQL).
+
+    Pixel CONTENT depends only on ``g = i % group_mod`` while SIZE and
+    ENCODING depend on ``i`` itself — so ids sharing ``g`` are perceptual
+    duplicates (same quadrant gray levels) whose payload bytes differ
+    (different dimensions, alternating PPM/BMP containers). That is the
+    planted structure the perceptual-hash dedup operator must recover."""
+    g = i % group_mod
+    return {
+        "g": g,
+        "w": 6 + (i % 5) * 2,                   # even width 6..14
+        "h": 4 + (i % 3) * 2,                   # even height 4..8
+        "c00": (g * 5) % 251,
+        "c01": (g * 11 + 3) % 251,
+        "c10": (g * 17 + 7) % 251,
+        "c11": (g * 23 + 13) % 251,
+        "bmp": i % 2 == 1,                       # alternate container
+    }
+
+
+def synth_quad_image(
+    df: DataFrame, id_col: str = "event_id", group_mod: int = 23
+) -> DataFrame:
+    """(id) → (media_ref='img://id', payload): four solid gray quadrants
+    (r=g=b) whose levels derive from ``i % group_mod`` only; width/height
+    and PPM-vs-BMP derive from ``i``. Even dims keep quadrant boundaries
+    on the 2×2 block-mean grid, so every cell mean is an exact integer."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs = [], []
+            for i in pdf[id_col].astype("int64"):
+                p = quad_image_params(int(i), group_mod)
+                w2, h2 = p["w"] // 2, p["h"] // 2
+                img = np.empty((p["h"], p["w"], 3), np.uint8)
+                img[:h2, :w2] = p["c00"]
+                img[:h2, w2:] = p["c01"]
+                img[h2:, :w2] = p["c10"]
+                img[h2:, w2:] = p["c11"]
+                refs.append(f"img://{int(i)}")
+                enc = codecs.encode_bmp if p["bmp"] else codecs.encode_ppm
+                blobs.append(enc(img))
+            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)

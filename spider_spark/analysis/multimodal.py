@@ -349,3 +349,75 @@ def resize_image_features(
     return df.select(ref_col, payload_col).mapInPandas(
         run, schema=RESIZED_FEATURE_SCHEMA
     )
+
+
+PHASH_SCHEMA = "media_ref string, phash long, err string"
+
+
+def image_phash(
+    df: DataFrame,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    grid: int = 2,
+) -> DataFrame:
+    """REAL decode → block-mean perceptual hash (Yang et al. 2006 shape).
+
+    Each cell of the ``grid×grid`` block-mean feature is averaged over
+    channels and rounded to 0..255, then packed big-endian into one int64
+    (``grid<=2`` fits 4 bytes) — a content hash that is invariant to the
+    byte CONTAINER (PPM vs BMP) and, for block-aligned content, to image
+    SIZE, which byte hashing (media_metadata's sha256) is not. Undecodable
+    payloads degrade to an ``err`` row with a null hash.
+
+    Scale: one Arrow-batched mapInPandas scan; the hash column is 8 bytes
+    per image, so downstream dedup shuffles hashes, never payloads."""
+    from spider_spark.analysis import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf[ref_col].astype(str), pdf[payload_col]):
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    img = codecs.decode_any(bytes(b))
+                    f = codecs.block_mean_features(img, grid)
+                    cells = f.reshape(grid * grid, 3).mean(axis=1)
+                    ph = 0
+                    for v in np.rint(cells * 255.0).astype(np.int64):
+                        ph = ph * 256 + int(v)
+                    rows.append((ref, ph, None))
+                except (ValueError, struct.error, IndexError) as e:
+                    rows.append((ref, None, str(e)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "phash", "err"]
+            ).astype({"phash": "Int64"})
+
+    return df.select(ref_col, payload_col).mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def phash_dedup(
+    hashed: DataFrame, ref_col: str = "media_ref", hash_col: str = "phash"
+) -> DataFrame:
+    """(media_ref, phash, rep_ref, is_dup): group images by perceptual
+    hash; each group keeps its min-ref image as the representative.
+
+    Mirrors the text-side exact dedup (analysis/dedup.exact_duplicates)
+    but on the decoded-content hash: cross-container and cross-size
+    duplicates land in one group. Null hashes (undecodable payloads) stay
+    singletons rather than clustering with each other. One shuffle, on the
+    8-byte hash."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(hash_col)
+    rep = F.when(
+        F.col(hash_col).isNull(), F.col(ref_col)
+    ).otherwise(F.min(ref_col).over(w))
+    return (
+        hashed.select(ref_col, hash_col)
+        .withColumn("rep_ref", rep)
+        .withColumn("is_dup", F.col(ref_col) != F.col("rep_ref"))
+    )
