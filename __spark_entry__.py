@@ -1561,6 +1561,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events").select("event_id")
         return M.phash_dedup(M.image_phash(MF.synth_quad_image(ev)))
 
+    def multimodal_phash_near(spark, sf):
+        # near-dup pairs at cell-hamming<=1 via the leave-one-out band
+        # join: planted groups (event_id%150, <251 so color tuples never
+        # collide across groups) whose members differ by one gray level
+        # in one quadrant on alternating parity ((id div 150)%2) — the
+        # band hit itself proves >=3 equal cells, no verify join
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = (
+            _t(spark, sf, "events")
+            .select("event_id")
+            .where(F.col("event_id") < 600)
+        )
+        return M.phash_near_dups(
+            M.image_phash(MF.synth_near_quad_image(ev, groups=150))
+        )
+
     def events_sessionize(spark, sf):
         # gap-based sessionization: lag + running sum over one (user, ts)
         # window partitioning — a single Exchange+Sort at any scale
@@ -1968,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal_frames,
         "multimodal_resize": multimodal_resize,
         "multimodal_phash_dedup": multimodal_phash_dedup,
+        "multimodal_phash_near": multimodal_phash_near,
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
         "events_tumbling": events_tumbling,
@@ -2262,6 +2280,44 @@ def oracle_sql() -> dict[str, str]:
                    media_ref <> min(media_ref) OVER (PARTITION BY phash)
                      AS is_dup
             FROM h
+        """,
+        "multimodal_phash_near": """
+            WITH c AS (
+              SELECT 'img://' || CAST(event_id AS VARCHAR) AS media_ref,
+                     ((event_id % 150) * 5) % 251 AS c0,
+                     ((event_id % 150) * 11 + 3) % 251 AS c1,
+                     ((event_id % 150) * 17 + 7) % 251 AS c2,
+                     ((event_id % 150) * 23 + 13) % 251
+                       + ((event_id // 150) % 2) AS c3
+              FROM events WHERE event_id < 600
+            ),
+            h AS (
+              SELECT media_ref,
+                     ((c0 * 256 + c1) * 256 + c2) * 256 + c3 AS phash,
+                     c0, c1, c2, c3
+              FROM c
+            ),
+            b AS (
+              SELECT media_ref, phash, 0 AS band,
+                     c1 || ',' || c2 || ',' || c3 AS key FROM h
+              UNION ALL
+              SELECT media_ref, phash, 1,
+                     c0 || ',' || c2 || ',' || c3 FROM h
+              UNION ALL
+              SELECT media_ref, phash, 2,
+                     c0 || ',' || c1 || ',' || c3 FROM h
+              UNION ALL
+              SELECT media_ref, phash, 3,
+                     c0 || ',' || c1 || ',' || c2 FROM h
+            )
+            SELECT l.media_ref AS id_l, r.media_ref AS id_r,
+                   CAST(max(3 + CASE WHEN l.phash = r.phash
+                                     THEN 1 ELSE 0 END) AS INT)
+                     AS n_equal_cells
+            FROM b l JOIN b r
+              ON l.band = r.band AND l.key = r.key
+                 AND l.media_ref < r.media_ref
+            GROUP BY l.media_ref, r.media_ref
         """,
         "crawl_change_rate": FR.change_rate_sql(
             f"SELECT {_PAGE_SQL} AS url, ts, event_id, event_type AS fp "

@@ -163,3 +163,46 @@ def synth_quad_image(
             yield pd.DataFrame({"media_ref": refs, "payload": blobs})
 
     return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def near_quad_image_params(i: int, groups: int = 150) -> dict:
+    """Near-duplicate variant of :func:`quad_image_params` (mirrored in
+    SQL): content group ``g = i % groups`` with ``groups < 251`` so color
+    tuples never collide across groups, plus a one-gray-level perturbation
+    of the bottom-right quadrant on alternating group members
+    (``(i // groups) % 2``). Same-group members therefore agree on >=3 of
+    the four 2x2 block-mean cells — near-dups under cell-hamming<=1 —
+    while exact equality holds only between same-parity members."""
+    g = i % groups
+    p = quad_image_params(g, group_mod=groups)
+    p["g"] = g
+    p["w"] = 6 + (i % 5) * 2
+    p["h"] = 4 + (i % 3) * 2
+    p["c11"] = p["c11"] + ((i // groups) % 2)
+    p["bmp"] = i % 2 == 1
+    return p
+
+
+def synth_near_quad_image(
+    df: DataFrame, id_col: str = "event_id", groups: int = 150
+) -> DataFrame:
+    """(id) → (media_ref='img://id', payload): quadrant images with the
+    planted NEAR-duplicate structure of :func:`near_quad_image_params`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs = [], []
+            for i in pdf[id_col].astype("int64"):
+                p = near_quad_image_params(int(i), groups)
+                w2, h2 = p["w"] // 2, p["h"] // 2
+                img = np.empty((p["h"], p["w"], 3), np.uint8)
+                img[:h2, :w2] = p["c00"]
+                img[:h2, w2:] = p["c01"]
+                img[h2:, :w2] = p["c10"]
+                img[h2:, w2:] = p["c11"]
+                refs.append(f"img://{int(i)}")
+                enc = codecs.encode_bmp if p["bmp"] else codecs.encode_ppm
+                blobs.append(enc(img))
+            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)

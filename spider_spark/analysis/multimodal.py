@@ -421,3 +421,70 @@ def phash_dedup(
         .withColumn("rep_ref", rep)
         .withColumn("is_dup", F.col(ref_col) != F.col("rep_ref"))
     )
+
+
+def phash_near_dups(
+    hashed: DataFrame,
+    ref_col: str = "media_ref",
+    hash_col: str = "phash",
+    n_cells: int = 4,
+) -> DataFrame:
+    """(id_l, id_r, n_equal_cells): image near-dup pairs — at most ONE of
+    the packed block-mean cells differs (cell-hamming <= 1).
+
+    The media analog of SimHash's pigeonhole band trick
+    (analysis/dedup.simhash_near_dups): two hashes agreeing on >= n-1 of n
+    cells must agree on one of the n leave-one-out cell tuples, so the
+    self-join is keyed on (band, remaining-cells tuple) — candidates are
+    band-bucket-bounded, never all-pairs, and a band hit already PROVES
+    >= n-1 equal cells, so no re-verification join is needed:
+    n_equal_cells is n-1 plus whole-hash equality, both carried by the
+    join itself. Cells are re-derived from the int64 hash with pure
+    integer div/mod, so the whole operator stays in whole-stage codegen
+    and has an exact SQL replica."""
+    from pyspark.sql import functions as F
+
+    cell = [
+        F.expr(
+            f"(cast({hash_col} as bigint) div "
+            f"{256 ** (n_cells - 1 - k)}L) % 256"
+        )
+        for k in range(n_cells)
+    ]
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[c.cast("string") for k, c in enumerate(cell) if k != b]
+            ).alias("key"),
+        )
+        for b in range(n_cells)
+    ]
+    d = (
+        hashed.filter(F.col(hash_col).isNotNull())
+        .select(
+            F.col(ref_col).alias("_id"),
+            F.col(hash_col).alias("_ph"),
+            F.explode(F.array(*bands)).alias("bk"),
+        )
+        .select("_id", "_ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    l, r = d.alias("l"), d.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_l"),
+            F.col("r._id").alias("id_r"),
+            (
+                F.lit(n_cells - 1)
+                + (F.col("l._ph") == F.col("r._ph")).cast("int")
+            ).alias("_neq"),
+        )
+        .groupBy("id_l", "id_r")
+        .agg(F.max("_neq").alias("n_equal_cells"))
+    )

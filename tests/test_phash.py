@@ -99,3 +99,41 @@ def test_phash_duckdb_equality(spark):
         em.oracle_sql()["multimodal_phash_dedup"] + " ORDER BY media_ref"
     ).fetchall()
     assert [(r["media_ref"], r["phash"], r["rep_ref"], r["is_dup"]) for r in got] == exp
+
+
+def test_phash_near_dups_planted(spark):
+    # groups=5 over ids 0..19: members of a group agree on >=3 cells;
+    # same-parity members ((i//5)%2) are exact, cross-parity differ in
+    # exactly the c11 cell
+    ids = spark.range(20).select(F.col("id").alias("event_id"))
+    out = M.phash_near_dups(
+        M.image_phash(MF.synth_near_quad_image(ids, groups=5))
+    )
+    pairs = {(r["id_l"], r["id_r"]): r["n_equal_cells"] for r in out.collect()}
+    assert len(pairs) == 5 * 6  # C(4,2) pairs per group, 5 groups
+    for (a, b), n in pairs.items():
+        ia, ib = int(a.split("//")[1]), int(b.split("//")[1])
+        assert ia % 5 == ib % 5  # never crosses content groups
+        same_parity = (ia // 5) % 2 == (ib // 5) % 2
+        assert n == (4 if same_parity else 3)
+
+
+def test_phash_near_duckdb_equality(spark):
+    import __spark_entry__ as em
+
+    ids = spark.range(600).select(F.col("id").alias("event_id"))
+    got = sorted(
+        (r["id_l"], r["id_r"], r["n_equal_cells"])
+        for r in M.phash_near_dups(
+            M.image_phash(MF.synth_near_quad_image(ids, groups=150))
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT range AS event_id FROM range(600)"
+    )
+    exp = sorted(
+        tuple(t)
+        for t in con.sql(em.oracle_sql()["multimodal_phash_near"]).fetchall()
+    )
+    assert got == exp and len(got) == 150 * 6
