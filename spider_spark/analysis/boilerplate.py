@@ -59,6 +59,29 @@ TAG_RE = r"<[^>]*>"
 # <a> or <a ...> only — never <abbr>/<article>; (?is) so inner text may
 # span lines; non-greedy inner so sibling anchors don't merge.
 ANCHOR_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
+# script/style/noscript ELEMENTS drop wholesale (tag AND body) before
+# segmentation — jusText removes them entirely; stopword-rich JS string
+# literals / JSON-LD descriptions must never classify 'good'. RE2-safe
+# (no backrefs: one alternative per tag); an UNCLOSED tag simply doesn't
+# match, degrading to classify-the-body rather than eating the document.
+DROP_CONTENT_RE = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>"
+    r"|<style\b[^>]*>.*?</style\s*>"
+    r"|<noscript\b[^>]*>.*?</noscript\s*>"
+)
+
+
+def _stop_lit_spark(stops: tuple[str, ...]) -> str:
+    """Stoplist as Spark-SQL literals — backslash escaping, so
+    contraction/apostrophe stopwords (don't, l') can't break the expr."""
+    return ", ".join(
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'" for s in stops
+    )
+
+
+def _stop_lit_duck(stops: tuple[str, ...]) -> str:
+    """Stoplist as standard-SQL literals (DuckDB: quote doubling)."""
+    return ", ".join("'" + s.replace("'", "''") + "'" for s in stops)
 
 _CLEAN = (
     "trim(regexp_replace(regexp_replace({x}, '{tag}', ' '), '\\\\s+', ' '))"
@@ -79,11 +102,18 @@ def html_blocks(
     """(doc_id, block_id, text, n_chars, link_chars, n_words, stop_hits,
     cls, final_cls) — one row per non-empty block; block_id is the
     segment position in the original HTML (stable, possibly sparse)."""
-    stop_lit = ", ".join(f"'{s}'" for s in stops)
+    stop_lit = _stop_lit_spark(stops)
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
-            F.split(F.coalesce(F.col(html_col), F.lit("")), BLOCK_TAG_RE)
+            F.split(
+                F.regexp_replace(
+                    F.coalesce(F.col(html_col), F.lit("")),
+                    DROP_CONTENT_RE,
+                    " ",
+                ),
+                BLOCK_TAG_RE,
+            )
         ).alias("block_id", "_raw"),
     )
     d = (
@@ -232,12 +262,14 @@ def _blocks_cte(
     id_col: str = "doc_id",
 ) -> str:
     """CTE chain ending in ``cblocks`` = the html_blocks output."""
-    stop_lit = ", ".join(f"'{s}'" for s in stops)
+    stop_lit = _stop_lit_duck(stops)
     return f"""
     seg AS (
       SELECT {id_col} AS doc_id,
-             regexp_split_to_array(coalesce({html_expr}, ''),
-                                   '{BLOCK_TAG_RE}') AS bs
+             regexp_split_to_array(
+               regexp_replace(coalesce({html_expr}, ''),
+                              '{DROP_CONTENT_RE}', ' ', 'g'),
+               '{BLOCK_TAG_RE}') AS bs
       FROM {table}
     ),
     eb AS (

@@ -53,20 +53,10 @@ def shard_assign(
     return df.withColumn("shard", (F.expr(h) % n_shards).cast("int"))
 
 
-def shard_manifest(
-    df: DataFrame,
-    n_shards: int = 64,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _manifest_agg(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(shard, n_docs, n_tokens, n_chars, checksum) — one row per
-    non-empty shard, exact int64 everywhere.
-
-    checksum = sum(md5_u32('ck:' || id || ':' || n_chars)): order- and
-    partitioning-independent (commutative int64 sum, max n_docs·2^32 ≪
-    2^63), recomputable by any engine from the shard files alone.
-    """
-    d = shard_assign(df, n_shards, id_col)
+    """The manifest aggregation over rows that already carry ``shard``."""
     n_chars = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
     d = d.select(
         "shard",
@@ -87,6 +77,22 @@ def shard_manifest(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, n_docs, n_tokens, n_chars, checksum) — one row per
+    non-empty shard, exact int64 everywhere.
+
+    checksum = sum(md5_u32('ck:' || id || ':' || n_chars)): order- and
+    partitioning-independent (commutative int64 sum, max n_docs·2^32 ≪
+    2^63), recomputable by any engine from the shard files alone.
+    """
+    return _manifest_agg(shard_assign(df, n_shards, id_col), id_col, text_col)
+
+
 def export_text_shards(
     df: DataFrame,
     path: str,
@@ -96,13 +102,18 @@ def export_text_shards(
     compression: str | None = "gzip",
 ) -> DataFrame:
     """Write (id, text, shard) as shard-partitioned JSONL under ``path``
-    and return the manifest of what was written.
+    and return the manifest OF THE FILES — re-read from ``path``, not
+    recomputed from ``df``, so the returned accounting describes what a
+    loader will actually see even if ``df`` re-reads a source that
+    changed between the two jobs.
 
-    One job, no shuffle beyond the write's own file split: partitionBy
-    routes rows by the already-computed shard column. Callers that need
-    exactly one file per shard repartition by shard first — at scale
-    multiple files per shard directory is the correct default (writers
-    stay parallel within a hot shard).
+    The write itself is one shuffle-free job: partitionBy routes rows by
+    the already-computed shard column. Callers that need exactly one file
+    per shard repartition by shard first — at scale multiple files per
+    shard directory is the correct default (writers stay parallel within
+    a hot shard). The manifest read-back is a second scan of the written
+    data — the same scan the loader-side ``recompute == manifest``
+    validation performs.
     """
     d = shard_assign(df, n_shards, id_col).select(
         F.col(id_col).alias("doc_id"),
@@ -113,7 +124,10 @@ def export_text_shards(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
-    return shard_manifest(df, n_shards, id_col, text_col)
+    written = df.sparkSession.read.schema(
+        "doc_id string, text string, shard int"
+    ).json(path)
+    return _manifest_agg(written, "doc_id", "text")
 
 
 def shard_manifest_sql(

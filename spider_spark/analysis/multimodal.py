@@ -32,6 +32,7 @@ executor memory.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -60,7 +61,17 @@ RESIZED_FEATURE_SCHEMA = (
 
 
 def media_metadata(df: DataFrame, ref_col: str = "media_ref", payload_col: str | None = None) -> DataFrame:
-    """Typed metadata extraction over media rows via mapInPandas."""
+    """Typed metadata extraction over media rows via mapInPandas.
+
+    With ``payload_col``: n_bytes/sha256 of the payload itself (the column
+    must exist — a misspelled name raising here beats silently hashing the
+    ref instead). Without: deterministic ref-derived metadata (n_bytes=0,
+    sha256 of the ref string) for payload-less sidecar rows. Only the
+    needed columns enter the Arrow channel."""
+    if payload_col and payload_col not in df.columns:
+        raise ValueError(f"payload column {payload_col!r} not in {df.columns}")
+    cols = [ref_col, payload_col] if payload_col else [ref_col]
+    df = df.select(*cols)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,8 +112,12 @@ def decode_image_features(
     With ``payload_col`` set, payloads are REALLY decoded with the
     pure-numpy codecs in ``analysis.codecs`` (uncompressed 24/32-bit BMP,
     binary PPM/PGM — the formats decodable without any image library in
-    this container): real width/height plus a grid block-mean RGB feature
-    vector (grid² = n_features // 3, min 2×2). Undecodable or null
+    this container): real width/height plus a block-mean RGB feature
+    vector of EXACTLY ``n_features`` values — the first n_features of the
+    3·grid² cell means, grid being the smallest ≥2 with 3·grid² ≥
+    n_features — so real and fake paths emit the same feature dimension
+    and downstream zip_with consumers never see ragged arrays. Undecodable
+    or null
     payloads yield a row with null width/height/features and the reason in
     ``err`` — a 100-TB crawl always contains corrupt bytes, and one bad
     payload must not kill the stage. JPEG/PNG etc. still need a codec
@@ -113,7 +128,11 @@ def decode_image_features(
     plumbing is exercisable from refs alone; fake=False raises."""
     from spider_spark.analysis import codecs
 
-    grid = max(2, int((n_features // 3) ** 0.5)) if payload_col else None
+    grid = (
+        max(2, int(math.ceil(math.sqrt(n_features / 3.0))))
+        if payload_col
+        else None
+    )
 
     if payload_col is not None:
 
@@ -131,7 +150,9 @@ def decode_image_features(
                         widths.append(img.shape[1])
                         heights.append(img.shape[0])
                         feats.append(
-                            codecs.block_mean_features(img, grid).tolist()
+                            codecs.block_mean_features(img, grid).tolist()[
+                                :n_features
+                            ]
                         )
                         errs.append(None)
                     except (ValueError, struct.error, IndexError) as e:
@@ -373,6 +394,10 @@ def image_phash(
     per image, so downstream dedup shuffles hashes, never payloads."""
     from spider_spark.analysis import codecs
 
+    # 256^(grid^2) must fit int64, else the .astype('Int64') below would
+    # overflow and kill the stage — the failure mode this module forbids
+    assert grid * grid <= 7, "packed block-mean hash needs grid*grid <= 7"
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -407,20 +432,27 @@ def phash_dedup(
     Mirrors the text-side exact dedup (analysis/dedup.exact_duplicates)
     but on the decoded-content hash: cross-container and cross-size
     duplicates land in one group. Null hashes (undecodable payloads) stay
-    singletons rather than clustering with each other. One shuffle, on the
-    8-byte hash."""
+    singletons rather than clustering with each other — and they are split
+    off BEFORE the window, not just masked after it: a corrupt-payload
+    fraction of a 100-TB corpus would otherwise all hash-partition into
+    one straggler task. One shuffle (on the 8-byte hash) for the decodable
+    side; the null side is a shuffle-free projection unioned back."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    d = hashed.select(ref_col, hash_col)
     w = Window.partitionBy(hash_col)
-    rep = F.when(
-        F.col(hash_col).isNull(), F.col(ref_col)
-    ).otherwise(F.min(ref_col).over(w))
-    return (
-        hashed.select(ref_col, hash_col)
-        .withColumn("rep_ref", rep)
+    ok = (
+        d.filter(F.col(hash_col).isNotNull())
+        .withColumn("rep_ref", F.min(ref_col).over(w))
         .withColumn("is_dup", F.col(ref_col) != F.col("rep_ref"))
     )
+    nulls = (
+        d.filter(F.col(hash_col).isNull())
+        .withColumn("rep_ref", F.col(ref_col))
+        .withColumn("is_dup", F.lit(False))
+    )
+    return ok.unionByName(nulls)
 
 
 def phash_near_dups(

@@ -343,7 +343,10 @@ def embedding_lsh_sql(
     WITH {srp_bucket_cte(planes, table)}
     SELECT id_a, id_b, cos_sim FROM (
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-             round(list_cosine_similarity(a.e, b2.e), 4) AS cos_sim
+             CASE WHEN list_dot_product(a.e, a.e) = 0
+                    OR list_dot_product(b2.e, b2.e) = 0 THEN 0.0
+                  ELSE round(list_cosine_similarity(a.e, b2.e), 4)
+             END AS cos_sim
       FROM b a JOIN b b2
         ON a.srp_bucket = b2.srp_bucket AND a.vec_id < b2.vec_id)
     WHERE cos_sim >= {threshold}
@@ -369,7 +372,12 @@ def _ivf_cos_exprs(centroids: np.ndarray, vec_expr: str = "e") -> list[str]:
             f"{vec_expr}[{j + 1}] * ({float(x)!r})" for j, x in enumerate(c)
         )
         nc = float(np.sqrt(np.sum(c * c)))
-        out.append(f"(({dot}) / ({nv} * {nc!r}))")
+        # zero-norm guard mirrors similarity._centroid_cosines: a zero
+        # vector scores 0.0 vs every centroid -> cell 0 deterministically
+        out.append(
+            f"(CASE WHEN {nv} > 0 THEN (({dot}) / ({nv} * {nc!r}))"
+            f" ELSE 0.0 END)"
+        )
     return out
 
 
@@ -413,8 +421,10 @@ def ann_topk_ivf_sql(
     )
     SELECT vec_id, printf('%.4f', cos_r) AS cos_sim FROM (
       SELECT vec_id,
-             round(list_cosine_similarity(e,
-                 (SELECT e FROM v WHERE vec_id = {query_vec_id})), 4) AS cos_r
+             CASE WHEN list_dot_product(e, e) = 0 THEN 0.0
+                  ELSE round(list_cosine_similarity(e,
+                 (SELECT e FROM v WHERE vec_id = {query_vec_id})), 4)
+             END AS cos_r
       FROM cells
       WHERE ivf_cell IN (SELECT cell FROM probe)
       ORDER BY cos_r DESC, vec_id
@@ -454,8 +464,10 @@ def ann_topk_lsh_sql(
     WITH {srp_bucket_cte(planes, table)}
     SELECT vec_id, printf('%.4f', cos_r) AS cos_sim FROM (
       SELECT vec_id,
-             round(list_cosine_similarity(e,
-                 (SELECT e FROM b WHERE vec_id = {query_vec_id})), 4) AS cos_r
+             CASE WHEN list_dot_product(e, e) = 0 THEN 0.0
+                  ELSE round(list_cosine_similarity(e,
+                 (SELECT e FROM b WHERE vec_id = {query_vec_id})), 4)
+             END AS cos_r
       FROM b
       WHERE srp_bucket = (SELECT srp_bucket FROM b WHERE vec_id = {query_vec_id})
       ORDER BY cos_r DESC, vec_id

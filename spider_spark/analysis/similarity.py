@@ -49,6 +49,15 @@ def _norm(a) -> "F.Column":
     )
 
 
+def _cos(u, v) -> "F.Column":
+    """NaN-safe cosine: 0.0 when either vector has zero norm. Without the
+    guard a zero embedding (empty text) yields NaN, which Spark orders
+    ABOVE every number — it would top every top-k and pass every
+    threshold filter."""
+    den = _norm(u) * _norm(v)
+    return F.when(den > 0, _dot(u, v) / den).otherwise(F.lit(0.0))
+
+
 def with_cosine(
     df: DataFrame, query: list[float], vec_col: str = "embedding"
 ) -> DataFrame:
@@ -56,8 +65,7 @@ def with_cosine(
     cross-engine comparability)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     v = F.col(vec_col).cast("array<double>")
-    cos = _dot(v, q) / (_norm(v) * _norm(q))
-    return df.withColumn("cos_sim", F.round(cos, 6))
+    return df.withColumn("cos_sim", F.round(_cos(v, q), 6))
 
 
 def cosine_topk(
@@ -104,7 +112,14 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+    """Embedding-cosine near-duplicate pairs (id_a < id_b,
+    round(cos, 4) ≥ threshold).
+
+    The admission test intentionally runs on the 4-dp ROUNDED cosine —
+    the boundary must not flip on the ~1e-16 summation-order differences
+    between engines, so a pair up to 5e-5 below the threshold is admitted
+    by contract (quantized boundaries with no float tolerance at all are
+    ``semdedup_pairs``' exact integer test).
 
     ``planes=None``: brute-force O(n²) self-join — the exactness baseline
     (and the DuckDB-checkable oracle form). With SRP ``planes``: both
@@ -128,9 +143,8 @@ def embedding_near_dup(
     pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
     va = F.col("_va").cast("array<double>")
     vb = F.col("_vb").cast("array<double>")
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
     return (
-        pairs.withColumn("cos_sim", F.round(cos, 4))
+        pairs.withColumn("cos_sim", F.round(_cos(va, vb), 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -155,7 +169,11 @@ def _centroid_cosines(vec_col, centroids: np.ndarray):
     for c in centroids:
         p = F.array(*[F.lit(float(x)) for x in c])
         nc = float(np.sqrt(np.sum(c * c)))
-        cols.append(_dot(v, p) / (nv * F.lit(nc)))
+        cols.append(
+            F.when(nv > 0, _dot(v, p) / (nv * F.lit(nc))).otherwise(
+                F.lit(0.0)  # zero vector: cell 0, deterministically
+            )
+        )
     return cols
 
 
@@ -181,7 +199,8 @@ def _py_cos(a, b) -> float:
         dot += x * y
         na += x * x
         nb += y * y
-    return dot / ((na ** 0.5) * (nb ** 0.5))
+    den = (na ** 0.5) * (nb ** 0.5)
+    return dot / den if den > 0 else 0.0
 
 
 def ivf_probe_cells(
@@ -246,6 +265,8 @@ def ivf_train(
     k×d centroid matrix ever reaches the driver. Empty cells keep their
     previous centroid."""
     first = df.select(F.col(vec_col)).first()
+    if first is None or first[0] is None:
+        raise ValueError("ivf_train needs at least one non-null vector")
     dim = len(first[0])
     cents = ivf_centroids(dim, k, seed)
     for _ in range(iters):

@@ -144,3 +144,51 @@ def test_blocks_and_content_match_duckdb(spark):
         tuple(r) for r in con.sql(main_content_sql("docs", "html")).fetchall()
     }
     assert got_c == want_c
+
+
+def test_script_style_bodies_dropped(spark):
+    # stopword-rich JSON-LD / CSS / noscript bodies must never classify
+    # 'good'; an UNCLOSED script degrades to ordinary classification of
+    # its body instead of eating the rest of the document
+    pages = [
+        ("s1", '<p>alpha beta gamma the and of to is the of</p>'
+               '<script type="application/ld+json">{"d": "the best of '
+               'the city and where to stay is the thing"}</script>'),
+        ("s2", '<style>.x { color: red; } /* the and of to is */</style>'
+               '<p>alpha beta gamma the and of to is the of</p>'),
+        ("s3", '<noscript>the and of to is enable scripts</noscript>'
+               '<p>alpha beta gamma the and of to is the of</p>'),
+        ("s4", '<SCRIPT>var x = "the and of to is";</SCRIPT>'
+               '<p>alpha beta gamma the and of to is the of</p>'),
+        ("s5", '<script>var broken = "the and of to is'
+               '<p>alpha beta gamma the and of to is the of</p>'),
+    ]
+    out = main_content(_docs(spark, pages)).collect()
+    got = {r["doc_id"]: r["content"] for r in out}
+    para = "alpha beta gamma the and of to is the of"
+    for d in ("s1", "s2", "s3", "s4"):
+        assert got[d] == para, d
+    # s5: no closing tag -> nothing matched; body classifies normally,
+    # so the js prefix text survives inside the first block
+    assert "broken" in got["s5"]
+    # and the DuckDB replica agrees on every case
+    con = duckdb.connect()
+    con.register("docs", _docs(spark, pages).toPandas())
+    want = {
+        r[0]: r[1]
+        for r in con.sql(main_content_sql("docs", "html")).fetchall()
+    }
+    assert got == want
+
+
+def test_apostrophe_stopwords_escape(spark):
+    # contraction stoplists (don't, l') must not break either dialect
+    stops = ("don't", "l'", "the", "and", "of", "to", "is")
+    pages = [("a1", "<p>alpha don't beta l' gamma the and of to is</p>")]
+    sdf = _docs(spark, pages)
+    rows = html_blocks(sdf, stops=stops).collect()
+    assert rows and rows[0]["stop_hits"] == 7
+    con = duckdb.connect()
+    con.register("docs", sdf.toPandas())
+    want = con.sql(html_blocks_sql("docs", "html", stops=stops)).fetchall()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in want}
