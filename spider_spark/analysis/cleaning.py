@@ -287,13 +287,16 @@ def pii_scrub(
     codegen scan projection; counts come from regexp_count so the text is
     scanned, never exploded."""
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # phones count AFTER email redaction: a phone-shaped substring inside
+    # an email local part ('+1-555-123@x.com') is redacted as the email,
+    # so counting it as a phone would disagree with the [PHONE]
+    # placeholders actually present in scrubbed
+    t_ne = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
-        ).alias("scrubbed"),
+        F.regexp_count(t_ne, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(t_ne, PHONE_RE, "[PHONE]").alias("scrubbed"),
     )
 
 
@@ -315,7 +318,13 @@ def synth_pii(
     t = F.coalesce(F.col(text_col), F.lit(""))
     sid = F.col(id_key).cast("string")
     email = F.concat(F.lit(" reach me at user"), sid, F.lit("@example.com"))
-    phone = F.concat(F.lit(" call +1-555-"), sid)
+    # pad short ids to 3+ digits so the synthetic phone always matches
+    # PHONE_RE's final [0-9]{3,10} group (never truncates longer ids)
+    pad = F.expr(
+        f"lpad(cast({id_key} as string), "
+        f"greatest(length(cast({id_key} as string)), 3), '0')"
+    )
+    phone = F.concat(F.lit(" call +1-555-"), pad)
     return df.withColumn(
         out,
         F.when(h == 0, F.concat(t, email))

@@ -124,22 +124,27 @@ def decontaminate(
     )
 
 
+# adjacent-token pair projection over the shared _bl_t token array —
+# ONE definition: training counts and the scoring occurrence stream must
+# tokenize identically or surprisals silently desynchronize
+_BIGRAM_PAIRS_EXPR = (
+    "CASE WHEN size(_bl_t) >= 2 THEN "
+    "transform(sequence(1, size(_bl_t) - 1), "
+    "i -> named_struct('w1', element_at(_bl_t, i), "
+    "'w2', element_at(_bl_t, i + 1))) "
+    "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+)
+
+
 def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(w1, w2, c12) — corpus bigram occurrence counts over the shared
     lowercase tokenization. One combine-heavy groupBy: after map-side
     partial aggregation the shuffle carries ~|bigram vocab| rows per
     partition, not the corpus. Docs shorter than 2 tokens contribute
     nothing."""
-    pairs = (
-        "CASE WHEN size(_bl_t) >= 2 THEN "
-        "transform(sequence(1, size(_bl_t) - 1), "
-        "i -> named_struct('w1', element_at(_bl_t, i), "
-        "'w2', element_at(_bl_t, i + 1))) "
-        "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
-    )
     return (
         df.withColumn("_bl_t", F.expr(_tokens_expr(text_col)))
-        .select(F.explode(F.expr(pairs)).alias("_bg"))
+        .select(F.explode(F.expr(_BIGRAM_PAIRS_EXPR)).alias("_bg"))
         .select("_bg.w1", "_bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
@@ -193,18 +198,11 @@ def bigram_lm_score(
     # equi-join constant-folds back into the same nested loop.
     v = int(pre.agg(F.count("*").cast("long").alias("v")).first()["v"])
 
-    pairs = (
-        "CASE WHEN size(_bl_t) >= 2 THEN "
-        "transform(sequence(1, size(_bl_t) - 1), "
-        "i -> named_struct('w1', element_at(_bl_t, i), "
-        "'w2', element_at(_bl_t, i + 1))) "
-        "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
-    )
     occ = (
         df.withColumn("_bl_t", F.expr(_tokens_expr(text_col)))
         .select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.expr(pairs)).alias("_bg"),
+            F.explode(F.expr(_BIGRAM_PAIRS_EXPR)).alias("_bg"),
         )
         .select("doc_id", "_bg.w1", "_bg.w2")
     )

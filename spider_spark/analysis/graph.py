@@ -144,7 +144,12 @@ def pagerank_int(
             ranks.withColumnRenamed("node", "src"), "src"
         ).select(
             F.col("dst").alias("node"),
-            F.expr("(r * weight) div ow").alias("c"),
+            # decimal(38,0) multiply: r approaches total mass (n*scale)
+            # under extreme concentration, so r*weight can exceed int64
+            # at north scale; div on decimals is exact and returns bigint
+            F.expr(
+                "cast((cast(r as decimal(38,0)) * weight) div ow as long)"
+            ).alias("c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
@@ -227,9 +232,15 @@ def hits_int(
         a_max = a_raw.agg(F.max("ar")).first()[0] or 1  # empty graph
         auth = a_raw.select(
             "node",
-            F.expr(f"(ar * CAST({scale} AS LONG)) div {a_max}").alias(
-                "auth"
-            ),
+            # widen the multiply to decimal(38,0): ar*scale would wrap
+            # int64 once a node's weighted in-degree exceeds ~9.2e6 at
+            # the default scale (DuckDB's sum() is already HUGEINT, so
+            # only this side needed headroom); div on decimals is exact
+            # integer floor division returning bigint
+            F.expr(
+                f"cast((cast(ar as decimal(38,0)) * {scale}) "
+                f"div {a_max} as long)"
+            ).alias("auth"),
         )
         h_raw = (
             e.join(
@@ -242,9 +253,10 @@ def hits_int(
         h_max = h_raw.agg(F.max("hr")).first()[0] or 1
         hub = h_raw.select(
             "node",
-            F.expr(f"(hr * CAST({scale} AS LONG)) div {h_max}").alias(
-                "hub"
-            ),
+            F.expr(
+                f"cast((cast(hr as decimal(38,0)) * {scale}) "
+                f"div {h_max} as long)"
+            ).alias("hub"),
         )
         state = (
             nodes.join(hub, "node", "left")

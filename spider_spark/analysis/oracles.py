@@ -792,7 +792,8 @@ def pagerank_int_sql(
       SELECT n.node,
              ({base} + ({damping_pct} * coalesce(s.c, 0)) // 100)::BIGINT AS r
       FROM gnodes n LEFT JOIN (
-        SELECT e.dst AS node, sum((r.r * e.weight) // o.ow) AS c
+        SELECT e.dst AS node,
+               sum((r.r::HUGEINT * e.weight) // o.ow)::HUGEINT AS c
         FROM gedges e
         JOIN {prev} r ON r.node = e.src
         JOIN gout o ON o.src = e.src
@@ -834,14 +835,18 @@ def hits_int_sql(
       FROM gedges e JOIN {prev} s ON s.node = e.src
       GROUP BY 1
     ), gan{i} AS MATERIALIZED (
-      SELECT node, (ar * {scale}) // (SELECT max(ar) FROM ga{i}) AS auth
+      SELECT node,
+             ((ar::HUGEINT * {scale}) // (SELECT max(ar) FROM ga{i}))::BIGINT
+               AS auth
       FROM ga{i}
     ), gh{i} AS MATERIALIZED (
       SELECT e.src AS node, sum(a.auth * e.weight) AS hr
       FROM gedges e JOIN gan{i} a ON a.node = e.dst
       GROUP BY 1
     ), ghn{i} AS MATERIALIZED (
-      SELECT node, (hr * {scale}) // (SELECT max(hr) FROM gh{i}) AS hub
+      SELECT node,
+             ((hr::HUGEINT * {scale}) // (SELECT max(hr) FROM gh{i}))::BIGINT
+               AS hub
       FROM gh{i}
     ), gs{i} AS MATERIALIZED (
       SELECT n.node,
@@ -872,7 +877,8 @@ def synth_pii_expr(text_col: str = "text", id_key: str = "doc_id") -> str:
     t = f"coalesce({text_col}, '')"
     sid = f"CAST({id_key} AS VARCHAR)"
     email = f"' reach me at user' || {sid} || '@example.com'"
-    phone = f"' call +1-555-' || {sid}"
+    pad = f"lpad({sid}, greatest(length({sid}), 3)::INTEGER, '0')"
+    phone = f"' call +1-555-' || {pad}"
     return f"""CASE {h}
       WHEN 0 THEN {t} || {email}
       WHEN 1 THEN {t} || {phone}
@@ -890,7 +896,8 @@ def pii_scrub_sql(
     return f"""
     SELECT {id_col} AS doc_id,
            len(regexp_extract_all(t, '{em}'))::BIGINT AS n_emails,
-           len(regexp_extract_all(t, '{ph}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(regexp_replace(t, '{em}', '[EMAIL]',
+                          'g'), '{ph}'))::BIGINT AS n_phones,
            regexp_replace(regexp_replace(t, '{em}', '[EMAIL]', 'g'),
                           '{ph}', '[PHONE]', 'g') AS scrubbed
     FROM (SELECT {id_col}, coalesce({text_expr}, '') AS t FROM {table})

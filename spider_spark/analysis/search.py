@@ -103,6 +103,24 @@ def search_conjunctive(
     )
 
 
+def _idf_weights(tf: DataFrame, n_docs: int) -> DataFrame:
+    """(token, w): floor-log2 idf weight from a per-(doc, token) tf
+    table — ONE definition shared by the tf-idf and BM25 rankers so the
+    two can never silently disagree on term weighting. Derives from the
+    already-tiny tf table (<= matching-docs x |terms| rows)."""
+    return (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("_df"))
+        .withColumn(
+            "w",
+            (
+                F.length(F.bin(F.expr(f"greatest({n_docs} div _df, 1)"))) - 1
+            ).cast("long"),
+        )
+        .select("token", "w")
+    )
+
+
 def search_topk(
     df: DataFrame,
     terms: Sequence[str],
@@ -130,17 +148,7 @@ def search_topk(
     )
     # df_t and the floor-log2 weight derive from the already-tiny tf
     # table (<= matching-docs x |terms| rows); broadcast back by token
-    wt = (
-        tf.groupBy("token")
-        .agg(F.count("*").alias("_df"))
-        .withColumn(
-            "w",
-            (
-                F.length(F.bin(F.expr(f"greatest({n_docs} div _df, 1)"))) - 1
-            ).cast("long"),
-        )
-        .select("token", "w")
-    )
+    wt = _idf_weights(tf, n_docs)
     return (
         tf.join(F.broadcast(wt), "token")
         .groupBy("doc_id")
@@ -221,17 +229,7 @@ def search_bm25(
         .groupBy("doc_id", "dl", "token")
         .agg(F.count("*").alias("tf"))
     )
-    wt = (
-        tf.groupBy("token")
-        .agg(F.count("*").alias("_df"))
-        .withColumn(
-            "w",
-            (
-                F.length(F.bin(F.expr(f"greatest({n_docs} div _df, 1)"))) - 1
-            ).cast("long"),
-        )
-        .select("token", "w")
-    )
+    wt = _idf_weights(tf, n_docs)
     return (
         tf.join(F.broadcast(wt), "token")
         .withColumn(

@@ -201,23 +201,23 @@ def cms_sketch(
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )
     df = df.filter(F.col(value_col).isNotNull())
-    rows = [
-        df.select(
-            F.lit(j).cast("long").alias("j"),
-            F.expr(
-                md5_u32_sql(f"concat(cast({value_col} as string), '#', {j})")
-                + f" % {width}"
-            )
-            .cast("long")
-            .alias("bucket"),
-            wexpr.alias("_w"),
-        )
-        for j in range(depth)
-    ]
-    grid = rows[0]
-    for r in rows[1:]:
-        grid = grid.unionAll(r)
-    return grid.groupBy("j", "bucket").agg(F.sum("_w").alias("c"))
+    # ONE scan: per row, project the depth (j, bucket) pairs as an array
+    # and posexplode — a depth-way unionAll would re-read the corpus
+    # depth times for the same grid
+    inner = md5_u32_sql(
+        f"concat(cast({value_col} as string), '#', cast(j as string))"
+    )
+    pairs = F.expr(
+        f"transform(sequence(0, {depth - 1}), j -> named_struct("
+        f"'j', cast(j as bigint), "
+        f"'bucket', cast(({inner}) % {width} as bigint)))"
+    )
+    return (
+        df.select(wexpr.alias("_w"), F.posexplode(pairs).alias("_p", "_s"))
+        .select(F.col("_s.j").alias("j"), F.col("_s.bucket").alias("bucket"), "_w")
+        .groupBy("j", "bucket")
+        .agg(F.sum("_w").alias("c"))
+    )
 
 
 def cms_estimate(
@@ -353,7 +353,14 @@ def kmv_distinct(
 
     h = F.expr(md5_u32_sql(f"cast({value_col} as string)"))
     kcols = [F.col(c) for c in key_cols]
-    distinct_h = df.select(*kcols, h.alias("_h")).distinct()
+    # NULLs are excluded from the count-distinct, matching hll_distinct /
+    # cms_sketch (and the engines' opposite NULLS FIRST/LAST defaults
+    # would otherwise rank a null hash differently in the bottom-k)
+    distinct_h = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*kcols, h.alias("_h"))
+        .distinct()
+    )
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy("_h")
     mins = distinct_h.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
@@ -397,6 +404,7 @@ def kmv_sql(
     return f"""
     WITH dh AS (
       SELECT DISTINCT {ksel}{h} AS _h FROM {table}
+      WHERE {value_col} IS NOT NULL
     ), mins AS (
       SELECT {ksel}_h,
              row_number() OVER ({part}ORDER BY _h) AS _rn

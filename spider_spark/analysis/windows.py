@@ -77,10 +77,8 @@ def sliding_stats(
     (width ``width_s``, hop ``slide_s``) — each event lands in
     width/slide windows; Spark's generator expands the replicas before
     the single combine-heavy groupBy."""
-    if width_s % slide_s != 0:
-        # Spark requires nothing here, but non-divisor hops make window
-        # membership counts uneven; allow it — semantics stay exact
-        pass
+    # non-divisor hops are allowed: membership counts go uneven but the
+    # semantics stay exact (no validation needed)
     win = F.window(F.col(ts_col), f"{width_s} seconds", f"{slide_s} seconds")
     kcols = [F.col(c) for c in key_cols]
     return (
@@ -111,15 +109,15 @@ def tumbling_sql(
 ) -> str:
     """DuckDB replica: win_start_us = (epoch_us(ts) // W) * W."""
     w_us = width_s * US
-    keys = ", ".join(key_cols)
+    keys = "".join(f", {c}" for c in key_cols)  # '' when un-keyed
     return f"""
-      SELECT ((epoch_us({ts_col}) // {w_us}) * {w_us})::BIGINT AS win_start_us,
+      SELECT ((epoch_us({ts_col}) // {w_us}) * {w_us})::BIGINT AS win_start_us
              {keys},
              count(*)::BIGINT AS n_events,
              CAST(round(sum(CAST({value_col} AS DECIMAL(18,6))), 2)
                   AS DOUBLE) AS value_sum
         FROM {table}
-       GROUP BY win_start_us, {keys}
+       GROUP BY win_start_us{keys}
     """
 
 
@@ -140,20 +138,20 @@ def sliding_sql(
     w_us = width_s * US
     s_us = slide_s * US
     max_k = w_us // s_us  # k ranges 0..max_k; filter trims the extra one
-    keys = ", ".join(key_cols)
+    keys = "".join(f", {c}" for c in key_cols)  # '' when un-keyed
     return f"""
       WITH expanded AS (
         SELECT ((epoch_us({ts_col}) // {s_us} - g.i) * {s_us})::BIGINT
-                 AS win_start_us,
+                 AS win_start_us
                {keys}, {value_col}
           FROM {table}, range(0, {max_k + 1}) AS g(i)
          WHERE epoch_us({ts_col})
                < ((epoch_us({ts_col}) // {s_us} - g.i) * {s_us}) + {w_us}
       )
-      SELECT win_start_us, {keys},
+      SELECT win_start_us{keys},
              count(*)::BIGINT AS n_events,
              CAST(round(sum(CAST({value_col} AS DECIMAL(18,6))), 2)
                   AS DOUBLE) AS value_sum
         FROM expanded
-       GROUP BY win_start_us, {keys}
+       GROUP BY win_start_us{keys}
     """

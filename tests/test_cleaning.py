@@ -179,3 +179,38 @@ def test_line_dedup_all_lines_dropped_keeps_row(spark):
     assert got["b"]["clean_text"] == "" and got["b"]["n_lines_kept"] == 0
     assert got["a"]["clean_text"] == "y"
     assert len(got) == 4
+
+
+def test_pii_phone_counts_follow_redaction(spark):
+    from spider_spark.analysis.cleaning import pii_scrub, synth_pii
+
+    # a phone-shaped substring inside an email local part is redacted as
+    # the email — n_phones must agree with the [PHONE] placeholders
+    df = spark.createDataFrame(
+        [("d1", "ping +1-555-123@example.com"), ("d2", "call +1-555-123")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got["d1"]["n_emails"] == 1 and got["d1"]["n_phones"] == 0
+    assert got["d1"]["scrubbed"] == "ping [EMAIL]"
+    assert got["d2"]["n_phones"] == 1
+    for d in ("d1", "d2"):
+        assert got[d]["scrubbed"].count("[PHONE]") == got[d]["n_phones"]
+        assert got[d]["scrubbed"].count("[EMAIL]") == got[d]["n_emails"]
+
+    # synthetic phones match PHONE_RE even for 1-2 digit ids (padded),
+    # and longer ids are never truncated
+    ids = spark.createDataFrame(
+        [("7", "x"), ("4321", "y")], "doc_id string, text string"
+    )
+    p = {r["doc_id"]: r["ptext"] for r in synth_pii(ids).collect()}
+    scr = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            synth_pii(ids).select("doc_id", F.col("ptext").alias("text"))
+        ).collect()
+    }
+    for d, txt in p.items():
+        if "+1-555-" in txt:
+            assert scr[d]["n_phones"] == 1, (d, txt)
+            assert "[PHONE]" in scr[d]["scrubbed"]

@@ -259,3 +259,20 @@ def test_kmv_plan_uses_window_group_limit(spark):
         sk._jdf.queryExecution(), "simple"
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_null_values_excluded(spark):
+    # KMV follows the same count-distinct convention as HLL/CMS: a NULL
+    # value must not occupy a bottom-k slot (Spark's NULLS FIRST would
+    # rank it opposite to DuckDB's NULLS LAST) nor inflate the exact
+    # small-group count
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,), ("c",)], "v string"
+    )
+    clean = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    got = K.kmv_distinct(df, "v", k=8).collect()[0]
+    want = K.kmv_distinct(clean, "v", k=8).collect()[0]
+    assert tuple(got) == tuple(want) and got["est_distinct"] == 3
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": ["a", None, "b", None, "c"]}))
+    assert con.sql(K.kmv_sql("t", "v", k=8)).fetchall()[0] == tuple(want)
