@@ -440,7 +440,15 @@ class CrawlEngine:
 
     def _recover_compaction(self):
         """Roll an interrupted compact_state forward (marker = data verified,
-        swap incomplete) or discard an unverified tmp (no marker)."""
+        swap incomplete) or discard an unverified tmp (no marker).
+
+        The output dir ``round=<upto>`` is ALSO one of the inputs (the tmp
+        renames onto that name), so the two crash windows differ: while the
+        tmp still exists the round=<upto> on disk is the old un-compacted
+        delta and must go before the rename; once the tmp is gone the
+        rename has happened and round=<upto> IS the compacted table —
+        deleting it there (the crash window between rename and marker
+        removal) would destroy the whole state table."""
         for kind in COMPACTABLE:
             base = os.path.join(self.work_dir, kind)
             if not os.path.isdir(base):
@@ -450,12 +458,14 @@ class CrawlEngine:
             if os.path.exists(marker):
                 with open(marker) as f:
                     st = json.load(f)
+                out = f"round={st['upto']}"
+                keep = () if os.path.isdir(tmp) else (out,)
                 for d in st["inputs"]:
                     p = os.path.join(base, d)
-                    if os.path.isdir(p):
+                    if d not in keep and os.path.isdir(p):
                         shutil.rmtree(p)
                 if os.path.isdir(tmp):
-                    os.rename(tmp, os.path.join(base, f"round={st['upto']}"))
+                    os.rename(tmp, os.path.join(base, out))
                 os.remove(marker)
             elif os.path.isdir(tmp):
                 shutil.rmtree(tmp)
@@ -475,7 +485,8 @@ class CrawlEngine:
         if self.cfg.spark_seeding:
             return self._initialize_spark()
         queues, seen, _inflight, namespace = seed_state(
-            self.sources, self.robots, self.sitemaps().get
+            self.sources, self.robots, self.sitemaps().get,
+            self.cfg.sitemap_max_depth,
         )
         self.namespace = namespace
         # pandas frames take the Arrow fast path into the JVM — a plain

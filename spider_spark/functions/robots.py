@@ -75,10 +75,13 @@ class RobotsRules:
     def allowed_series(self, urls: pd.Series) -> pd.Series:
         """Vectorized matching: one pass per rule over the whole batch."""
         urls = urls.astype("string")
-        if self.mode == "allow_all" or not self.rules:
-            return pd.Series(True, index=urls.index)
+        # disallow_all FIRST: it is rule-less by construction, so the
+        # `not self.rules` shortcut below would otherwise allow everything
+        # — the exact opposite of the scalar is_allowed
         if self.mode == "disallow_all":
             return pd.Series(False, index=urls.index)
+        if self.mode == "allow_all" or not self.rules:
+            return pd.Series(True, index=urls.index)
         paths = urls.str.replace(_URL_SPLIT_RE.pattern, "", regex=True)
         paths = paths.str.replace(r"#.*$", "", regex=True)
         paths = paths.mask(~paths.str.startswith("/"), "/" + paths)
@@ -111,6 +114,11 @@ def parse_robots(body: str | None, user_agent: str) -> RobotsRules:
     wildcard_delay: float | None = None
     cur_tokens: list[str] = []
     seen_directive_since_ua = True
+    # REP group selection keys on whether a specific-UA group MATCHED,
+    # not on whether it contributed path rules: a matched group whose
+    # only directive is an empty Disallow (= allow everything) must
+    # shadow the * group entirely, not fall back to its rules/delay
+    specific_matched = False
 
     def target_lists():
         lists = []
@@ -131,7 +139,10 @@ def parse_robots(body: str | None, user_agent: str) -> RobotsRules:
             if seen_directive_since_ua:
                 cur_tokens = []
                 seen_directive_since_ua = False
-            cur_tokens.append(val.lower())
+            tok = val.lower()
+            cur_tokens.append(tok)
+            if tok != "*" and tok in ua:
+                specific_matched = True
         elif key in ("allow", "disallow"):
             seen_directive_since_ua = True
             for t in target_lists():
@@ -156,8 +167,8 @@ def parse_robots(body: str | None, user_agent: str) -> RobotsRules:
             if val:
                 sitemaps.append(val)
 
-    chosen = specific if specific else wildcard
-    delay = specific_delay if specific else wildcard_delay
+    chosen = specific if specific_matched else wildcard
+    delay = specific_delay if specific_matched else wildcard_delay
     rules = sorted(
         (
             (is_allow, len(pat), _rule_regex(pat), pat)

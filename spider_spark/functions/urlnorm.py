@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 import pandas as pd
 
 UNWANTED_QUERY_PARAMS = (
@@ -164,22 +163,3 @@ def url_host_series(urls: pd.Series) -> pd.Series:
 def url_host(url: str) -> str | None:
     m = _HOST_RE.match(url)
     return m.group(1) if m else None
-
-
-# --------------------------------------------------------------- url hash
-
-
-def url_hash_series(urls: pd.Series, num_buckets: int) -> pd.Series:
-    """Stable bucket id for seen-set partitioning. Matches Spark's
-    ``pmod(xxhash64(url), n)`` is NOT required — buckets only need to be
-    consistent within the engine; we use a cheap FNV-1a in numpy."""
-    hashes = urls.map(_fnv1a64).astype("uint64")
-    return pd.Series(np.mod(hashes.to_numpy(dtype="uint64"), np.uint64(num_buckets)).astype("int64"), index=urls.index)
-
-
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8", "surrogatepass"):
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h

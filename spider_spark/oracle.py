@@ -101,30 +101,6 @@ class CrawlResult:
     metrics: list = field(default_factory=list)
 
 
-def expand_sitemaps(web: Web, start_urls: list[str]) -> list[str]:
-    """Recursive sitemap expansion with cycle guard (R21)."""
-    out: list[str] = []
-    visited: set[str] = set()
-
-    def visit(sm_url: str):
-        if sm_url in visited:
-            return
-        visited.add(sm_url)
-        entry = web.sitemaps.get(sm_url)
-        if entry is None:
-            return  # fetch failure -> empty (SitemapInspector.scala:29-35)
-        kind, urls = entry
-        if kind == "index":
-            for child in urls:
-                visit(child)
-        else:
-            out.extend(urls)
-
-    for sm in start_urls:
-        visit(sm)
-    return out
-
-
 def _noindex(headers: dict) -> bool:
     for k, v in (headers or {}).items():
         if k.lower() == "x-robots-tag":
@@ -137,6 +113,7 @@ def seed_state(
     sources: list,
     robots: RobotsTable,
     sitemaps_fetch,
+    sitemap_max_depth: int | None = None,
 ):
     """Round-0 seeding, shared verbatim by oracle and Spark engine so their
     initial state is identical by construction.
@@ -153,24 +130,34 @@ def seed_state(
     namespace: dict[str, str] = {}
 
     def expand(start_urls):
-        out, visited = [], set()
-
-        def visit(sm_url):
-            if sm_url in visited:
-                return
-            visited.add(sm_url)
-            entry = sitemaps_fetch(sm_url)
-            if entry is None:
-                return
-            kind, urls = entry
-            if kind == "index":
-                for child in urls:
-                    visit(child)
-            else:
-                out.extend(urls)
-
+        # BFS with minimal-depth visit order and the SAME index-hop bound
+        # as the Spark path (operators/expand.expand_reachable with
+        # max_depth=cfg.sitemap_max_depth): both must truncate an
+        # index-sitemap chain at the same level or the two seeding paths
+        # diverge on hosts deeper than the cap
+        out, visited, frontier = [], set(), []
         for sm in start_urls:
-            visit(sm)
+            if sm not in visited:
+                visited.add(sm)
+                frontier.append(sm)
+        depth = 0
+        while frontier:
+            nxt = []
+            for sm_url in frontier:
+                entry = sitemaps_fetch(sm_url)
+                if entry is None:
+                    continue  # fetch failure (SitemapInspector.scala:29-35)
+                kind, urls = entry
+                if kind == "index":
+                    if sitemap_max_depth is None or depth < sitemap_max_depth:
+                        for child in urls:
+                            if child not in visited:
+                                visited.add(child)
+                                nxt.append(child)
+                else:
+                    out.extend(urls)
+            frontier = nxt
+            depth += 1
         return out
 
     for source_id, _name, seed_url in sources:
@@ -211,7 +198,7 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
     metrics: list[dict] = []
 
     q0, seen, inflight, namespace = seed_state(
-        web.sources, robots, web.sitemaps.get
+        web.sources, robots, web.sitemaps.get, cfg.sitemap_max_depth
     )
     queues: dict[str, list[str]] = {h: [u for u, _sm in q] for h, q in q0.items()}
 

@@ -119,3 +119,34 @@ def test_crash_recovery_rolls_forward_and_back(spark, tmp_path):
     eng3.round = eng.round
     assert not os.path.exists(os.path.join(base, _COMPACT_TMP))
     assert engine_seen(eng3) == before
+
+
+def test_crash_recovery_after_rename_keeps_output(spark, tmp_path):
+    """The third crash window: marker present, tmp ALREADY renamed onto
+    round=<upto> (crash between rename and marker removal). round=<upto>
+    is both an input name and the output — recovery must NOT delete it."""
+    web = synth_web(n_hosts=2, pages_per_host=20, links_per_page=4, seed=6)
+    cfg = CrawlConfig(scrape_parallelism=5, max_retries=1)
+    input_dir = write_web(web, str(tmp_path / "web_cr2"))
+    work = str(tmp_path / "work_cr2")
+    eng = CrawlEngine(spark, input_dir, work, cfg)
+    eng.initialize()
+    eng.run_round()
+    eng.run_round()
+    before = engine_seen(eng)
+    base = os.path.join(work, "seen")
+
+    inputs = _round_dirs(work, "seen")
+    assert len(inputs) >= 2
+    # run the real compaction, then resurrect the marker as if the
+    # process died a microsecond before os.remove(marker)
+    eng.compact_state(kinds=("seen",))
+    assert _round_dirs(work, "seen") == [f"round={eng.round}"]
+    with open(os.path.join(base, _COMPACT_MARKER), "w") as f:
+        json.dump({"upto": eng.round, "inputs": inputs}, f)
+
+    eng2 = CrawlEngine(spark, input_dir, work, cfg)  # ctor runs recovery
+    eng2.round = eng.round
+    assert not os.path.exists(os.path.join(base, _COMPACT_MARKER))
+    assert _round_dirs(work, "seen") == [f"round={eng.round}"]
+    assert engine_seen(eng2) == before  # the table survived

@@ -415,3 +415,58 @@ def test_combined_modes_pagerank_match_oracle(spark, tmp_path):
     oracle_res = oracle_crawl(web, cfg)
     eng, _ = engine_run(spark, web, cfg, tmp_path, "combo_pr")
     assert_match(eng, oracle_res)
+
+
+def test_seeding_depth_cap_parity(spark, tmp_path):
+    """A sitemap-index chain deeper than cfg.sitemap_max_depth truncates
+    at the SAME level on both seeding paths (the Spark BFS and the
+    driver-side seed_state BFS) — pages hanging below the cap are dropped
+    identically, not just by one path."""
+    from spider_spark.fixtures import Web, page_doc
+
+    host = "deep.org"
+    depth_chain = 8
+    sitemaps = {}
+    for i in range(depth_chain):
+        sm = f"https://{host}/sm{i}.xml"
+        nxt = f"https://{host}/sm{i + 1}.xml"
+        leaf = f"https://{host}/leaf{i}.xml"
+        sitemaps[sm] = ("index", [nxt, leaf])
+        sitemaps[leaf] = ("urlset", [f"https://{host}/p{i}.html"])
+    sitemaps[f"https://{host}/sm{depth_chain}.xml"] = (
+        "urlset", [f"https://{host}/bottom.html"]
+    )
+    sitemaps[f"https://{host}/sitemap.xml"] = (
+        "index", [f"https://{host}/sm0.xml"]
+    )
+    docs = {f"https://{host}/": page_doc([])}
+    web = Web(docs, [("s1", "deep", f"https://{host}/")], {}, sitemaps)
+    input_dir = write_web(web, str(tmp_path / "web_deep"))
+
+    cap = 4
+    legacy = CrawlEngine(
+        spark, input_dir, str(tmp_path / "wd_legacy"),
+        CrawlConfig(spark_seeding=False, sitemap_max_depth=cap),
+    )
+    legacy.initialize()
+    sparkside = CrawlEngine(
+        spark, input_dir, str(tmp_path / "wd_spark"),
+        CrawlConfig(spark_seeding=True, sitemap_max_depth=cap),
+    )
+    sparkside.initialize()
+
+    def urls(eng):
+        return sorted(
+            r["url"] for r in eng.spark.read.parquet(
+                eng._p("frontier", 0)
+            ).collect()
+        )
+
+    got_l, got_s = urls(legacy), urls(sparkside)
+    assert got_l == got_s
+    # sitemap.xml (depth 0) -> sm0 (1) -> {sm1, leaf0} (2) -> ... each
+    # leaf_i sits at index depth i+2, so the cap keeps p0..p(cap-2) only
+    keep = {f"https://{host}/p{i}.html" for i in range(cap - 1)}
+    assert keep < set(got_l)
+    assert not any(u.startswith(f"https://{host}/p{cap - 1}") for u in got_l)
+    assert f"https://{host}/bottom.html" not in got_l

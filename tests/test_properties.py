@@ -28,7 +28,6 @@ from spider_spark.functions.urlnorm import (
     is_valid_url_series,
     strip_trailing_slash,
     strip_trailing_slash_series,
-    url_hash_series,
     url_host,
     url_host_series,
     wanted_url,
@@ -140,14 +139,6 @@ def test_host_is_substring(u):
         assert h in u
 
 
-@given(st.lists(wild_text, min_size=1, max_size=8),
-       st.integers(min_value=1, max_value=1024))
-def test_url_hash_in_range_and_deterministic(batch, n):
-    s = pd.Series(batch)
-    h1 = url_hash_series(s, n)
-    h2 = url_hash_series(s, n)
-    assert h1.tolist() == h2.tolist()
-    assert all(0 <= v < n for v in h1)
 
 
 # ------------------------------------------------------------------- robots

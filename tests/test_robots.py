@@ -6,6 +6,7 @@ import pandas as pd
 
 from spider_spark.functions.robots import (
     ALLOW_ALL,
+    RobotsRules,
     RobotsTable,
     parse_robots,
 )
@@ -129,3 +130,38 @@ def test_rules_of_fetching_host_apply_to_foreign_links():
 
 def test_allow_all_constant():
     assert ALLOW_ALL.is_allowed("https://any/url")
+
+
+def test_matched_empty_specific_group_shadows_wildcard():
+    # REP: a MATCHED specific group governs entirely, even when its only
+    # directive is an empty Disallow (= allow everything) — it must not
+    # fall back to the * group's rules or crawl-delay
+    body = (
+        "User-agent: spiderbot\nDisallow:\n\n"
+        "User-agent: *\nCrawl-delay: 9\nDisallow: /\n"
+    )
+    r = parse_robots(body, "spiderbot")
+    assert r.mode == "allow_all" and not r.rules
+    assert r.crawl_delay is None
+    assert r.is_allowed("https://h/x") is True
+    # and a specific group carrying ONLY a crawl-delay keeps that delay
+    # (not the wildcard's) while inheriting no wildcard rules
+    body2 = (
+        "User-agent: spiderbot\nCrawl-delay: 2\n\n"
+        "User-agent: *\nCrawl-delay: 9\nDisallow: /\n"
+    )
+    r2 = parse_robots(body2, "spiderbot")
+    assert r2.crawl_delay == 2.0 and r2.is_allowed("https://h/x") is True
+    # unmatched UA still uses the wildcard group
+    r3 = parse_robots(body, "otherbot")
+    assert r3.is_allowed("https://h/x") is False
+
+
+def test_allowed_series_disallow_all_matches_scalar():
+    import pandas as pd
+
+    r = RobotsRules(mode="disallow_all")
+    urls = pd.Series(["https://h/a", "https://h/b"])
+    got = list(r.allowed_series(urls))
+    assert got == [False, False]
+    assert got == [r.is_allowed(u) for u in urls]

@@ -16,7 +16,6 @@ from spider_spark.functions.urlnorm import (
     is_valid_url,
     strip_trailing_slash,
     url_host,
-    url_hash_series,
     wanted_url,
 )
 
@@ -161,8 +160,3 @@ def test_strip_trailing_slash():
     assert strip_trailing_slash("https://www.example1.com") == "https://www.example1.com"
 
 
-def test_url_hash_stable_and_bucketed():
-    s = pd.Series(["https://a.de/1", "https://a.de/2", "https://a.de/1"])
-    h = url_hash_series(s, 16)
-    assert h.iloc[0] == h.iloc[2]
-    assert ((h >= 0) & (h < 16)).all()
