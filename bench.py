@@ -84,6 +84,7 @@ HEADLINE = [
     "text_main_content",      # jusText boilerplate removal (1-exchange)
     "export_manifest",        # sharded-export manifest (combine-heavy agg)
     "dedup_semantic",         # SemDeDup: cell-bounded pairs + label prop
+    "multimodal_phash_dedup", # image phash dedup over real decode
 ]
 
 

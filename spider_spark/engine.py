@@ -1026,7 +1026,7 @@ class CrawlEngine:
         # checkpointed per round; each round hashes only its seen-delta and
         # OR-merges — O(delta), never O(seen).
         if cfg.bloom_enabled:
-            blooms = self._load_blooms(r - 1, seen_all)
+            blooms = self._blooms_for(r - 1, seen_all)
             probed = self._sidecar_probe(cand, blooms)
             definite_new = probed.filter(~F.col("maybe_seen")).drop(
                 "maybe_seen", "bucket"
@@ -1210,7 +1210,7 @@ class CrawlEngine:
                     )
                 )
                 merged = self._sidecar_merge(
-                    self._load_blooms(r - 1, seen_all), delta_filters
+                    self._blooms_for(r - 1, seen_all), delta_filters
                 )
                 merged.write.mode("overwrite").parquet(self._p("blooms", r))
 
@@ -1343,6 +1343,23 @@ class CrawlEngine:
                 & F.col("n_buckets").eqNullSafe(F.lit(cfg.num_seen_buckets))
             )
         return filters.filter(pred).head(1)
+
+    def _blooms_for(self, upto_round: int, seen_all: DataFrame) -> DataFrame:
+        """Per-round memo over ``_load_blooms``: the candidate prefilter
+        and sink_seen's merge both need the SAME filters-at-(r-1), and on
+        the bootstrap round the uncached plan is a full-seen hashing job —
+        exactly the O(|seen|) cost the incremental sidecar exists to
+        avoid, paid twice without this. The memoized frame is persisted so
+        both consumers read one materialization; superseded rounds
+        unpersist on the next call."""
+        cached = getattr(self, "_blooms_cache", None)
+        if cached is not None and cached[0] == upto_round:
+            return cached[1]
+        if cached is not None:
+            cached[1].unpersist()
+        df = self._load_blooms(upto_round, seen_all).persist()
+        self._blooms_cache = (upto_round, df)
+        return df
 
     def _load_blooms(self, upto_round: int, seen_all: DataFrame) -> DataFrame:
         """Seen-filter checkpoint covering exactly rounds 0..upto_round

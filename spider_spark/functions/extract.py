@@ -187,16 +187,62 @@ def extract_canonical_links_from_body(html: str, base_url: str) -> list[str]:
 def extract_raw(html: str, base_url: str) -> tuple[str | None, list[str]]:
     """Returns (raw head-canonical, raw candidate links in reference order:
     allHref ++ absLinks ++ bodyCanonicals ++ hreflang —
-    ContentFilter.scala:46-50), canonical already excluded (:66)."""
-    canonical = canonical_link_from_head(html, base_url)
-    links = (
-        extract_all_href(html, base_url)
-        + extract_abs_links(html, base_url)
-        + extract_canonical_links_from_body(html, base_url)
-        + extract_hreflang(html, base_url)
-    )
+    ContentFilter.scala:46-50), canonical already excluded (:66).
+
+    Single-pass: ONE comment strip + ONE tag scan classifying each tag
+    into the four extractor outputs (+ the head canonical via the tag's
+    position against the <head> span), where composing the standalone
+    extractors would re-strip and re-scan the same markup ~6×. This is the
+    dominant per-page regex cost of the extraction UDF — the round's
+    expensive stage — so the standalone extractors above stay as the
+    golden-tested spec and this fusion is pinned to them by
+    tests/test_extract.py's raw-vs-batch cross-checks."""
+    html = _COMMENT_RE.sub("", html)
+    m = _HEAD_RE.search(html)
+    head_span = (m.start(1), m.end(1)) if m else None
+    elem_span = (m.start(), m.end()) if m else None
+    canonical: str | None = None
+    all_href: list[str] = []
+    abs_links: list[str] = []
+    body_canon: list[str] = []
+    hreflang: list[str] = []
+    for tm in _TAG_RE.finditer(html):
+        name = tm.group(1).lower()
+        attrs = {}
+        for am in _ATTR_RE.finditer(tm.group(2)):
+            key = am.group(1).lower()
+            if key not in attrs:
+                attrs[key] = am.group(2) or am.group(3) or am.group(4) or ""
+        if "href" not in attrs:
+            continue
+        u = _abs(attrs["href"], base_url)
+        if not is_valid_url(u):
+            continue
+        if u.endswith(".html"):
+            all_href.append(u)
+        if name == "a":
+            abs_links.append(u)
+        if name == "link" and "rel" in attrs:
+            if attrs["rel"] == "canonical":
+                in_head = (
+                    head_span is not None
+                    and head_span[0] <= tm.start()
+                    and tm.end() <= head_span[1]
+                )
+                in_elem = (
+                    elem_span is not None
+                    and elem_span[0] <= tm.start() < elem_span[1]
+                )
+                if in_head:
+                    if canonical is None:
+                        canonical = u
+                elif not in_elem:
+                    body_canon.append(u)
+            if "hreflang" in attrs:
+                hreflang.append(u)
+    links = all_href + abs_links + body_canon + hreflang
     if canonical is not None:
-        links = [u for u in links if u != canonical]
+        links = [x for x in links if x != canonical]
     return canonical, links
 
 
