@@ -2772,8 +2772,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": """
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
-                   len(regexp_extract_all(text,
+                   len(list_filter(regexp_split_to_array(
+                       trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> ''))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(coalesce(text, ''),
                        '[A-Za-z]{1,4}|[0-9]+|[^\\sA-Za-z0-9]'))::BIGINT AS bpe_tokens
             FROM documents
         """,

@@ -8,8 +8,8 @@ Four families, scale-ranked:
     Only documents sharing a band bucket are compared, so the candidate
     join is |buckets|-bounded instead of O(n²).
   - SimHash: 64-bit weighted token hash; near-dup = small Hamming
-    distance, found via the 4×16-bit band trick (pigeonhole: hamming<=3
-    implies at least one identical 16-bit quarter).
+    distance, found via the banded pigeonhole trick (max_hamming+1
+    disjoint bit slices: any qualifying pair shares one band intact).
   - n-gram Jaccard: exact verification on LSH candidates (the
     re-rank/verify stage after either LSH).
   - duplicate-substring spans: corpus-duplicated token k-grams merged
@@ -71,7 +71,7 @@ def exact_representatives(
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     d = df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias(text_col) if text_col != id_col else F.col(text_col),
+        F.col(text_col),
         F.md5(norm).alias("fp"),
     )
     reps = d.groupBy("fp").agg(
@@ -417,21 +417,50 @@ def with_simhash_halves(
     )
 
 
+def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) slices of the 64-bit simhash for the pigeonhole
+    join: ``max_hamming + 1`` disjoint bands, so any pair within the
+    distance bound leaves at least one band untouched (with only 4 fixed
+    quarters, completeness held for hamming <= 3 ONLY — a max_hamming=8
+    caller silently lost pairs whose diff bits spread across all four).
+    Shared by the Spark operator and the DuckDB oracle generator so both
+    engines band identically. max_hamming=3 reproduces the classic 4x16
+    quarters bit-for-bit."""
+    b = min(64, max_hamming + 1)
+    base, extra = divmod(64, b)
+    out, s = [], 0
+    for i in range(b):
+        w = base + (1 if i < extra else 0)
+        out.append((s, w))
+        s += w
+    return out
+
+
+def _band_expr_sql(s: int, w: int, lo: str = "sh_lo", hi: str = "sh_hi") -> str:
+    """Engine-portable SQL for simhash bits [s, s+w) over the two packed
+    32-bit halves (identical operator set in Spark SQL and DuckDB)."""
+    mask = (1 << w) - 1
+    if s + w <= 32:
+        return f"(({lo} >> {s}) & {mask})"
+    if s >= 32:
+        return f"(({hi} >> {s - 32}) & {mask})"
+    wl = 32 - s
+    mh = (1 << (w - wl)) - 1
+    return f"((({lo} >> {s}) & {(1 << wl) - 1}) | (({hi} & {mh}) << {wl}))"
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via the 4-band
-    pigeonhole join (any pair within distance 3 shares a 16-bit quarter)."""
+    """Near-dup pairs with hamming(simhash) <= max_hamming via the banded
+    pigeonhole join: max_hamming+1 disjoint bit slices, any qualifying
+    pair shares at least one band value."""
     sigs = with_simhash_halves(df, text_col, id_col)
-    quarter = [
-        F.expr("sh_lo & 65535"),
-        F.expr("shiftright(sh_lo, 16) & 65535"),
-        F.expr("sh_hi & 65535"),
-        F.expr("shiftright(sh_hi, 16) & 65535"),
-    ]
+    bands = simhash_bands(max_hamming)
+    quarter = [F.expr(_band_expr_sql(s, w)) for s, w in bands]
     quarters = sigs.select(
         "doc_id",
         "sh_lo",
@@ -440,7 +469,7 @@ def simhash_near_duplicates(
             F.array(
                 *[
                     F.struct(F.lit(q).alias("q"), quarter[q].alias("qv"))
-                    for q in range(4)
+                    for q in range(len(bands))
                 ]
             )
         ).alias("b"),
@@ -512,7 +541,12 @@ def ngram_jaccard(
             .distinct()
         )
         docs = docs.join(cand_ids, id_col, "left_semi")
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # coalesce: NULL text must behave like empty (no grams), not poison
+    # the arrays into size(NULL) = -1 so a null doc "verifies" at -1/-1
+    # jaccard = 1.0 against any candidate partner
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
     grams = F.array_distinct(
         F.filter(
             F.transform(

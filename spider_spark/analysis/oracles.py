@@ -242,16 +242,25 @@ def simhash_sig_cte(
 
 
 def simhash_pairs_sql(table: str = "documents", max_hamming: int = 8) -> str:
-    """Simhash near-dup pairs: (id_l, id_r, hamming)."""
+    """Simhash near-dup pairs: (id_l, id_r, hamming). Banding comes from
+    the SAME simhash_bands spec the Spark operator uses (max_hamming+1
+    disjoint slices — pigeonhole-complete for the given bound)."""
+    from spider_spark.analysis.dedup import _band_expr_sql, simhash_bands
+
+    bands = simhash_bands(max_hamming)
+    cases = " ".join(
+        f"WHEN {i} THEN {_band_expr_sql(s, w)}"
+        for i, (s, w) in enumerate(bands[:-1])
+    )
+    last = _band_expr_sql(*bands[-1])
+    qids = ",".join(str(i) for i in range(len(bands)))
     return f"""
     WITH {simhash_sig_cte(table)},
     quarters AS (
       SELECT doc_id, sh_lo, sh_hi, q.q AS q,
-             CASE q.q WHEN 0 THEN sh_lo & 65535
-                      WHEN 1 THEN (sh_lo >> 16) & 65535
-                      WHEN 2 THEN sh_hi & 65535
-                      ELSE (sh_hi >> 16) & 65535 END AS qv
-      FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS q) q
+             CASE q.q {cases}
+                      ELSE {last} END AS qv
+      FROM sigs CROSS JOIN (SELECT unnest([{qids}]) AS q) q
     ), pairs AS (
       SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r,
              l.sh_lo AS lo_l, l.sh_hi AS hi_l,
@@ -277,7 +286,8 @@ def ngram_jaccard_sql(
 ) -> str:
     """Jaccard verification over the minhash-LSH candidate pairs:
     (id_l, id_r, n_bands_hit, jaccard). Gram tokenization mirrors the
-    Spark side exactly (trim+split, NOT empty-filtered)."""
+    Spark side exactly (coalesce+trim+split, NOT empty-filtered; null
+    text yields no grams on both engines)."""
     lsh = minhash_lsh_sql(table, num_hashes, bands, shingle_w).strip()
     return f"""
     WITH cand AS ({lsh}),
@@ -288,7 +298,8 @@ def ngram_jaccard_sql(
                        i -> array_to_string(t[i+1:i+{n}], ' ')))
                   ELSE [] END AS g
       FROM (SELECT doc_id,
-                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                         '\\s+') AS t
             FROM {table})
     )
     SELECT c.id_l, c.id_r, c.n_bands_hit,

@@ -69,8 +69,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish subword-regex token estimate."""
-    t = F.col(text_col)
-    ws = F.size(F.split(F.trim(t), r"\s+"))
+    # null/empty-safe: null text counts 0 tokens (Spark's size(NULL) is
+    # -1 by default and split('') yields [''] — both would corrupt sums)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != ""))
     # BPE-ish: word pieces of <=4 chars, digits, punctuation each count
     bpe = F.size(
         F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"), 0)
@@ -144,7 +146,15 @@ def corpus_rollup(
     ``'(all)'``-coalesced in subtotal rows, disambiguated by gid.
     Token/char sums are exact int64.
     """
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # null/empty-safe non-empty token count (0 for null/empty text;
+    # without the coalesce Spark's size(split(NULL)) = -1 corrupts every
+    # subtotal containing a null-text doc while DuckDB null-skips)
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
     base = df.select(
         *dims,
         toks.alias("_toks"),
@@ -185,7 +195,9 @@ def corpus_rollup_sql(
     SELECT {dsel},
            GROUPING({dlist})::BIGINT AS gid,
            count(*)::BIGINT AS n_docs,
-           sum(len(string_split_regex(trim({text_col}), '\\s+')))::BIGINT
+           sum(len(list_filter(string_split_regex(
+                 trim(coalesce({text_col}, '')), '\\s+'),
+               x -> x <> '')))::BIGINT
              AS n_tokens,
            sum(length({text_col}))::BIGINT AS n_chars
     FROM ({docs_sql})

@@ -54,7 +54,13 @@ def expand_reachable(
             seen_nodes = seen_nodes.unionByName(lv.select(*keys, "node"))
         nxt = (
             frontier.join(edges, frontier["node"] == edges[parent_col])
-            .select(*keys, F.col(child_col).alias("node"))
+            # qualify the key refs: a key column that ALSO exists on the
+            # edges side (e.g. key_cols=('host',) with host-carrying
+            # edges) would otherwise be an ambiguous reference
+            .select(
+                *[frontier[k] for k in keys],
+                edges[child_col].alias("node"),
+            )
             .dropDuplicates(keys + ["node"])
             .join(seen_nodes, keys + ["node"], "left_anti")
             .withColumn("depth", F.lit(depth))

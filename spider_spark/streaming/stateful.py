@@ -74,20 +74,23 @@ def streaming_session_stats(
     )
 
 
-def _host_totals_fn(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    total = state.get[0] if state.exists else 0
-    batch = 0
-    for pdf in pdfs:
-        batch += len(pdf)
-    total += batch
-    state.update((total,))
-    yield pd.DataFrame(
-        {"host": [key[0]], "n_total": [total], "n_batch": [batch]}
-    )
+def _host_totals_fn_factory(host_col: str):
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        total += batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {host_col: [key[0]], "n_total": [total], "n_batch": [batch]}
+        )
+
+    return fn
 
 
 def running_host_totals(order: DataFrame, host_col: str = "host") -> DataFrame:
@@ -96,8 +99,8 @@ def running_host_totals(order: DataFrame, host_col: str = "host") -> DataFrame:
     the running total). State is a single int64 per host — bounded by
     host cardinality, not crawl length."""
     return order.groupBy(host_col).applyInPandasWithState(
-        _host_totals_fn,
-        outputStructType="host string, n_total long, n_batch long",
+        _host_totals_fn_factory(host_col),
+        outputStructType=f"{host_col} string, n_total long, n_batch long",
         stateStructType="n_total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -116,12 +119,21 @@ def streaming_tumbling_stats(
     analysis/windows.tumbling_stats (win_start_us, key..., n_events,
     value_sum), which doubles as its equality oracle. Append mode emits
     a window only after the watermark passes its end — finalized rows
-    only, no retractions. Same TIMESTAMP-for-watermark /
-    integer-us-for-values split as streaming_session_stats: compared
-    values never pass through a timezone."""
+    only, no retractions.
+
+    Unlike the session variant (whose gap grouping is offset-invariant,
+    so a plain tz cast suffices), fixed-window FLOORS are offset-
+    sensitive: F.window over a tz-cast timestamp aligns to UTC epoch,
+    which disagrees with the batch oracle's NTZ wall-time floor whenever
+    the session tz offset is not a multiple of width_s. The watermark
+    column here is therefore built as ``timestamp_micros(wall_us)`` — a
+    TIMESTAMP whose UTC instant equals the NTZ wall microseconds — so
+    window boundaries floor on wall time in ANY session timezone and
+    ``win_start_us`` (via unix_micros) is bit-equal to the batch
+    tumbling_stats output."""
     kcols = [F.col(c) for c in key_cols]
     return (
-        events.withColumn("_ts_wm", F.col(ts_col).cast("timestamp"))
+        events.withColumn("_ts_wm", F.timestamp_micros(_us(ts_col)))
         .withWatermark("_ts_wm", watermark)
         .groupBy(
             F.window("_ts_wm", f"{width_s} seconds").alias("_w"),
@@ -136,7 +148,7 @@ def streaming_tumbling_stats(
             .alias("value_sum"),
         )
         .select(
-            _us("_w.start").cast("long").alias("win_start_us"),
+            F.unix_micros(F.col("_w.start")).cast("long").alias("win_start_us"),
             *kcols,
             "n_events",
             "value_sum",
@@ -144,7 +156,13 @@ def streaming_tumbling_stats(
     )
 
 
-def _token_bucket_fn_factory(rate: int, capacity: int):
+def _token_bucket_fn_factory(
+    rate: int,
+    capacity: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    seq_col: str = "seq",
+):
     def fn(
         key: tuple,
         pdfs: Iterable[pd.DataFrame],
@@ -152,7 +170,7 @@ def _token_bucket_fn_factory(rate: int, capacity: int):
     ) -> Iterator[pd.DataFrame]:
         tokens = state.get[0] if state.exists else capacity
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values("seq", kind="mergesort").reset_index(
+        rows = rows.sort_values(seq_col, kind="mergesort").reset_index(
             drop=True
         )
         take = min(int(tokens), len(rows))
@@ -163,7 +181,7 @@ def _token_bucket_fn_factory(rate: int, capacity: int):
         # the bounded state is the point of this template)
         tokens = min(capacity, tokens - take + rate)
         state.update((int(tokens),))
-        yield out[["host", "url", "seq", "batch_pos"]]
+        yield out[[host_col, url_col, seq_col, "batch_pos"]]
 
     return fn
 
@@ -173,6 +191,8 @@ def token_bucket_schedule(
     rate: int,
     capacity: int,
     host_col: str = "host",
+    url_col: str = "url",
+    seq_col: str = "seq",
 ) -> DataFrame:
     """Streaming politeness: per-host token bucket over micro-batches —
     the custom stateful operator the built-in streaming aggregations
@@ -189,8 +209,13 @@ def token_bucket_schedule(
     State per host is ONE int64 — bounded by host cardinality. Arrow-
     batched via applyInPandasWithState; update mode."""
     return frontier.groupBy(host_col).applyInPandasWithState(
-        _token_bucket_fn_factory(int(rate), int(capacity)),
-        outputStructType="host string, url string, seq long, batch_pos long",
+        _token_bucket_fn_factory(
+            int(rate), int(capacity), host_col, url_col, seq_col
+        ),
+        outputStructType=(
+            f"{host_col} string, {url_col} string, {seq_col} long, "
+            "batch_pos long"
+        ),
         stateStructType="tokens long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -73,3 +73,66 @@ def test_anti_join_seen_exact(spark):
     seen = _urls_df(spark, ["u2", "u2", "u4"])
     left = {r["url"] for r in anti_join_seen(cand, seen).collect()}
     assert left == {"u1", "u3"}
+
+
+def test_simhash_band_spec_pigeonhole_complete():
+    """For every max_hamming, the band spec covers all 64 bits disjointly
+    and guarantees a shared band for any pair within the bound; the band
+    value extraction (including slices spanning the lo/hi 32-bit split)
+    agrees with a pure-python bit reference in DuckDB's dialect."""
+    import random
+
+    import duckdb
+
+    from spider_spark.analysis.dedup import _band_expr_sql, simhash_bands
+
+    rng = random.Random(3)
+    for h in (1, 2, 3, 4, 8, 15):
+        bands = simhash_bands(h)
+        assert len(bands) == h + 1
+        assert sum(w for _s, w in bands) == 64
+        starts = [s for s, _w in bands]
+        assert starts == sorted(starts) and starts[0] == 0
+        # pigeonhole: flipping <= h bits leaves some band untouched
+        for _ in range(200):
+            flips = rng.sample(range(64), rng.randint(0, h))
+            assert any(
+                all(not (s <= f < s + w) for f in flips) for s, w in bands
+            )
+    # extraction parity: DuckDB-evaluated band exprs == python bit math
+    con = duckdb.connect()
+    for h in (3, 4, 8):
+        for _ in range(50):
+            sig = rng.getrandbits(64)
+            lo, hi = sig & 0xFFFFFFFF, sig >> 32
+            for s, w in simhash_bands(h):
+                expr = _band_expr_sql(s, w, str(lo), str(hi))
+                got = con.sql(f"SELECT {expr}").fetchone()[0]
+                assert got == (sig >> s) & ((1 << w) - 1), (h, s, w)
+
+
+def test_simhash_recall_beyond_four_quarters(spark):
+    """max_hamming=8 must find pairs whose differing bits touch all four
+    16-bit quarters — the fixed 4-band join missed them silently."""
+    # craft token sets whose simhashes differ in >=4 spread-out bits:
+    # probabilistic via real texts is flaky, so check the JOIN mechanics
+    # directly — two identical docs (hamming 0) must always pair at any
+    # band count, and the pair count must be monotone in max_hamming
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta"),
+        ("b", "alpha beta gamma delta epsilon zeta"),
+        ("c", "alpha beta gamma delta epsilon eta theta"),
+        ("d", "totally different words entirely here"),
+    ]
+    from spider_spark.analysis import dedup as AD
+
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    n3 = AD.simhash_near_duplicates(df, max_hamming=3).count()
+    n8 = AD.simhash_near_duplicates(df, max_hamming=8).count()
+    n20 = AD.simhash_near_duplicates(df, max_hamming=20).count()
+    assert n3 <= n8 <= n20
+    exact = {
+        (r["id_l"], r["id_r"])
+        for r in AD.simhash_near_duplicates(df, max_hamming=0).collect()
+    }
+    assert ("a", "b") in exact
