@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_hex_u32_sql
+
 from .dedup import _tokens_expr
 
 
@@ -57,9 +59,7 @@ def gram_hash_sets(
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     u32 = (
-        "array_distinct(transform(_dg_hex, x -> cast(conv(concat("
-        "substring(x, 23, 2), substring(x, 21, 2), "
-        "substring(x, 19, 2), substring(x, 17, 2)), 16, 10) as bigint)))"
+        f"array_distinct(transform(_dg_hex, x -> {md5_hex_u32_sql('x')}))"
     )
     return (
         df.withColumn("_dg_t", F.expr(_tokens_expr(text_col)))

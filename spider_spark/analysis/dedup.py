@@ -38,16 +38,29 @@ from pyspark.sql import functions as F
 
 from spider_spark.functions.hashing import (
     MERSENNE61,
+    md5_hex_u32_sql,
     md5_u32_sql,
     minhash_params,
 )
 
 
+def norm_fingerprint(text_col: str = "text") -> "F.Column":
+    """md5 of the whitespace-collapsed, trimmed, lowercased text — THE
+    exact-dedup fingerprint, defined once: duplicate_clusters' member
+    join and incremental_dedup's exact stage only work because their
+    normalization is byte-identical to exact_duplicates'."""
+    return F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of exact duplicates (normalized): fp, n_docs, doc_ids."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            norm_fingerprint(text_col).alias("fp"),
+        )
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),
@@ -68,11 +81,10 @@ def exact_representatives(
     Returns (doc_id, {text_col}, fp, n_exact) — n_exact is the size of the
     exact group the representative stands for, so downstream consumers can
     expand pair counts back to document space without rejoining."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col),
-        F.md5(norm).alias("fp"),
+        norm_fingerprint(text_col).alias("fp"),
     )
     reps = d.groupBy("fp").agg(
         F.min("doc_id").alias("doc_id"), F.count("*").alias("n_exact")
@@ -172,11 +184,7 @@ def with_minhash_signature(
     )
     d = d.withColumn(
         "_mh_h32",
-        F.expr(
-            "transform(_mh_hex, x -> cast(conv(concat("
-            "substring(x, 23, 2), substring(x, 21, 2), "
-            "substring(x, 19, 2), substring(x, 17, 2)), 16, 10) as bigint))"
-        ),
+        F.expr(f"transform(_mh_hex, x -> {md5_hex_u32_sql('x')})"),
     )
     sig = F.array(
         *[
@@ -294,13 +302,12 @@ def incremental_dedup(
     only shingles the NEW snapshot. Exact dups are removed BEFORE the
     near stage so byte-identical mega-clusters never reach the banded
     join (the pregroup lesson)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     new_fp = new_docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),
-        F.md5(norm).alias("fp"),
+        norm_fingerprint(text_col).alias("fp"),
     )
-    old_fps = old_docs.select(F.md5(norm).alias("fp")).distinct()
+    old_fps = old_docs.select(norm_fingerprint(text_col).alias("fp")).distinct()
     exact = new_fp.join(old_fps, "fp", "left_semi").select("doc_id")
     rest = new_fp.join(old_fps, "fp", "left_anti").select("doc_id", "_t")
     bn = minhash_band_buckets(
@@ -374,17 +381,11 @@ def with_simhash_halves(
         .withColumn("_hex", F.md5("_tok"))
         .withColumn(
             "_lo",
-            F.expr(
-                "cast(conv(concat(substring(_hex, 23, 2), substring(_hex, 21, 2), "
-                "substring(_hex, 19, 2), substring(_hex, 17, 2)), 16, 10) as bigint)"
-            ),
+            F.expr(md5_hex_u32_sql("_hex")),
         )
         .withColumn(
             "_hi",
-            F.expr(
-                "cast(conv(concat(substring(_hex, 31, 2), substring(_hex, 29, 2), "
-                "substring(_hex, 27, 2), substring(_hex, 25, 2)), 16, 10) as bigint)"
-            ),
+            F.expr(md5_hex_u32_sql("_hex", 12)),
         )
     )
     vote_aggs = [
@@ -673,8 +674,9 @@ def duplicate_clusters(
         reps.join(cc, reps["doc_id"] == cc["node"], "left")
         .select("fp", F.coalesce("comp", "doc_id").alias("cluster_id"))
     )
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    members = df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+    members = df.select(
+        F.col(id_col).alias("doc_id"), norm_fingerprint(text_col).alias("fp")
+    )
     # assigned also has two consumers, but it is CORPUS-sized — measured:
     # checkpointing it bought nothing here and would materialize the
     # whole corpus at lake scale; recompute instead
@@ -733,11 +735,7 @@ def duplicate_gram_spans(
         ),
     ).withColumn(
         "_ds_h",
-        F.expr(
-            "transform(_ds_hex, x -> cast(conv(concat("
-            "substring(x, 23, 2), substring(x, 21, 2), "
-            "substring(x, 19, 2), substring(x, 17, 2)), 16, 10) as bigint))"
-        ),
+        F.expr(f"transform(_ds_hex, x -> {md5_hex_u32_sql('x')})"),
     )
     grams = d.select("doc_id", F.posexplode("_ds_h").alias("pos", "h"))
     # doc-frequency needs each (doc, gram) once: dedupe per doc JVM-side
@@ -868,11 +866,7 @@ def winnow_fingerprints(
     )
     d = d.withColumn(
         "_wn_h",
-        F.expr(
-            "transform(_wn_hex, x -> cast(conv(concat("
-            "substring(x, 23, 2), substring(x, 21, 2), "
-            "substring(x, 19, 2), substring(x, 17, 2)), 16, 10) as bigint))"
-        ),
+        F.expr(f"transform(_wn_hex, x -> {md5_hex_u32_sql('x')})"),
     )
     fps = F.expr(
         f"CASE WHEN size(_wn_h) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_u32_sql
+from ..functions.hashing import md5_hex_u32_sql, md5_u32_sql
 from .dedup import _tokens_expr
 
 
@@ -80,9 +80,8 @@ def doc_feature_buckets(
     # (interpreted HOF lambdas have no common-subexpression elimination —
     # inlining md5(x) into the four substrings would hash each gram 4x)
     u32 = (
-        "transform(transform(_iw_g, x -> md5(x)), h -> "
-        "cast(conv(concat(substring(h, 23, 2), substring(h, 21, 2), "
-        "substring(h, 19, 2), substring(h, 17, 2)), 16, 10) as bigint))"
+        f"transform(transform(_iw_g, x -> md5(x)), "
+        f"h -> {md5_hex_u32_sql('h')})"
     )
     return (
         df.withColumn("_iw_t", F.expr(_tokens_expr(text_col)))

@@ -81,9 +81,11 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace-normalized lowercase md5 — the exact-dup fingerprint."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return df.withColumn("fp", F.md5(norm))
+    """Whitespace-normalized lowercase md5 — the exact-dup fingerprint
+    (the shared dedup.norm_fingerprint definition)."""
+    from spider_spark.analysis.dedup import norm_fingerprint
+
+    return df.withColumn("fp", norm_fingerprint(text_col))
 
 
 def vocab_topk(

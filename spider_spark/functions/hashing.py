@@ -67,3 +67,19 @@ def minhash_params(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]
     a = rng.randint(1, 1 << 30, size=num_hashes).tolist()
     b = rng.randint(0, 1 << 30, size=num_hashes).tolist()
     return [int(x) for x in a], [int(x) for x in b]
+
+
+def md5_hex_u32_sql(hex_var: str, byte_off: int = 8) -> str:
+    """Little-endian uint32 (BIGINT) from digest bytes
+    [byte_off, byte_off+4) of an ALREADY-BOUND md5 hex-string expression
+    — typically a HOF lambda variable or a materialized hex column,
+    where inlining ``md5_u32_sql`` would recompute md5() once per
+    substring (interpreted lambdas get no common-subexpression
+    elimination). The reversed 1-based hex positions encode the same
+    portability contract as ``md5_u32_duckdb``, so every consumer MUST
+    use this one definition."""
+    p = byte_off * 2 + 1
+    parts = ", ".join(
+        f"substring({hex_var}, {p + o}, 2)" for o in (6, 4, 2, 0)
+    )
+    return f"cast(conv(concat({parts}), 16, 10) as bigint)"
