@@ -39,8 +39,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Politeness-style scheduling over the events stream at sf0.001:
-    users within the retry budget (≤3 errors), first 5 events per user by
-    time (per-host FIFO top-K analogue, reference R8/R16)."""
+    users within the retry budget (≤12 errors — the pinned contract
+    value), first 5 events per user by time (per-host FIFO top-K
+    analogue, reference R8/R16)."""
     sf_dir = "/root/testdata/sf0.001"
     events = _t(spark, sf_dir, "events")
     over_budget = (
@@ -763,7 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _t(spark, sf, "documents")
         words = F.expr(
-            "slice(filter(split(lower(text), '\\\\s+'), "
+            "slice(filter(split(lower(coalesce(text, '')), '\\\\s+'), "
             "w -> w rlike '^[a-z]+$'), 1, 3)"
         )
         anchor = lambda acc, w: F.concat(
@@ -1081,18 +1082,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def text_token_count(spark, sf):
+        # the REAL operator (null/empty-safe shared semantics), not an
+        # inline re-derivation that could drift from the oracle
         docs = _t(spark, sf, "documents")
-        return docs.select(
+        return T.token_count(docs).select(
             "doc_id",
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
-            .cast("long")
-            .alias("ws_tokens"),
-            F.size(
-                F.regexp_extract_all(
-                    "text", F.lit("[A-Za-z]{1,4}|[0-9]+|[^\\sA-Za-z0-9]"), 0
-                )
-            )
-            .cast("long")
+            F.col("ws_tokens").cast("long").alias("ws_tokens"),
+            F.col("bpe_tokens").cast("long")
             .alias("bpe_tokens"),
         )
 

