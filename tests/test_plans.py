@@ -283,3 +283,20 @@ def test_q17_scalar_subquery_is_aggregate_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashAggregate" in plan and "Join" in plan, plan
+
+
+def test_semdedup_pair_join_is_cell_keyed(spark):
+    """dedup_semantic's pair generation must join on the ivf_cell hash
+    key — never a cartesian/NLJ blow-up — and the quantized threshold
+    test must ride the join as a filter, not a later global stage."""
+    plan = plan_str(spark, q(spark, "dedup_semantic"), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_phash_near_band_join_no_cartesian(spark):
+    """multimodal_phash_near: leave-one-out band self-join keyed on
+    (band, key) — the pair stage must be an equi-join."""
+    plan = plan_str(spark, q(spark, "multimodal_phash_near"), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
