@@ -1887,6 +1887,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return P.clean_corpus(docs, num_hashes=16, bands=8, shingle_w=2)
 
+    def lake_zorder_key(spark, sf):
+        # Morton bit-interleave of (user_id, event_id) — the Iceberg
+        # zorder(rewrite) sort key, exact integer arithmetic
+        from spider_spark import lake
+
+        ev = _t(spark, sf, "events")
+        return lake.with_zorder(
+            ev.select("event_id", "user_id"), ["user_id", "event_id"],
+            bits=14,
+        ).select("event_id", "zkey")
+
+    def _doc_inventory(spark, sf):
+        # file-inventory stand-in synthesized from documents: one "file"
+        # per doc, partition = lang, size = n_chars
+        return _t(spark, sf, "documents").select(
+            F.col("lang").alias("partition"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.col("n_chars").cast("long").alias("size_bytes"),
+        )
+
+    def lake_compaction_plan(spark, sf):
+        # deterministic next-fit-decreasing bin pack (metadata-only
+        # planning of Iceberg rewrite_data_files binpack)
+        from spider_spark import lake
+
+        return lake.compaction_plan(_doc_inventory(spark, sf), 400)
+
+    def lake_compaction_stats(spark, sf):
+        from spider_spark import lake
+
+        return lake.compaction_stats(
+            lake.compaction_plan(_doc_inventory(spark, sf), 400)
+        )
+
+    def skew_hot_keys(spark, sf):
+        # shuffle-skew diagnosis: keys above the fair share of a 16-way
+        # exchange on documents.lang, with the leveling salt factor
+        from spider_spark.analysis import skew as SK
+
+        docs = _t(spark, sf, "documents")
+        return SK.hot_keys(docs, "lang", 16, total=docs.count())
+
+    def skew_partition_load(spark, sf):
+        # projected post-shuffle partition histogram (portable md5
+        # router so the oracle reproduces the exact assignment)
+        from spider_spark.analysis import skew as SK
+
+        ev = _t(spark, sf, "events")
+        return SK.partition_load(ev, "event_type", 16, total=ev.count())
+
     return {
         "r1_seed_scan": r1_seed_scan,
         "r5_inflight_dedup": r5_inflight_dedup,
@@ -1993,6 +2043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_corpus_mix": sample_corpus_mix,
         "text_epoch_shuffle": text_epoch_shuffle,
         "export_manifest": export_manifest,
+        "lake_zorder_key": lake_zorder_key,
+        "lake_compaction_plan": lake_compaction_plan,
+        "lake_compaction_stats": lake_compaction_stats,
+        "skew_hot_keys": skew_hot_keys,
+        "skew_partition_load": skew_partition_load,
         "text_html_blocks": text_html_blocks,
         "text_main_content": text_main_content,
         "dedup_semantic": dedup_semantic,
@@ -2031,10 +2086,16 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.operators import rangejoin as RJ
     from spider_spark.operators import redirects as RD
     from spider_spark.analysis import similarity as S
+    from spider_spark.analysis import skew as SK
     from spider_spark.analysis import text as T
+    from spider_spark import lake as LK
 
     url = _URL_SQL
     page = _PAGE_SQL
+    _DOC_INV_SQL = (
+        "(SELECT lang AS partition, CAST(doc_id AS VARCHAR) AS path, "
+        "n_chars AS size_bytes FROM documents) inv"
+    )
     return {
         "r1_seed_scan": """
             SELECT CAST(r_regionkey AS BIGINT) AS source_id, r_name AS name,
@@ -2403,6 +2464,23 @@ def oracle_sql() -> dict[str, str]:
             "documents", 3, 16
         ),
         "export_manifest": EX.shard_manifest_sql("documents", 16),
+        "lake_zorder_key": (
+            "SELECT event_id, "
+            + LK.zorder_key_sql(["user_id", "event_id"], 14, "duckdb")
+            + " AS zkey FROM events"
+        ),
+        "lake_compaction_plan": LK.compaction_plan_sql(
+            _DOC_INV_SQL, 400
+        ),
+        "lake_compaction_stats": LK.compaction_stats_sql(
+            LK.compaction_plan_sql(_DOC_INV_SQL, 400)
+        ),
+        "skew_hot_keys": SK.hot_keys_sql(
+            "documents", "lang", 16, "(SELECT count(*) FROM documents)"
+        ),
+        "skew_partition_load": SK.partition_load_sql(
+            "events", "event_type", 16, "(SELECT count(*) FROM events)"
+        ),
         "dedup_semantic": O.semdedup_sql(
             S.ivf_centroids(64, 8),
             """(

@@ -1,0 +1,84 @@
+"""Skew profiler (analysis/skew.py): hot-key known values, bounded
+output, partition-load accounting, and DuckDB-replica equality."""
+
+from __future__ import annotations
+
+import duckdb
+
+from spider_spark.analysis import skew
+from spider_spark.functions.hashing import md5_u32_py
+
+ROWS = [("a",)] * 90 + [("b",)] * 5 + [("c",)] * 5
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_hot_keys_known_value(spark):
+    got = {tuple(r) for r in skew.hot_keys(_df(spark), "k", 10).collect()}
+    # N=100, P=10, fair share 10: only 'a' (90 rows) exceeds it.
+    # load_ppm = 90*10*1e6/100 = 9_000_000; salt = ceil(900/100) = 9
+    assert got == {("a", 90, 9_000_000, 9)}
+
+
+def test_hot_keys_boundary_not_hot(spark):
+    # exactly AT fair share is not hot (strict >): 10 keys x 10 rows
+    rows = [(f"k{i}",) for i in range(10) for _ in range(10)]
+    assert skew.hot_keys(_df(spark, rows), "k", 10).count() == 0
+
+
+def test_hot_keys_bounded_by_partitions(spark):
+    # at most P-1 keys can each hold strictly more than N/P rows
+    rows = [(f"k{i % 7}",) for i in range(700)]
+    hot = skew.hot_keys(_df(spark, rows), "k", 4)
+    assert hot.count() <= 3
+
+
+def test_partition_load_accounting(spark):
+    from collections import Counter
+
+    cnt = Counter(k for (k,) in ROWS)
+    exp: dict[int, list[int]] = {}
+    for k, c in cnt.items():
+        p = md5_u32_py(k) % 8
+        e = exp.setdefault(p, [0, 0])
+        e[0] += 1
+        e[1] += c
+    want = {
+        (p, nk, nr, nr * 8 * 1_000_000 // 100)
+        for p, (nk, nr) in exp.items()
+    }
+    got = {
+        tuple(r)
+        for r in skew.partition_load(_df(spark), "k", 8).collect()
+    }
+    assert got == want
+    assert sum(r[2] for r in got) == 100
+
+
+def test_skew_duckdb_equality(spark):
+    rows = [(f"h{(i * i) % 13}",) for i in range(500)]
+    df = _df(spark, rows)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{k}')" for (k,) in rows)
+        + ") v(k)"
+    )
+    n = "(SELECT count(*) FROM t)"
+    got = {
+        tuple(r)
+        for r in skew.hot_keys(df, "k", 16, total=500).collect()
+    }
+    want = {tuple(r) for r in con.sql(skew.hot_keys_sql("t", "k", 16, n)).fetchall()}
+    assert got == want and got  # non-empty: the quadratic residues skew
+    got_pl = {
+        tuple(r)
+        for r in skew.partition_load(df, "k", 16, total=500).collect()
+    }
+    want_pl = {
+        tuple(r)
+        for r in con.sql(skew.partition_load_sql("t", "k", 16, n)).fetchall()
+    }
+    assert got_pl == want_pl
