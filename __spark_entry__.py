@@ -1887,6 +1887,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return P.clean_corpus(docs, num_hashes=16, bands=8, shingle_w=2)
 
+    def r8_yield_budget(spark, sf):
+        # yield-proportional global-budget split (largest remainder over
+        # integer new-URLs-per-fetch yields — the engine's
+        # yield_budget_total mode, oracle-pinned end to end)
+        from spider_spark.operators.politeness import yield_budgets
+
+        ev = _t(spark, sf, "events")
+        stats = ev.groupBy(F.col("event_type").alias("host")).agg(
+            F.count("*").cast("long").alias("fetched"),
+            F.countDistinct("user_id").cast("long").alias("new_urls"),
+        )
+        return yield_budgets(stats, total_budget=1000, min_budget=2)
+
     def lake_zorder_key(spark, sf):
         # Morton bit-interleave of (user_id, event_id) — the Iceberg
         # zorder(rewrite) sort key, exact integer arithmetic
@@ -2043,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_corpus_mix": sample_corpus_mix,
         "text_epoch_shuffle": text_epoch_shuffle,
         "export_manifest": export_manifest,
+        "r8_yield_budget": r8_yield_budget,
         "lake_zorder_key": lake_zorder_key,
         "lake_compaction_plan": lake_compaction_plan,
         "lake_compaction_stats": lake_compaction_stats,
@@ -2083,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.analysis import windows as WN
     from spider_spark.analysis import trapdetect as TD
     from spider_spark.operators import asof as AJ
+    from spider_spark.operators import politeness as PO
     from spider_spark.operators import rangejoin as RJ
     from spider_spark.operators import redirects as RD
     from spider_spark.analysis import similarity as S
@@ -2464,6 +2479,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", 3, 16
         ),
         "export_manifest": EX.shard_manifest_sql("documents", 16),
+        "r8_yield_budget": PO.yield_budgets_sql(
+            "(SELECT event_type AS host, count(*) AS fetched, "
+            "count(DISTINCT user_id) AS new_urls FROM events GROUP BY 1) st",
+            1000,
+            2,
+        ),
         "lake_zorder_key": (
             "SELECT event_id, "
             + LK.zorder_key_sql(["user_id", "event_id"], 14, "duckdb")

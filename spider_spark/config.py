@@ -70,6 +70,18 @@ class CrawlConfig:
     # scheduling extensions.
     error_backoff: bool = False
     error_backoff_cap: int = 6
+    # yield-proportional GLOBAL budget (crawl-efficiency scheduling): when
+    # > 0, each round splits this total across hosts by largest-remainder
+    # allocation over the PREVIOUS round's new-URLs-per-fetch yield
+    # (operators/politeness.yield_budgets; per-host floor
+    # yield_budget_min), replacing the uniform scrape_parallelism. Round 1
+    # (no history) runs at scrape_parallelism, as does any host absent
+    # from the previous round's stats. The reference has no global budget
+    # (its parallelism is strictly per host); opt-in, oracle-pinned, and
+    # mutually exclusive with respect_crawl_delay (both redefine the base
+    # budget). error_backoff composes on top (halves the allocated share).
+    yield_budget_total: int = 0
+    yield_budget_min: int = 1
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     sanity_check: bool = True           # R28 scrape-sanity anti-join per round
     spark_seeding: bool = True          # R21 distributed sitemap expansion

@@ -84,6 +84,7 @@ from spider_spark.operators.politeness import (
     fifo_rank,
     priority_column,
     schedule_topk,
+    yield_budgets,
 )
 
 SEQ_STRIDE = 1 << 40  # per-round seq base; additions per host per round < 2^40
@@ -139,6 +140,17 @@ HERR_SCHEMA = StructType(
     [
         StructField("host", StringType()),
         StructField("n", LongType()),
+        StructField("round", IntegerType()),
+    ]
+)
+# per-round per-host (fetched, newly-enqueued) counts — the yield-budget
+# sidecar (cfg.yield_budget_total). Host cardinality, same non-COMPACTABLE
+# reasoning as HERR: the scheduler reads exactly round r-1.
+HYLD_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("fetched", LongType()),
+        StructField("new_urls", LongType()),
         StructField("round", IntegerType()),
     ]
 )
@@ -315,6 +327,11 @@ class CrawlEngine:
         # host coalesces to the full budget at schedule time. Host-count
         # sized (seed namespace) → broadcast join, never a shuffle.
         self._host_budgets: DataFrame | None = None
+        if self.cfg.yield_budget_total and self.cfg.respect_crawl_delay:
+            raise ValueError(
+                "yield_budget_total and respect_crawl_delay both redefine "
+                "the per-host base budget — enable at most one"
+            )
         if self.cfg.respect_crawl_delay:
             rows = [
                 (h, b)
@@ -802,6 +819,7 @@ class CrawlEngine:
             )
             order_cols = ("prio", "seq")
         budget_col = None
+        budget_ceiling = cfg.scrape_parallelism
         if self._host_budgets is not None:
             sched_in = sched_in.join(
                 F.broadcast(self._host_budgets), "host", "left"
@@ -810,6 +828,39 @@ class CrawlEngine:
                 F.coalesce(F.col("_budget"), F.lit(cfg.scrape_parallelism)),
             )
             budget_col = "_budget"
+        if cfg.yield_budget_total:
+            # split the global budget by the PREVIOUS round's
+            # new-URLs-per-fetch yield (largest remainder, exact — the
+            # oracle computes the same split from its own round stats).
+            # Round 1 / a missing sidecar / a host absent from it all
+            # fall back to the uniform scrape_parallelism.
+            hyld_dir = self._p("hyld", r - 1)
+            if os.path.isdir(hyld_dir):
+                stats = spark.read.schema(HYLD_SCHEMA).parquet(hyld_dir)
+                yb = yield_budgets(
+                    stats,
+                    cfg.yield_budget_total,
+                    cfg.yield_budget_min,
+                ).select("host", F.col("budget").alias("_yb"))
+                sched_in = (
+                    sched_in.join(F.broadcast(yb), "host", "left")
+                    .withColumn(
+                        "_budget",
+                        F.coalesce(
+                            F.col("_yb"),
+                            F.lit(cfg.scrape_parallelism).cast("long"),
+                        ),
+                    )
+                    .drop("_yb")
+                )
+                budget_col = "_budget"
+                # the prune ceiling must bound every per-host budget: a
+                # yield allocation can hand one hot host (almost) the
+                # whole global budget (looser literal prune; the
+                # per-host cap filter keeps the result exact)
+                budget_ceiling = max(
+                    cfg.scrape_parallelism, cfg.yield_budget_total
+                )
         if cfg.error_backoff:
             # halve the base budget per previous-round error, floor 1
             # (broadcast — the sidecar is host-cardinality). Round 1, a
@@ -841,7 +892,7 @@ class CrawlEngine:
                 )
         scheduled, deferred = schedule_topk(
             sched_in,
-            cfg.scrape_parallelism,
+            budget_ceiling,
             cfg.hot_host_salt,
             exact_rank=exact,
             order_cols=order_cols,
@@ -1254,6 +1305,28 @@ class CrawlEngine:
                 self._p("herr", r)
             )
 
+        def sink_hyld():
+            # yield sidecar: per host, fetches made this round and new
+            # (non-retry, robots-allowed) urls enqueued to it — the
+            # weights next round's global-budget split allocates by.
+            # Host-cardinality aggregations off the cached round data.
+            f = scheduled.groupBy("host").agg(
+                F.count("*").cast("long").alias("fetched")
+            )
+            nw = (
+                additions.filter(F.col("allowed") & ~F.col("is_retry"))
+                .groupBy(F.col("thost").alias("host"))
+                .agg(F.count("*").cast("long").alias("new_urls"))
+            )
+            f.join(nw, "host", "left").select(
+                "host",
+                "fetched",
+                F.coalesce("new_urls", F.lit(0))
+                .cast("long")
+                .alias("new_urls"),
+                F.lit(r).alias("round"),
+            ).write.mode("overwrite").parquet(self._p("hyld", r))
+
         sinks = [timed(sink_frontier), timed(sink_seen), timed(sink_urls)]
         if ns_links is not None:
             sinks.append(timed(sink_inlinks))
@@ -1261,6 +1334,8 @@ class CrawlEngine:
             sinks.append(timed(sink_ledges))
         if cfg.error_backoff:
             sinks.append(timed(sink_herr))
+        if cfg.yield_budget_total:
+            sinks.append(timed(sink_hyld))
         if cfg.sanity_check:
             sinks.append(timed(sink_sanity))
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
@@ -1512,6 +1587,7 @@ class CrawlEngine:
             "inlinks",
             "ledges",
             "herr",
+            "hyld",
         ):
             base = os.path.join(work_dir, kind)
             if os.path.isdir(base):

@@ -301,3 +301,185 @@ def deferred_by_cutoff(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:
         .filter(F.col("_cut").isNull() | (F.col("seq") > F.col("_cut")))
         .drop("_cut")
     )
+
+
+# --- yield-proportional budget allocation (opt-in extension) -----------
+#
+# The reference gives every host the same fixed per-tick budget
+# (Config.scala:38, HostCrawler.scala:171). A production crawl with a
+# GLOBAL fetch budget instead allocates it where it pays: hosts whose
+# recent fetches discovered many new URLs get more slots next round
+# (crawl-efficiency scheduling — the budget-split complement of the
+# Cho/Garcia-Molina ordering modes above). The allocation is the
+# largest-remainder (Hamilton) method over integer yield weights —
+# exact, deterministic, and mirrored bit-for-bit by the pure-Python
+# twin the oracle simulator uses and by the DuckDB SQL generator, so
+# the whole mode is oracle-pinned like the other scheduling extensions.
+#
+# Weights: yield_ppm = min(new_urls * 1e6 DIV max(fetched, 1), 1e9) —
+# new queue entries per fetch, in ppm, clamped at 1000x so every
+# product below stays in exact int64 for any total_budget <= 1e9. A
+# round where no host discovered anything (all weights 0) degenerates
+# to an equal split. Every host keeps a floor of ``min_budget``.
+
+
+def yield_budgets(
+    stats: DataFrame,
+    total_budget: int,
+    min_budget: int = 1,
+    host_col: str = "host",
+    fetched_col: str = "fetched",
+    new_col: str = "new_urls",
+) -> DataFrame:
+    """(host, fetched, new_urls, yield_ppm, budget) — split
+    ``total_budget`` across the hosts of ``stats`` proportionally to
+    their new-URLs-per-fetch yield, exactly (sum(budget) ==
+    max(total_budget, n_hosts * min_budget); the floor dominates when
+    the total is too small). Plan shape: two global windows over a
+    host-cardinality table (rows = hosts, the seed namespace — a
+    dimension, never the frontier), the same bounded-table idiom as
+    analysis/importance.py's score join."""
+    assert total_budget > 0 and 0 <= min_budget <= 10**9
+    assert total_budget <= 10**9, "clamp keeps products in int64"
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = stats.select(
+        F.col(host_col).alias("host"),
+        F.col(fetched_col).cast("long").alias("fetched"),
+        F.col(new_col).cast("long").alias("new_urls"),
+    ).withColumn(
+        "yield_ppm",
+        F.expr(
+            "least(new_urls * 1000000 DIV greatest(fetched, 1), "
+            "1000000000)"
+        ).cast("long"),
+    )
+    d = (
+        d.withColumn("_nh", F.count("*").over(w_all).cast("long"))
+        .withColumn("_sw", F.sum("yield_ppm").over(w_all).cast("long"))
+        # all-zero yields -> equal split (weight 1 each)
+        .withColumn(
+            "_wt",
+            F.when(F.col("_sw") == 0, F.lit(1)).otherwise(
+                F.col("yield_ppm")
+            ),
+        )
+        .withColumn(
+            "_wsum",
+            F.when(F.col("_sw") == 0, F.col("_nh")).otherwise(
+                F.col("_sw")
+            ),
+        )
+        .withColumn(
+            "_B",
+            F.greatest(
+                F.lit(int(total_budget))
+                - F.col("_nh") * int(min_budget),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_fl", F.expr("_B * _wt DIV _wsum").cast("long"))
+        .withColumn("_rm", F.expr("_B * _wt % _wsum").cast("long"))
+        .withColumn("_rem", (F.col("_B") - F.sum("_fl").over(w_all)))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.col("_rm").desc(), F.col("host")
+                )
+            ),
+        )
+    )
+    return d.select(
+        "host",
+        "fetched",
+        "new_urls",
+        "yield_ppm",
+        (
+            F.lit(int(min_budget))
+            + F.col("_fl")
+            + (F.col("_rk") <= F.col("_rem")).cast("long")
+        )
+        .cast("long")
+        .alias("budget"),
+    )
+
+
+def yield_budgets_py(
+    stats: dict[str, tuple[int, int]],
+    total_budget: int,
+    min_budget: int = 1,
+) -> dict[str, int]:
+    """Pure-Python twin of ``yield_budgets`` (the oracle simulator's
+    side): stats maps host -> (fetched, new_urls)."""
+    assert 0 < total_budget <= 10**9 and 0 <= min_budget <= 10**9
+    if not stats:
+        return {}
+    ys = {
+        h: min(n * 1_000_000 // max(f, 1), 1_000_000_000)
+        for h, (f, n) in stats.items()
+    }
+    nh = len(ys)
+    sw = sum(ys.values())
+    if sw == 0:
+        w, W = {h: 1 for h in ys}, nh
+    else:
+        w, W = ys, sw
+    B = max(total_budget - nh * min_budget, 0)
+    fl = {h: B * w[h] // W for h in w}
+    rm = {h: B * w[h] % W for h in w}
+    rem = B - sum(fl.values())
+    ranked = sorted(w, key=lambda h: (-rm[h], h))
+    out = {h: min_budget + fl[h] for h in w}
+    for h in ranked[:rem]:
+        out[h] += 1
+    return out
+
+
+def yield_budgets_sql(
+    table: str,
+    total_budget: int,
+    min_budget: int = 1,
+    host_col: str = "host",
+    fetched_col: str = "fetched",
+    new_col: str = "new_urls",
+) -> str:
+    """DuckDB replica of ``yield_budgets`` over a stats table/subquery."""
+    t, mb = int(total_budget), int(min_budget)
+    return f"""
+    WITH _ys AS (
+        SELECT {host_col} AS host,
+               CAST({fetched_col} AS BIGINT) AS fetched,
+               CAST({new_col} AS BIGINT) AS new_urls,
+               CAST(least(CAST({new_col} AS BIGINT) * 1000000
+                          // greatest(CAST({fetched_col} AS BIGINT), 1),
+                          1000000000) AS BIGINT) AS yield_ppm
+        FROM {table}
+    ), _yg AS (
+        SELECT *,
+               count(*) OVER () AS _nh,
+               sum(yield_ppm) OVER () AS _sw
+        FROM _ys
+    ), _yh AS (
+        SELECT *,
+               CASE WHEN _sw = 0 THEN 1 ELSE yield_ppm END AS _wt,
+               CASE WHEN _sw = 0 THEN _nh ELSE _sw END AS _wsum,
+               greatest({t} - _nh * {mb}, 0) AS _B
+        FROM _yg
+    ), _yi AS (
+        SELECT *,
+               _B * _wt // _wsum AS _fl,
+               _B * _wt % _wsum AS _rm
+        FROM _yh
+    ), _yj AS (
+        SELECT *,
+               _B - sum(_fl) OVER () AS _rem,
+               row_number() OVER (ORDER BY _rm DESC, host) AS _rk
+        FROM _yi
+    )
+    SELECT host, fetched, new_urls, yield_ppm,
+           CAST({mb} + _fl + CASE WHEN _rk <= _rem THEN 1 ELSE 0 END
+                AS BIGINT) AS budget
+    FROM _yj
+    """

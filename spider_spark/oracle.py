@@ -49,7 +49,7 @@ from spider_spark.fixtures import Web
 from spider_spark.functions.extract import extract_batch, spans_to_html
 from spider_spark.functions.robots import RobotsTable, parse_robots
 from spider_spark.functions.urlnorm import strip_trailing_slash, url_host
-from spider_spark.operators.politeness import delay_budget
+from spider_spark.operators.politeness import delay_budget, yield_budgets_py
 
 # plain-Python twins of operators.politeness.priority_column — ascending
 # sort keys; Python's stable sort preserves FIFO among equal priorities,
@@ -202,8 +202,11 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
     )
     queues: dict[str, list[str]] = {h: [u for u, _sm in q] for h, q in q0.items()}
 
-    def scrape(url: str, rnd: int):
-        """Supervisor.scrape (Supervisor.scala:168-210)."""
+    def scrape(url: str, rnd: int, count_new: bool = False):
+        """Supervisor.scrape (Supervisor.scala:168-210). ``count_new``
+        marks link-path (non-retry) enqueues for the yield sidecar —
+        the engine counts additions where allowed & ~is_retry, per
+        TARGET host, at the same point."""
         u = strip_trailing_slash(url)
         if u in inflight:
             return
@@ -214,6 +217,8 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
         inflight.add(u)
         if robots.is_allowed(host, u):  # HostCrawler.scala:146
             queues.setdefault(host, []).append(u)
+            if count_new:
+                cur_yield_new[host] = cur_yield_new.get(host, 0) + 1
 
     # ---- fetch rounds -----------------------------------------------------
     prio_key = PRIORITY_KEYS[cfg.priority_mode]
@@ -225,16 +230,26 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
     # error_backoff: per-host fetch-error counts from the PREVIOUS round
     # only (immediate recovery) — twins the engine's herr sidecar timing
     prev_errs: dict[str, int] = {}
+    # yield_budget_total: (fetched, new-enqueued) per host from the
+    # PREVIOUS round — twins the engine's hyld sidecar; budgets are the
+    # same largest-remainder split (yield_budgets_py IS the shared math)
+    prev_yield: dict[str, tuple[int, int]] = {}
+    cur_yield_new: dict[str, int] = {}
+    yield_budget_round: dict[str, int] = {}
 
     def host_budget(host: str) -> int:
-        if not cfg.respect_crawl_delay:
-            base = cfg.scrape_parallelism
-        else:
+        if cfg.yield_budget_total:
+            # hosts absent from the previous round's stats (or round 1)
+            # fall back to the uniform base, like the engine's left join
+            base = yield_budget_round.get(host, cfg.scrape_parallelism)
+        elif cfg.respect_crawl_delay:
             base = delay_budget(
                 robots.rules_for(host).crawl_delay,
                 cfg.scrape_parallelism,
                 cfg.politeness_tick_s,
             )
+        else:
+            base = cfg.scrape_parallelism
         if cfg.error_backoff:
             e = min(prev_errs.get(host, 0), cfg.error_backoff_cap)
             base = max(1, base >> e)
@@ -243,6 +258,16 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
     rnd = 0
     while any(queues.values()) and rnd < cfg.max_rounds:
         rnd += 1
+        if cfg.yield_budget_total:
+            yield_budget_round = (
+                yield_budgets_py(
+                    prev_yield,
+                    cfg.yield_budget_total,
+                    cfg.yield_budget_min,
+                )
+                if prev_yield
+                else {}
+            )
         batches: list[tuple[str, list[str]]] = []
         # pagerank mode: rank the edge graph accumulated through the
         # PREVIOUS round, once per round before any host schedules —
@@ -355,10 +380,18 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
                     if lh not in namespace:
                         continue
                     before = len(seen)
-                    scrape(link, rnd)
+                    scrape(link, rnd, count_new=True)
                     n_new += len(seen) - before
                 inflight.discard(u)
         prev_errs = cur_errs
+        if cfg.yield_budget_total:
+            # engine hyld sidecar shape: stats rows exist only for hosts
+            # that scheduled this round (f LEFT JOIN nw)
+            prev_yield = {
+                host: (len(batch), cur_yield_new.get(host, 0))
+                for host, batch in batches
+            }
+            cur_yield_new = {}
         metrics.append(
             {
                 "round": rnd,

@@ -470,3 +470,60 @@ def test_seeding_depth_cap_parity(spark, tmp_path):
     assert keep < set(got_l)
     assert not any(u.startswith(f"https://{host}/p{cap - 1}") for u in got_l)
     assert f"https://{host}/bottom.html" not in got_l
+
+
+def test_yield_budget_matches_oracle(spark, tmp_path):
+    """yield_budget_total: each round splits a GLOBAL fetch budget across
+    hosts by largest-remainder allocation over the previous round's
+    new-URLs-per-fetch yield (engine hyld sidecar + broadcast budgets ≡
+    oracle per-host stats + yield_budgets_py — the same integer math,
+    shared verbatim)."""
+    web = synth_web(
+        n_hosts=3,
+        pages_per_host=40,
+        links_per_page=6,
+        error_frac=0.1,
+        seed=47,
+    )
+    cfg = CrawlConfig(
+        scrape_parallelism=6,
+        max_retries=1,
+        max_rounds=200,
+        yield_budget_total=12,
+        yield_budget_min=1,
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "yield")
+    assert_match(eng, oracle_res)
+    # the allocation actually changed scheduling vs the uniform budget
+    plain = oracle_crawl(
+        web,
+        CrawlConfig(scrape_parallelism=6, max_retries=1, max_rounds=200),
+    )
+    assert [m["scheduled"] for m in oracle_res.metrics] != [
+        m["scheduled"] for m in plain.metrics
+    ]
+    # and converges to the same discovered url set
+    assert set(oracle_res.urls) == set(plain.urls)
+
+
+def test_yield_budget_composes_with_backoff(spark, tmp_path):
+    """yield allocation composes with error backoff (the halving applies
+    to the allocated share, as in the engine's budget_col chain)."""
+    web = synth_web(
+        n_hosts=3,
+        pages_per_host=30,
+        links_per_page=5,
+        error_frac=0.15,
+        seed=53,
+    )
+    cfg = CrawlConfig(
+        scrape_parallelism=5,
+        max_retries=2,
+        max_rounds=200,
+        yield_budget_total=10,
+        error_backoff=True,
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "yield_backoff")
+    assert_match(eng, oracle_res)

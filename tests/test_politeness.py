@@ -187,3 +187,84 @@ def test_delay_budget_clamps():
     assert delay_budget(0.25, 10) == 4      # 4 fetches per 1s tick
     assert delay_budget(0.01, 10) == 10     # ceiling = parallelism
     assert delay_budget(0.25, 10, tick_s=2.0) == 8
+
+
+def test_yield_budgets_known_value(spark):
+    from spider_spark.operators.politeness import (
+        yield_budgets,
+        yield_budgets_py,
+    )
+
+    stats = [("a", 10, 40), ("b", 10, 10), ("c", 10, 0)]
+    df = spark.createDataFrame(
+        stats, "host string, fetched long, new_urls long"
+    )
+    got = {
+        r["host"]: (r["yield_ppm"], r["budget"])
+        for r in yield_budgets(df, 20, 1).collect()
+    }
+    # W = 5e6; B = 17; floors a=13 b=3 c=0, remainders 3e6/2e6/0 ->
+    # the 1 leftover goes to a
+    assert got == {
+        "a": (4_000_000, 15),
+        "b": (1_000_000, 4),
+        "c": (0, 1),
+    }
+    assert yield_budgets_py(
+        {h: (f, n) for h, f, n in stats}, 20, 1
+    ) == {"a": 15, "b": 4, "c": 1}
+
+
+def test_yield_budgets_zero_yield_equal_split(spark):
+    from spider_spark.operators.politeness import (
+        yield_budgets,
+        yield_budgets_py,
+    )
+
+    stats = [("a", 5, 0), ("b", 5, 0), ("c", 5, 0)]
+    df = spark.createDataFrame(
+        stats, "host string, fetched long, new_urls long"
+    )
+    got = {r["host"]: r["budget"] for r in yield_budgets(df, 10).collect()}
+    # equal split of B=7 over 3, remainder to host-ascending: a first
+    assert got == {"a": 4, "b": 3, "c": 3}
+    assert yield_budgets_py({h: (f, n) for h, f, n in stats}, 10) == got
+
+
+def test_yield_budgets_three_way_equality(spark):
+    import duckdb
+
+    from spider_spark.operators.politeness import (
+        yield_budgets,
+        yield_budgets_py,
+        yield_budgets_sql,
+    )
+
+    rng = random.Random(7)
+    stats = [
+        (f"h{i:02d}", rng.randrange(1, 500), rng.randrange(0, 2000))
+        for i in range(23)
+    ] + [("h99", 1, 10**10)]  # clamp case: yield capped at 1e9
+    df = spark.createDataFrame(
+        stats, "host string, fetched long, new_urls long"
+    )
+    total, mb = 1000, 2
+    spark_out = {
+        r["host"]: (r["fetched"], r["new_urls"], r["yield_ppm"], r["budget"])
+        for r in yield_budgets(df, total, mb).collect()
+    }
+    py_out = yield_budgets_py({h: (f, n) for h, f, n in stats}, total, mb)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE s AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{h}', {f}, {n})" for h, f, n in stats)
+        + ") v(host, fetched, new_urls)"
+    )
+    duck_out = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.sql(yield_budgets_sql("s", total, mb)).fetchall()
+    }
+    assert spark_out == duck_out
+    assert {h: v[3] for h, v in spark_out.items()} == py_out
+    # the split is exact: floors + remainder distribute the whole total
+    assert sum(py_out.values()) == total
