@@ -1887,6 +1887,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return P.clean_corpus(docs, num_hashes=16, bands=8, shingle_w=2)
 
+    def text_page_metadata(spark, sf):
+        # title/description/og:title/lang/h1 extraction over synthesized
+        # pages whose metadata presence varies by doc id (every NULL
+        # branch fires); single codegen scan, full DuckDB replica
+        from spider_spark.analysis import metadata as MD
+
+        docs = _t(spark, sf, "documents")
+        d = docs.withColumn("html", F.expr(MD.metadata_page_expr()))
+        return MD.page_metadata(d)
+
     def r8_yield_budget(spark, sf):
         # yield-proportional global-budget split (largest remainder over
         # integer new-URLs-per-fetch yields — the engine's
@@ -2056,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_corpus_mix": sample_corpus_mix,
         "text_epoch_shuffle": text_epoch_shuffle,
         "export_manifest": export_manifest,
+        "text_page_metadata": text_page_metadata,
         "r8_yield_budget": r8_yield_budget,
         "lake_zorder_key": lake_zorder_key,
         "lake_compaction_plan": lake_compaction_plan,
@@ -2101,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
     from spider_spark.operators import rangejoin as RJ
     from spider_spark.operators import redirects as RD
     from spider_spark.analysis import similarity as S
+    from spider_spark.analysis import metadata as MDX
     from spider_spark.analysis import skew as SK
     from spider_spark.analysis import text as T
     from spider_spark import lake as LK
@@ -2479,6 +2491,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", 3, 16
         ),
         "export_manifest": EX.shard_manifest_sql("documents", 16),
+        "text_page_metadata": MDX.page_metadata_sql(
+            "documents", MDX.metadata_page_duckdb()
+        ),
         "r8_yield_budget": PO.yield_budgets_sql(
             "(SELECT event_type AS host, count(*) AS fetched, "
             "count(DISTINCT user_id) AS new_urls FROM events GROUP BY 1) st",
