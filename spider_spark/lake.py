@@ -268,18 +268,22 @@ def compact_parquet_dir(
     task decomposition a distributed rewrite uses; full-size files are
     copied through unchanged as their own groups). Returns the plan.
     Row-for-row content is preserved (tests pin equality)."""
+    import shutil
     from concurrent.futures import ThreadPoolExecutor
 
+    if os.path.isdir(dst):
+        # a previous (differently-planned) compaction's groups must not
+        # survive alongside this one's
+        shutil.rmtree(dst)
     plan = compaction_plan(
         parquet_inventory(spark, src), target_bytes
     ).cache()
-    groups = [
-        (r["partition"], r["grp"], [])
-        for r in plan.select("partition", "grp").distinct().collect()
-    ]
-    by_key = {(p, g): paths for p, g, paths in groups}
-    for r in plan.collect():
-        by_key[(r["partition"], r["grp"])].append(r["path"])
+    rows = plan.collect()
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault((r["partition"], r["grp"]), []).append(r["path"])
+    groups = [(p, g, paths) for (p, g), paths in sorted(by_key.items())]
+    plan.unpersist()
 
     def _rewrite(item):
         (part, grp, paths) = item
