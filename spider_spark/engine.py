@@ -1600,20 +1600,43 @@ class CrawlEngine:
         return eng
 
     # ------------------------------------------------------------ outputs
+    #
+    # Every delta row carries its `round`, so snapshot reads (`as_of`) are
+    # a filter, not a path selection — correct across compact_state merges
+    # (a merged dir holds many rounds under one round=<upto> path) and
+    # pushed to the parquet scan as a row-group min/max prune. This is the
+    # Iceberg snapshot-id time-travel read re-expressed for the
+    # parquet-dir lake: as_of=r sees exactly the state rounds 0..r wrote.
 
-    def urls_df(self) -> DataFrame:
-        return self._read_deltas("urls", URLS_SCHEMA)
+    @staticmethod
+    def _as_of(df: DataFrame, as_of: int | None) -> DataFrame:
+        return df if as_of is None else df.filter(F.col("round") <= as_of)
 
-    def seen_df(self) -> DataFrame:
-        return self._read_deltas("seen", SEEN_SCHEMA)
+    def urls_df(self, as_of: int | None = None) -> DataFrame:
+        return self._as_of(self._read_deltas("urls", URLS_SCHEMA), as_of)
 
-    def order_df(self) -> DataFrame:
+    def seen_df(self, as_of: int | None = None) -> DataFrame:
+        return self._as_of(self._read_deltas("seen", SEEN_SCHEMA), as_of)
+
+    def frontier_df(self, as_of: int | None = None) -> DataFrame:
+        """The frontier AS OF a round — unlike the append-only deltas the
+        frontier is a full per-round state, so this reads one dir."""
+        r = self.round if as_of is None else as_of
+        path = self._p("frontier", r)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"no frontier snapshot at round {r} (compacted or never "
+                "written)"
+            )
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+
+    def order_df(self, as_of: int | None = None) -> DataFrame:
         paths = self._delta_paths("order", self.round)
         if not paths:
             return self.spark.createDataFrame(
                 [], "round int, host string, rn int, url string, sm boolean"
             )
-        return self.spark.read.parquet(*paths)
+        return self._as_of(self.spark.read.parquet(*paths), as_of)
 
     def fetched_df(self) -> DataFrame:
         paths = self._delta_paths("fetched", self.round)
