@@ -16,6 +16,8 @@ Extraction contract (deliberately narrow, pinned by tests):
   - attribute values must be double-quoted (the single-quote/unquoted
     forms return NULL — a parser, not a regex, is the tool for full
     attribute grammar; at corpus scale the double-quote form dominates);
+    meta attributes match in either order (name-first and content-first
+    patterns, coalesced);
   - `h1` strips nested inline tags and collapses whitespace;
   - a missing field is NULL (never ''), via nullif.
 
@@ -31,8 +33,12 @@ from pyspark.sql import functions as F
 # RE2-safe (no backrefs, no lookaround); [\s\S] crosses newlines without
 # needing a DOTALL flag in either engine
 _TITLE = r"(?i)<title[^>]*>([^<]*)</title>"
+# meta attributes appear in either order in real HTML — one pattern per
+# order (RE2-safe; no backrefs), coalesced at extraction time
 _DESC = r'(?i)<meta[^>]*name="description"[^>]*content="([^"]*)"'
+_DESC_REV = r'(?i)<meta[^>]*content="([^"]*)"[^>]*name="description"'
 _OG_TITLE = r'(?i)<meta[^>]*property="og:title"[^>]*content="([^"]*)"'
+_OG_TITLE_REV = r'(?i)<meta[^>]*content="([^"]*)"[^>]*property="og:title"'
 _LANG = r'(?i)<html[^>]*lang="([a-zA-Z-]+)"'
 _H1 = r"(?i)<h1[^>]*>([\s\S]*?)</h1>"
 _TAG = r"<[^>]+>"
@@ -62,8 +68,12 @@ def page_metadata(
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(f"nullif({_clean_spark(first(_TITLE))}, '')").alias("title"),
-        F.expr(first(_DESC)).alias("description"),
-        F.expr(first(_OG_TITLE)).alias("og_title"),
+        F.expr(f"coalesce({first(_DESC)}, {first(_DESC_REV)})").alias(
+            "description"
+        ),
+        F.expr(
+            f"coalesce({first(_OG_TITLE)}, {first(_OG_TITLE_REV)})"
+        ).alias("og_title"),
         F.expr(first(_LANG)).alias("html_lang"),
         F.expr(f"nullif({_clean_spark(first(_H1))}, '')").alias("h1"),
     )
@@ -90,8 +100,9 @@ def page_metadata_sql(
     return f"""
     SELECT {id_col} AS doc_id,
            nullif({_clean_duck(first(_TITLE))}, '') AS title,
-           {first(_DESC)} AS description,
-           {first(_OG_TITLE)} AS og_title,
+           coalesce({first(_DESC)}, {first(_DESC_REV)}) AS description,
+           coalesce({first(_OG_TITLE)}, {first(_OG_TITLE_REV)})
+               AS og_title,
            {first(_LANG)} AS html_lang,
            nullif({_clean_duck(first(_H1))}, '') AS h1
     FROM {table}

@@ -77,14 +77,21 @@ def hot_keys(
         F.count("*").cast("long").alias("n_rows")
     )
     p = int(n_partitions)
+    # load_ppm = floor(c*P*1e6 / N) computed as P*floor(c*1e6/N) +
+    # floor((c*1e6 mod N)*P/N) — exact (a = qN+r ⇒ floor(aP/N) = qP +
+    # floor(rP/N)) and overflow-free at the 10^10-row design point,
+    # where the naive c*P*1e6 product exceeds int64 (c*1e6 <= ~1e16 and
+    # (N-1)*P stay comfortably inside)
+    load = (
+        f"(n_rows * 1000000 DIV {n}) * {p} "
+        f"+ ((n_rows * 1000000 % {n}) * {p}) DIV {n}"
+    )
     return (
         counts.filter(F.col("n_rows") * p > n)
         .select(
             "key",
             "n_rows",
-            F.expr(f"(n_rows * {p} * 1000000) DIV {n}")
-            .cast("long")
-            .alias("load_ppm"),
+            F.expr(load).cast("long").alias("load_ppm"),
             F.expr(f"(n_rows * {p} + {n} - 1) DIV {n}")
             .cast("long")
             .alias("salt_factor"),
@@ -110,10 +117,20 @@ def partition_load(
     assert n_partitions > 0
     n = total if total is not None else _total_rows(df)
     assert n > 0
+    # NULL keys route like any other key (a real hash partitioner sends
+    # them to one concrete partition): coalesce to '' before hashing —
+    # mirrored in the SQL replica; the ''-key collision is documented
     part = (
-        F.expr(md5_u32_sql(f"cast({key_col} as string)")) % n_partitions
+        F.expr(
+            md5_u32_sql(f"coalesce(cast({key_col} as string), '')")
+        )
+        % n_partitions
     ).cast("long")
     p = int(n_partitions)
+    load = (
+        f"(n_rows * 1000000 DIV {n}) * {p} "
+        f"+ ((n_rows * 1000000 % {n}) * {p}) DIV {n}"
+    )
     return (
         df.select(part.alias("partition"), F.col(key_col).alias("_k"))
         .groupBy("partition", "_k")
@@ -123,10 +140,7 @@ def partition_load(
             F.count("*").cast("long").alias("n_keys"),
             F.sum("_c").cast("long").alias("n_rows"),
         )
-        .withColumn(
-            "load_ppm",
-            F.expr(f"(n_rows * {p} * 1000000) DIV {n}").cast("long"),
-        )
+        .withColumn("load_ppm", F.expr(load).cast("long"))
     )
 
 
@@ -138,10 +152,14 @@ def hot_keys_sql(
     subquery ``(SELECT count(*) FROM t)``) that evaluates to it."""
     p = int(n_partitions)
     n = f"({total})"
+    load = (
+        f"(count(*) * 1000000 // {n}) * {p} "
+        f"+ ((count(*) * 1000000 % {n}) * {p}) // {n}"
+    )
     return f"""
     SELECT {key_col} AS key,
            count(*) AS n_rows,
-           CAST((count(*) * {p} * 1000000) // {n} AS BIGINT) AS load_ppm,
+           CAST({load} AS BIGINT) AS load_ppm,
            CAST((count(*) * {p} + {n} - 1) // {n} AS BIGINT)
                AS salt_factor
     FROM {table}
@@ -157,7 +175,11 @@ def partition_load_sql(
     ``hot_keys_sql``)."""
     p = int(n_partitions)
     n = f"({total})"
-    h = md5_u32_duckdb(f"CAST({key_col} AS VARCHAR)")
+    h = md5_u32_duckdb(f"coalesce(CAST({key_col} AS VARCHAR), '')")
+    load = (
+        f"(sum(c) * 1000000 // {n}) * {p} "
+        f"+ ((sum(c) * 1000000 % {n}) * {p}) // {n}"
+    )
     return f"""
     WITH per_key AS (
         SELECT CAST(({h}) % {p} AS BIGINT) AS partition,
@@ -167,6 +189,6 @@ def partition_load_sql(
     SELECT partition,
            count(*) AS n_keys,
            CAST(sum(c) AS BIGINT) AS n_rows,
-           CAST((sum(c) * {p} * 1000000) // {n} AS BIGINT) AS load_ppm
+           CAST({load} AS BIGINT) AS load_ppm
     FROM per_key GROUP BY 1
     """

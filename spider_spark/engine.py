@@ -84,7 +84,7 @@ from spider_spark.operators.politeness import (
     fifo_rank,
     priority_column,
     schedule_topk,
-    yield_budgets,
+    yield_budgets_py,
 )
 
 SEQ_STRIDE = 1 << 40  # per-round seq base; additions per host per round < 2^40
@@ -332,6 +332,13 @@ class CrawlEngine:
                 "yield_budget_total and respect_crawl_delay both redefine "
                 "the per-host base budget — enable at most one"
             )
+        if self.cfg.yield_budget_total and self.cfg.yield_budget_min < 1:
+            # with a zero floor a host allocated budget 0 schedules
+            # nothing, drops out of the engine's hyld sidecar (stats come
+            # from scheduled rows) but stays in the oracle's batch list —
+            # the twins would diverge on the next round's split. Floor 1
+            # keeps every queued host in both stats tables.
+            raise ValueError("yield_budget_min must be >= 1")
         if self.cfg.respect_crawl_delay:
             rows = [
                 (h, b)
@@ -830,18 +837,34 @@ class CrawlEngine:
             budget_col = "_budget"
         if cfg.yield_budget_total:
             # split the global budget by the PREVIOUS round's
-            # new-URLs-per-fetch yield (largest remainder, exact — the
-            # oracle computes the same split from its own round stats).
-            # Round 1 / a missing sidecar / a host absent from it all
-            # fall back to the uniform scrape_parallelism.
+            # new-URLs-per-fetch yield — computed DRIVER-SIDE with the
+            # same pure function the oracle uses (yield_budgets_py over
+            # the collected host-cardinality sidecar, the robots/sources
+            # driver-table cost class): bit-identical twins by
+            # construction, and the exact max allocation keeps the
+            # WindowGroupLimit prune ceiling tight instead of loosening
+            # it to the whole global budget. Round 1 / a missing sidecar
+            # / a host absent from it all fall back to the uniform
+            # scrape_parallelism.
             hyld_dir = self._p("hyld", r - 1)
             if os.path.isdir(hyld_dir):
-                stats = spark.read.schema(HYLD_SCHEMA).parquet(hyld_dir)
-                yb = yield_budgets(
-                    stats,
+                stats_rows = (
+                    spark.read.schema(HYLD_SCHEMA).parquet(hyld_dir).collect()
+                )
+                alloc = yield_budgets_py(
+                    {
+                        row["host"]: (row["fetched"], row["new_urls"])
+                        for row in stats_rows
+                    },
                     cfg.yield_budget_total,
                     cfg.yield_budget_min,
-                ).select("host", F.col("budget").alias("_yb"))
+                )
+            else:
+                alloc = {}
+            if alloc:
+                yb = spark.createDataFrame(
+                    list(alloc.items()), "host string, _yb long"
+                )
                 sched_in = (
                     sched_in.join(F.broadcast(yb), "host", "left")
                     .withColumn(
@@ -854,12 +877,8 @@ class CrawlEngine:
                     .drop("_yb")
                 )
                 budget_col = "_budget"
-                # the prune ceiling must bound every per-host budget: a
-                # yield allocation can hand one hot host (almost) the
-                # whole global budget (looser literal prune; the
-                # per-host cap filter keeps the result exact)
                 budget_ceiling = max(
-                    cfg.scrape_parallelism, cfg.yield_budget_total
+                    cfg.scrape_parallelism, max(alloc.values())
                 )
         if cfg.error_backoff:
             # halve the base budget per previous-round error, floor 1

@@ -271,6 +271,13 @@ def compact_parquet_dir(
     import shutil
     from concurrent.futures import ThreadPoolExecutor
 
+    s, d = os.path.abspath(src), os.path.abspath(dst)
+    if s == d or s.startswith(d + os.sep):
+        # rmtree(dst) below would delete the source before the
+        # inventory is even read — refuse instead of losing data
+        raise ValueError(
+            f"dst ({dst}) must not be src or an ancestor of src ({src})"
+        )
     if os.path.isdir(dst):
         # a previous (differently-planned) compaction's groups must not
         # survive alongside this one's

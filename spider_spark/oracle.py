@@ -188,6 +188,15 @@ def seed_state(
 
 def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
     cfg = cfg or CrawlConfig()
+    # same admissibility rules as CrawlEngine.__init__ — the twins must
+    # refuse the same configs, not silently pick a precedence
+    if cfg.yield_budget_total and cfg.respect_crawl_delay:
+        raise ValueError(
+            "yield_budget_total and respect_crawl_delay both redefine "
+            "the per-host base budget — enable at most one"
+        )
+    if cfg.yield_budget_total and cfg.yield_budget_min < 1:
+        raise ValueError("yield_budget_min must be >= 1")
     robots = RobotsTable(
         {h: parse_robots(b, cfg.user_agent) for h, b in web.robots.items()}
     )

@@ -195,6 +195,17 @@ def test_compaction_duckdb_equality(spark):
     assert got_st == want_st
 
 
+def test_compact_refuses_dst_over_src(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "a" / "b")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="must not be src"):
+        lake.compact_parquet_dir(spark, src, src, 1024)
+    with pytest.raises(ValueError, match="must not be src"):
+        lake.compact_parquet_dir(spark, src, str(tmp_path / "a"), 1024)
+
+
 def test_compact_parquet_dir_roundtrip(spark, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")

@@ -26,6 +26,11 @@ PAGES = [
         8,
         "<title>first</title><title>second</title><h1>one</h1><h1>two</h1>",
     ),
+    (  # content-first attribute order (common in real HTML)
+        9,
+        '<meta content="rev desc" name="description">'
+        '<meta content="rev og" property="og:title">',
+    ),
 ]
 
 
@@ -53,6 +58,9 @@ def test_page_metadata_known_values(spark):
     assert got[7]["title"] is None and got[7]["h1"] is None
     # first occurrence wins
     assert got[8]["title"] == "first" and got[8]["h1"] == "one"
+    # either attribute order matches
+    assert got[9]["description"] == "rev desc"
+    assert got[9]["og_title"] == "rev og"
 
 
 def test_page_metadata_duckdb_equality(spark):

@@ -57,6 +57,35 @@ def test_partition_load_accounting(spark):
     assert sum(r[2] for r in got) == 100
 
 
+def test_partition_load_null_keys_routed(spark):
+    # NULLs route to the same concrete partition as '' in both engines
+    rows = [("a",)] * 3 + [(None,)] * 2 + [("",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = skew.partition_load(df, "k", 64).collect()
+    assert sum(r["n_rows"] for r in out) == 6
+    assert all(r["partition"] is not None for r in out)
+    # NULL hashes like '' (documented collision): expected layout
+    exp: dict[int, list[int]] = {}
+    for key, c in (("a", 3), ("", 3)):  # NULL+'' merge into the '' route
+        e = exp.setdefault(md5_u32_py(key) % 64, [0, 0])
+        e[1] += c
+    exp[md5_u32_py("a") % 64][0] += 1
+    exp[md5_u32_py("") % 64][0] += 2  # NULL and '' are 2 distinct keys
+    got = {r["partition"]: [r["n_keys"], r["n_rows"]] for r in out}
+    assert got == exp
+
+
+def test_load_ppm_overflow_free_formula():
+    # the two-step floor identity must equal the naive big-int formula
+    # in the regime where the naive int64 product overflows
+    n, p = 10**10, 4096
+    for c in (3 * 10**9, 10**10 - 1, 7):
+        naive = c * p * 1_000_000 // n  # python big ints: exact
+        two_step = (c * 1_000_000 // n) * p + ((c * 1_000_000 % n) * p) // n
+        assert two_step == naive
+        assert (c * 1_000_000) < 2**63 and ((n - 1) * p) < 2**63
+
+
 def test_skew_duckdb_equality(spark):
     rows = [(f"h{(i * i) % 13}",) for i in range(500)]
     df = _df(spark, rows)
