@@ -85,6 +85,13 @@ HEADLINE = [
     "export_manifest",        # sharded-export manifest (combine-heavy agg)
     "dedup_semantic",         # SemDeDup: cell-bounded pairs + label prop
     "multimodal_phash_dedup", # image phash dedup over real decode
+    # continuation-session additions
+    "lake_zorder_key",        # Morton bit-interleave clustering key
+    "lake_compaction_plan",   # next-fit-decreasing bin-pack planning
+    "skew_hot_keys",          # fair-share hot-key + salt-factor report
+    "skew_partition_load",    # projected post-shuffle load histogram
+    "r8_yield_budget",        # largest-remainder global budget split
+    "text_page_metadata",     # title/description/og/lang/h1 extraction
 ]
 
 
