@@ -1329,11 +1329,16 @@ class CrawlEngine:
             # (non-retry, robots-allowed) urls enqueued to it — the
             # weights next round's global-budget split allocates by.
             # Host-cardinality aggregations off the cached round data.
+            # Reads cand_events (the pre-union candidate side), NOT the
+            # observed `additions`: a third concurrent consumer of the
+            # observed plan races the Observation listener (seen as a
+            # JVM assertion in obs.get); cand_events is exactly the
+            # ~is_retry slice by construction.
             f = scheduled.groupBy("host").agg(
                 F.count("*").cast("long").alias("fetched")
             )
             nw = (
-                additions.filter(F.col("allowed") & ~F.col("is_retry"))
+                cand_events.filter(F.col("allowed"))
                 .groupBy(F.col("thost").alias("host"))
                 .agg(F.count("*").cast("long").alias("new_urls"))
             )
