@@ -558,6 +558,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ = schedule_topk(fr, budget=4, budget_col="_budget")
         return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
 
+    def r8_delay_skip(spark, sf):
+        # the REAL cross-round Crawl-delay schedule (engine.py run_round
+        # under cfg.crawl_delay_skip: _budget -> 0 when _period > 1 and
+        # (r-1) % _period != 0, operators/politeness.delay_period) at a
+        # fixed round r=3, vs an independent DuckDB CASE replica.
+        # Synthetic periods 1 + user_id % 4: periods 3 and 4 are off-round
+        # at r=3 and must schedule NOTHING; 1 and 2 fetch budget 2.
+        from spider_spark.operators.politeness import schedule_topk
+
+        r = 3
+        fr = _with_url(_t(spark, sf, "events")).select(
+            F.col("user_id").cast("string").alias("host"),
+            F.col("event_id").cast("long").alias("seq"),
+            "url",
+            F.lit(False).alias("sm"),
+            F.lit(2).cast("int").alias("_budget"),
+            (F.lit(1) + F.col("user_id") % 4).cast("int").alias("_period"),
+        )
+        fr = fr.withColumn(
+            "_budget",
+            F.when(
+                (F.coalesce(F.col("_period"), F.lit(1)) > 1)
+                & ((F.lit(r - 1) % F.col("_period")) != 0),
+                F.lit(0),
+            ).otherwise(F.col("_budget")),
+        ).drop("_period")
+        s, _ = schedule_topk(fr, budget=2, budget_col="_budget")
+        return s.select("host", "seq", F.col("rn").cast("long").alias("rn"))
+
     def r8_backoff_budget(spark, sf):
         # the REAL schedule_topk under error_backoff budgets (engine.py
         # run_round: budget = max(1, base >> min(prev-round errors, cap)))
@@ -1549,7 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def multimodal_phash_dedup(spark, sf):
         # REAL decode → block-mean perceptual hash → dedup: planted
         # perceptual duplicates (content from event_id%23, size+container
-        # PPM/BMP from event_id) group on the decoded-content hash even
+        # PPM/BMP/PNG from event_id) group on the decoded-content hash even
         # though every payload's bytes differ; DuckDB re-derives the
         # packed hash arithmetically from the id
         from spider_spark.analysis import media_fixtures as MF
@@ -1984,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r8_politeness_topk": r8_politeness_topk,
         "r8_priority_topk": r8_priority_topk,
         "r8_delay_budget": r8_delay_budget,
+        "r8_delay_skip": r8_delay_skip,
         "r8_indegree_topk": r8_indegree_topk,
         "r8_pagerank_topk": r8_pagerank_topk,
         "r8_backoff_budget": r8_backoff_budget,
@@ -2610,6 +2640,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(user_id AS VARCHAR) AS host,
                        CAST(event_id AS BIGINT) AS seq,
                        1 + (user_id % 4) AS b,
+                       CAST(row_number() OVER (
+                            PARTITION BY user_id
+                            ORDER BY event_id) AS BIGINT) AS rn
+                FROM events)
+            WHERE rn <= b
+        """,
+        "r8_delay_skip": """
+            SELECT host, seq, rn FROM (
+                SELECT CAST(user_id AS VARCHAR) AS host,
+                       CAST(event_id AS BIGINT) AS seq,
+                       CASE WHEN (1 + user_id % 4) > 1
+                                 AND (2 % (1 + user_id % 4)) != 0
+                            THEN 0 ELSE 2 END AS b,
                        CAST(row_number() OVER (
                             PARTITION BY user_id
                             ORDER BY event_id) AS BIGINT) AS rn

@@ -92,21 +92,31 @@ HEADLINE = [
     "skew_partition_load",    # projected post-shuffle load histogram
     "r8_yield_budget",        # largest-remainder global budget split
     "text_page_metadata",     # title/description/og/lang/h1 extraction
+    # round-3 additions
+    "r8_delay_skip",          # cross-round Crawl-delay period scheduling
 ]
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """(cold, warm) seconds per query. Cold = first end-to-end run in
+    suite order (comparable to BENCH_r01/r02); warm = an immediate second
+    run of the same query, which separates the operator's steady-state
+    cost from JIT/codegen/first-touch effects — deep-suite queries print
+    2-3x their warm cost cold, which cost a manual A/B to explain in
+    round 2."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    times = {}
+    times, warm = {}, {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
-    return times
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        warm[name] = round(time.time() - t0, 3)
+    return times, warm
 
 
 def bench_crawl(spark, cache_dir: str) -> dict:
@@ -165,7 +175,7 @@ def main():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     os.makedirs(cache_dir, exist_ok=True)
 
-    times = bench_queries(spark, sf_dir)
+    times, warm = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark, cache_dir)
     total = round(sum(times.values()) + crawl["wall_sec"], 3)
     out = {
@@ -173,6 +183,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": crawl,
     }

@@ -33,8 +33,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, out_json: str | None = None):
     spark = get_spark(master="local[8]", shuffle_partitions=8)
+    results: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -49,24 +50,31 @@ def main(sf_dir: str):
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            results[name] = {"status": "fail-spark", "err": str(e)[:300]}
             print(f"[FAIL-spark] {name}: {e}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows-only", "rows": len(sdf)}
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            results[name] = {"status": "fail-duck", "err": str(e)[:300]}
             print(f"[FAIL-duck] {name}: {e}")
             continue
         a, b = normalize(sdf), normalize(odf)
         if list(a.columns) != list(b.columns):
             failures.append((name, f"cols {list(a.columns)} != {list(b.columns)}"))
+            results[name] = {"status": "fail-cols"}
             print(f"[FAIL-cols] {name}: {list(a.columns)} vs {list(b.columns)}")
             continue
         if len(a) != len(b):
             failures.append((name, f"rows {len(a)} != {len(b)}"))
+            results[name] = {
+                "status": "fail-rows", "rows": len(a), "oracle_rows": len(b),
+            }
             print(f"[FAIL-rows] {name}: {len(a)} vs {len(b)}")
             continue
         if not a.equals(b):
@@ -76,8 +84,10 @@ def main(sf_dir: str):
                 axis=1,
             )
             failures.append((name, f"{int(neq.sum())} differing rows"))
+            results[name] = {"status": "fail-vals", "diff_rows": int(neq.sum())}
             print(f"[FAIL-vals] {name}: {int(neq.sum())} differing rows\n{diff}")
             continue
+        results[name] = {"status": "ok", "rows": len(a)}
         print(f"[OK] {name}: {len(a)} rows")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
@@ -85,9 +95,28 @@ def main(sf_dir: str):
     edf = entrymod.entry(spark)
     n = edf.count()
     print(f"entry(): {n} rows, schema {edf.schema.simpleString()}")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(qs),
+                    "passed": len(qs) - len(failures),
+                    "entry_rows": n,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_json}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+        sys.argv[2] if len(sys.argv) > 2 else None,
+    )

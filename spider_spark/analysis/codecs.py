@@ -101,6 +101,689 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
+# --------------------------------------------------------------------- PNG
+#
+# Pure stdlib-zlib + numpy PNG codec: the most common lossless web format
+# needs no external library — IDAT is zlib-deflated scanlines, each
+# prefixed by one of five byte-delta filters (RFC 2083 §6). Decoder
+# supports 8-bit depth, color types 0/2/3/4/6, non-interlaced (Adam7 is
+# rejected with a clear error; it is rare on the web and would triple the
+# unfilter logic). Filters None/Up are fully vectorized; Sub is a
+# per-byte-lane cumulative sum (mod-256 addition is associative); Average
+# and Paeth carry a nonlinear intra-row dependency and fall back to a
+# per-pixel loop — the documented CPU ceiling of a no-C-codec container.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """uint8 (H,W,3) RGB → non-interlaced 8-bit truecolor PNG.
+
+    ``filter_type``: 0..4 applies that scanline filter to every row;
+    ``"mixed"`` cycles row % 5 so round-trip tests exercise every
+    unfilter path."""
+    import zlib
+
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    h, w = img.shape[:2]
+    bpp = 3
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        row = img[y].reshape(-1)
+        ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            filt = row - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            filt = row - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        out += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over uint8 arrays."""
+    ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
+    p = ai + bi - ci
+    pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    out = np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    )
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → uint8 (H,W,3) RGB. Grayscale expands to
+    3 channels, palette rows go through the PLTE LUT, alpha channels are
+    dropped (feature code downstream is RGB-only)."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype_n, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {ctype_n}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * nch
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    lines = raw.reshape(h, stride + 1)
+    filters, rows = lines[:, 0], lines[:, 1:]
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, r = int(filters[y]), rows[y]
+        if f == 0:
+            rec = r.copy()
+        elif f == 1:  # Sub: per-lane running sum, mod-256
+            lanes = r.reshape(-1, nch).astype(np.uint64)
+            rec = (
+                np.cumsum(lanes, axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            rec = r + prev
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                rec[x] = (
+                    int(r[x]) + ((int(left) + int(prev[x])) >> 1)
+                ) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(r[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        img[y] = rec
+        prev = rec
+    px = img.reshape(h, w, nch)
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[px[..., 0]]
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    if nch == 2:  # gray + alpha → drop alpha, expand
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # RGB / RGBA → RGB
+
+
+# -------------------------------------------------------------------- JPEG
+#
+# Pure-numpy baseline JPEG codec (ITU T.81 sequential DCT, Huffman,
+# 8-bit). Decoder: marker walk (DQT/SOF0/DHT/DRI/SOS), canonical Huffman
+# from DHT counts, byte-unstuffing, per-MCU DC-predict + run/size AC
+# decode, dequant + de-zigzag + separable float IDCT, general Hi/Vi
+# chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Progressive
+# (SOF2), arithmetic coding, and 12-bit precision raise ValueError.
+# Encoder (fixture/test side): 4:4:4 baseline with Annex-K quant tables
+# scaled by the libjpeg quality rule and per-image single-length
+# canonical Huffman tables (valid DHTs any conformant decoder accepts —
+# simple over optimal). The zigzag order is GENERATED from the diagonal
+# traversal, shared by both sides, so it cannot be transcribed wrong on
+# one side only.
+
+_ZIGZAG = None  # (64,) scan order: zigzag index -> block index
+
+
+def _zigzag_order() -> np.ndarray:
+    global _ZIGZAG
+    if _ZIGZAG is None:
+        order = []
+        r = c = 0
+        for _ in range(64):
+            order.append(r * 8 + c)
+            if (r + c) % 2 == 0:  # moving up-right
+                if c == 7:
+                    r += 1
+                elif r == 0:
+                    c += 1
+                else:
+                    r -= 1
+                    c += 1
+            else:  # moving down-left
+                if r == 7:
+                    c += 1
+                elif c == 0:
+                    r += 1
+                else:
+                    r += 1
+                    c -= 1
+        _ZIGZAG = np.array(order, dtype=np.int64)
+    return _ZIGZAG
+
+
+# Annex K (T.81 §K.1) reference quantization tables, row-major.
+_JPEG_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_JPEG_CHROMA_Q = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.float64,
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """8x8 DCT-II basis C with C[u] ⋅ block-row = coefficient: orthonormal
+    form, so IDCT is C.T @ X @ C and DCT is C @ x @ C.T."""
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.marker is not None:
+                self.bits = (self.bits << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9
+                )
+                if nxt == 0x00:  # stuffed FF
+                    self.pos += 2
+                    b = 0xFF
+                else:  # real marker: stop consuming
+                    self.marker = nxt
+                    b = 0
+            else:
+                self.pos += 1
+            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def huff(self, table: dict) -> int:
+        """table: {(length, code): symbol}."""
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG huffman code")
+
+    def restart(self):
+        """Consume an RSTn marker between restart intervals."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2  # skip FF Dn
+            self.marker = None
+
+
+def _huff_table(counts: list[int], symbols: bytes) -> dict:
+    """Canonical Huffman (T.81 C.2): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude (T.81 F.2.2.1)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → uint8 (H,W,3) RGB (grayscale expands)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    zz = _zigzag_order()
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    rgb = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if m == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                if pq:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros(64)
+                tbl[zz] = np.frombuffer(seg, np.uint8, 64, s + 1)
+                qt[tq] = tbl
+                s += 65
+        elif m == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                counts = list(seg[s + 1 : s + 17])
+                n = sum(counts)
+                syms = seg[s + 17 : s + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = _huff_table(counts, syms)
+                s += 17 + n
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline(+ext sequential)
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError("12-bit JPEG not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cid] = (tt >> 4, tt & 0xF)
+            rgb = _decode_scan(
+                data, pos + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac,
+                restart_interval, zz,
+            )
+            break
+        pos += 2 + seg_len
+    if rgb is None:
+        raise ValueError("no JPEG scan decoded")
+    return rgb
+
+
+def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, dri, zz):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    basis = _dct_basis()
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for mi in range(n_mcu):
+        if dri and mi and mi % dri == 0:
+            br.restart()
+            pred = [0] * len(comps)
+        my, mx = divmod(mi, mcux)
+        for ci, c in enumerate(comps):
+            dct, act = sel[c["id"]]
+            tdc, tac = huff_dc[dct], huff_ac[act]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64)
+                    t = br.huff(tdc)
+                    pred[ci] += _extend(br.read(t), t)
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(tac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        coef[zz[k]] = _extend(br.read(s), s)
+                        k += 1
+                    block = (coef * q).reshape(8, 8)
+                    px = basis.T @ block @ basis + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample each plane to full MCU-grid resolution, crop to (h, w)
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-pad to byte edge
+
+
+def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((tbl * scale + 50) / 100), 1, 255)
+
+
+def _single_len_huff(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """All used symbols at one canonical length L (2^L - 1 >= n so the
+    all-ones code stays unused): (counts[16], symbol list, {sym: (code,L)})."""
+    syms = sorted(set(symbols))
+    n = len(syms)
+    length = max(2, (n + 1).bit_length())
+    counts = [0] * 16
+    counts[length - 1] = n
+    enc = {s: (i, length) for i, s in enumerate(syms)}
+    return counts, syms, enc
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad to (ph, pw)."""
+    h, w = p.shape
+    padded = np.empty((ph, pw))
+    padded[:h, :w] = p
+    if ph > h:
+        padded[h:, :w] = p[h - 1 : h, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """uint8 (H,W,3) RGB → baseline JPEG (per-image canonical Huffman
+    tables; Annex-K quant scaled by the libjpeg quality rule).
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2×2 luma blocks + box-averaged chroma — the dominant web shape)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    img = np.ascontiguousarray(img.astype(np.float64))
+    h, w = img.shape[:2]
+    zz = _zigzag_order()
+    basis = _dct_basis()
+    qy = _quality_scale(_JPEG_LUMA_Q, quality)
+    qc = _quality_scale(_JPEG_CHROMA_Q, quality)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsampling == "420":
+        hv_y = 0x22
+        # box-average 2x2 on an edge-replicated even-sized grid
+        ce = _pad_plane(cb, -(-h // 2) * 2, -(-w // 2) * 2)
+        re_ = _pad_plane(cr, -(-h // 2) * 2, -(-w // 2) * 2)
+        cb = (ce[0::2, 0::2] + ce[0::2, 1::2] + ce[1::2, 0::2] + ce[1::2, 1::2]) / 4
+        cr = (re_[0::2, 0::2] + re_[0::2, 1::2] + re_[1::2, 0::2] + re_[1::2, 1::2]) / 4
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+        comps = [
+            (y, qy, 2, 2),
+            (cb, qc, 1, 1),
+            (cr, qc, 1, 1),
+        ]
+    else:
+        hv_y = 0x11
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        comps = [(y, qy, 1, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+    # Quantized blocks per component, in MCU-interleaved SCAN ORDER (DC
+    # prediction runs in this order on both sides)
+    qms = [q.reshape(8, 8) for _p, q, _hh, _vv in comps]
+    padded = [
+        _pad_plane(p, mcuy * vv * 8, mcux * hh * 8)
+        for p, _q, hh, vv in comps
+    ]
+    all_blocks = [[] for _ in comps]
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci, (_p, _q, hh, vv) in enumerate(comps):
+            for by in range(vv):
+                for bx in range(hh):
+                    y0 = (my * vv + by) * 8
+                    x0 = (mx * hh + bx) * 8
+                    blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = basis @ blk @ basis.T
+                    all_blocks[ci].append(
+                        np.round(coef / qms[ci]).astype(np.int64).reshape(-1)
+                    )
+    # Symbol statistics → per-class single-length Huffman tables
+    dc_syms = [[], []]
+    ac_syms = [[], []]
+    for ci in range(3):
+        cls = 0 if ci == 0 else 1
+        prev = 0
+        for quant in all_blocks[ci]:
+            zzc = quant[zz]
+            dc_syms[cls].append(_category(int(zzc[0]) - prev))
+            prev = int(zzc[0])
+            run = 0
+            nz = np.nonzero(zzc[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zzc[k])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        ac_syms[cls].append(0xF0)
+                        run = 0
+                    continue
+                ac_syms[cls].append((run << 4) | _category(v))
+                run = 0
+            if last < 63:
+                ac_syms[cls].append(0x00)  # EOB
+    tables = [
+        _single_len_huff(s if s else [0])
+        for s in (dc_syms[0], dc_syms[1], ac_syms[0], ac_syms[1])
+    ]
+    # Headers
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for tq, q in ((0, qy), (1, qc)):
+        seg(0xDB, bytes([tq]) + bytes(q[zz].astype(np.uint8)))
+    seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for idx, (tc, th) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        counts, syms, _enc = tables[idx]
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    # Entropy-coded scan: all_blocks is already in MCU-interleaved scan
+    # order, so emission just walks each component's list with a cursor
+    bwiter = _BitWriter()
+    enc_dc = [tables[0][2], tables[1][2]]
+    enc_ac = [tables[2][2], tables[3][2]]
+    pred = [0, 0, 0]
+    cursor = [0, 0, 0]
+    per_mcu = [hh * vv for _p, _q, hh, vv in comps]
+    for _mi in range(mcux * mcuy):
+        for ci in range(3):
+            for _ in range(per_mcu[ci]):
+                cls = 0 if ci == 0 else 1
+                zzc = all_blocks[ci][cursor[ci]][zz]
+                cursor[ci] += 1
+                dc = int(zzc[0])
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t = _category(diff)
+                code, ln = enc_dc[cls][t]
+                bwiter.put(code, ln)
+                if t:
+                    bwiter.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                nz = np.nonzero(zzc[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zzc[k])
+                    if v == 0:
+                        run += 1
+                        if run == 16:
+                            code, ln = enc_ac[cls][0xF0]
+                            bwiter.put(code, ln)
+                            run = 0
+                        continue
+                    s = _category(v)
+                    code, ln = enc_ac[cls][(run << 4) | s]
+                    bwiter.put(code, ln)
+                    bwiter.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, ln = enc_ac[cls][0x00]
+                    bwiter.put(code, ln)
+    bwiter.flush()
+    out.extend(bwiter.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- features
 
 
@@ -110,6 +793,10 @@ def decode_any(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     raise ValueError("unrecognized image format")
 
 

@@ -134,8 +134,37 @@ def quad_image_params(i: int, group_mod: int = 23) -> dict:
         "c01": (g * 11 + 3) % 251,
         "c10": (g * 17 + 7) % 251,
         "c11": (g * 23 + 13) % 251,
-        "bmp": i % 2 == 1,                       # alternate container
+        "container": i % 3,                      # rotate PPM/BMP/PNG
     }
+
+
+# payload containers rotated by id: PPM (raw), BMP (raw, different byte
+# layout), PNG (REAL compressed web format — the stdlib-zlib codec). The
+# rotation proves every dedup/metadata operator is container-blind.
+_QUAD_ENCODERS = (codecs.encode_ppm, codecs.encode_bmp, codecs.encode_png)
+
+
+def _quad_payload(p: dict, _cache: dict = {}) -> bytes:
+    """Encoded payload for quad params ``p``, memoized on the content
+    tuple: fixture synthesis over N rows costs O(distinct payloads)
+    encodes (≤ sizes × groups × containers — a few thousand) plus dict
+    lookups, not N per-row image builds. The memo made the sf0.1 phash
+    bench row fixture-synthesis-bound before; see BENCH notes."""
+    key = (
+        p["w"], p["h"], p["c00"], p["c01"], p["c10"], p["c11"],
+        p["container"],
+    )
+    blob = _cache.get(key)
+    if blob is None:
+        w2, h2 = p["w"] // 2, p["h"] // 2
+        img = np.empty((p["h"], p["w"], 3), np.uint8)
+        img[:h2, :w2] = p["c00"]
+        img[:h2, w2:] = p["c01"]
+        img[h2:, :w2] = p["c10"]
+        img[h2:, w2:] = p["c11"]
+        blob = _QUAD_ENCODERS[p["container"]](img)
+        _cache[key] = blob
+    return blob
 
 
 def synth_quad_image(
@@ -148,19 +177,16 @@ def synth_quad_image(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            refs, blobs = [], []
-            for i in pdf[id_col].astype("int64"):
-                p = quad_image_params(int(i), group_mod)
-                w2, h2 = p["w"] // 2, p["h"] // 2
-                img = np.empty((p["h"], p["w"], 3), np.uint8)
-                img[:h2, :w2] = p["c00"]
-                img[:h2, w2:] = p["c01"]
-                img[h2:, :w2] = p["c10"]
-                img[h2:, w2:] = p["c11"]
-                refs.append(f"img://{int(i)}")
-                enc = codecs.encode_bmp if p["bmp"] else codecs.encode_ppm
-                blobs.append(enc(img))
-            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_ref": [f"img://{int(i)}" for i in ids],
+                    "payload": [
+                        _quad_payload(quad_image_params(int(i), group_mod))
+                        for i in ids
+                    ],
+                }
+            )
 
     return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
@@ -179,7 +205,7 @@ def near_quad_image_params(i: int, groups: int = 150) -> dict:
     p["w"] = 6 + (i % 5) * 2
     p["h"] = 4 + (i % 3) * 2
     p["c11"] = p["c11"] + ((i // groups) % 2)
-    p["bmp"] = i % 2 == 1
+    p["container"] = i % 3
     return p
 
 
@@ -191,18 +217,15 @@ def synth_near_quad_image(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            refs, blobs = [], []
-            for i in pdf[id_col].astype("int64"):
-                p = near_quad_image_params(int(i), groups)
-                w2, h2 = p["w"] // 2, p["h"] // 2
-                img = np.empty((p["h"], p["w"], 3), np.uint8)
-                img[:h2, :w2] = p["c00"]
-                img[:h2, w2:] = p["c01"]
-                img[h2:, :w2] = p["c10"]
-                img[h2:, w2:] = p["c11"]
-                refs.append(f"img://{int(i)}")
-                enc = codecs.encode_bmp if p["bmp"] else codecs.encode_ppm
-                blobs.append(enc(img))
-            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_ref": [f"img://{int(i)}" for i in ids],
+                    "payload": [
+                        _quad_payload(near_quad_image_params(int(i), groups))
+                        for i in ids
+                    ],
+                }
+            )
 
     return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)

@@ -16,9 +16,18 @@ iterator contracts, partition sizing — is real and tested. Decode status:
     seeks to sampled frames instead of scanning the blob.
   - REAL nearest-neighbor resize (pure numpy index math) feeding
     block-mean features.
-  - STUB for compressed formats (JPEG/PNG/MP3/MP4): those need codec
-    libraries absent from this container; such payloads surface as
-    err='unrecognized image format'. Ref-only calls can still request the
+  - REAL for PNG (8-bit, non-interlaced, color types 0/2/3/4/6): pure
+    stdlib-zlib + numpy codec (``codecs.decode_png``) — the most common
+    lossless web format decodes for real; interlaced/16-bit PNGs degrade
+    to an err row.
+  - REAL for baseline sequential JPEG (``codecs.decode_jpeg``): marker
+    walk, canonical Huffman, dequant + float IDCT, general Hi/Vi chroma
+    upsampling (4:4:4/4:2:2/4:2:0), restart markers — the dominant web
+    image format decodes for real; progressive/arithmetic/12-bit degrade
+    to an err row.
+  - STUB for formats that genuinely need codec libraries absent from
+    this container (MP3/MP4, progressive JPEG, interlaced PNG): such
+    payloads surface as an err row. Ref-only calls can still request the
     deterministic ``fake=True`` pseudo-features to exercise downstream
     stages end-to-end.
 
@@ -111,16 +120,17 @@ def decode_image_features(
 
     With ``payload_col`` set, payloads are REALLY decoded with the
     pure-numpy codecs in ``analysis.codecs`` (uncompressed 24/32-bit BMP,
-    binary PPM/PGM — the formats decodable without any image library in
-    this container): real width/height plus a block-mean RGB feature
-    vector of EXACTLY ``n_features`` values — the first n_features of the
-    3·grid² cell means, grid being the smallest ≥2 with 3·grid² ≥
-    n_features — so real and fake paths emit the same feature dimension
-    and downstream zip_with consumers never see ragged arrays. Undecodable
-    or null
+    binary PPM/PGM, 8-bit non-interlaced PNG via stdlib zlib, and
+    baseline sequential JPEG — all decodable without any image library in
+    this container): real
+    width/height plus a block-mean RGB feature vector of EXACTLY
+    ``n_features`` values — the first n_features of the 3·grid² cell
+    means, grid being the smallest ≥2 with 3·grid² ≥ n_features — so real
+    and fake paths emit the same feature dimension and downstream
+    zip_with consumers never see ragged arrays. Undecodable or null
     payloads yield a row with null width/height/features and the reason in
     ``err`` — a 100-TB crawl always contains corrupt bytes, and one bad
-    payload must not kill the stage. JPEG/PNG etc. still need a codec
+    payload must not kill the stage. JPEG/MP3/MP4 still need a codec
     library and surface as err='unrecognized image format'.
 
     Without a payload column, ``fake=True`` keeps the former stub: a

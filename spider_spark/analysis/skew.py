@@ -70,9 +70,11 @@ def hot_keys(
     the key; non-hot keys (not returned) would report 1. Null keys count
     like any other key (they hash to one partition too).
     """
-    assert n_partitions > 0
+    if n_partitions <= 0:
+        raise ValueError(f"n_partitions must be > 0, got {n_partitions}")
     n = total if total is not None else _total_rows(df)
-    assert n > 0, "empty input has no skew"
+    if n <= 0:
+        raise ValueError("empty input has no skew")
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").cast("long").alias("n_rows")
     )
@@ -114,9 +116,11 @@ def partition_load(
     Output <= n_partitions rows; one combine-heavy groupBy(key) feeding
     a second bounded groupBy(partition).
     """
-    assert n_partitions > 0
+    if n_partitions <= 0:
+        raise ValueError(f"n_partitions must be > 0, got {n_partitions}")
     n = total if total is not None else _total_rows(df)
-    assert n > 0
+    if n <= 0:
+        raise ValueError("empty input has no load to partition")
     # NULL keys route like any other key (a real hash partitioner sends
     # them to one concrete partition): coalesce to '' before hashing —
     # mirrored in the SQL replica; the ''-key collision is documented

@@ -60,6 +60,14 @@ class CrawlConfig:
     # (HostCrawler ticks at a fixed rate), so this is opt-in
     respect_crawl_delay: bool = False
     politeness_tick_s: float = 1.0
+    # cross-round Crawl-delay scheduling (opt-in, requires
+    # respect_crawl_delay): a host whose delay spans k > 1 ticks is
+    # scheduled only every k-th round (period = ceil(delay / tick),
+    # operators/politeness.delay_period) instead of being clamped to one
+    # fetch EVERY round — the exact long-delay semantics a production
+    # politeness layer needs. Off-round hosts defer their whole queue
+    # with seq (FIFO) intact. Oracle-pinned like the other modes.
+    crawl_delay_skip: bool = False
     # adaptive error backoff: when on, a host that produced fetch errors
     # (transport failures / missing docs — the R15 'err' class) in round
     # r-1 gets its round-r budget halved per error, floored at 1:
@@ -82,6 +90,15 @@ class CrawlConfig:
     # budget). error_backoff composes on top (halves the allocated share).
     yield_budget_total: int = 0
     yield_budget_min: int = 1
+    # robots dimension deployment: the rules table is always parsed by a
+    # Spark job (never on the driver); when the number of RESTRICTING
+    # hosts (non-allow-all rules / sitemaps / Crawl-delay) is at most this
+    # threshold the parsed rules are collected once and broadcast globally
+    # (zero per-round overhead — the autoBroadcastJoinThreshold trade);
+    # above it the engine switches to per-round active-host slices
+    # (semi-join + bounded collect + broadcast, the hyld/herr sidecar
+    # pattern) so driver state never scales with the host universe
+    robots_broadcast_hosts: int = 100_000
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     sanity_check: bool = True           # R28 scrape-sanity anti-join per round
     spark_seeding: bool = True          # R21 distributed sitemap expansion

@@ -26,9 +26,11 @@ Scale design (the 100 TB point):
     and dedup is a plain existence anti-join — no read-modify-write merge
   - the only wide shuffles per round are: the host window (bounded output:
     ≤ budget × hosts), the url-keyed joins (documents fetch, seen anti),
-    and the candidate dedup window; small dims (sources/robots/namespace)
-    broadcast; AQE handles skew splits; hot-host frontier queues use the
-    salted two-phase top-K (operators/politeness.py)
+    and the candidate dedup window; small dims (sources/namespace)
+    broadcast; robots parse as a distributed rules table whose bounded
+    active-host slices broadcast per round above cfg.robots_broadcast_hosts
+    (below it, one global broadcast); AQE handles skew splits; hot-host
+    frontier queues use the salted two-phase top-K (operators/politeness.py)
   - no .collect() on data paths; only tiny dims and per-round counters
     reach the driver; round-0 seeding (sitemap expansion included) is a
     distributed dataflow, not a driver loop
@@ -61,7 +63,11 @@ from pyspark.sql.types import (
 
 from spider_spark.config import CrawlConfig
 from spider_spark.functions.extract import extract_batch
-from spider_spark.functions.robots import RobotsTable, parse_robots
+from spider_spark.functions.robots import (
+    RULES_ROW_SCHEMA,
+    RobotsTable,
+    make_parse_rules_udf,
+)
 from spider_spark.functions.urlnorm import strip_trailing_slash
 from spider_spark.oracle import seed_state
 from spider_spark.operators.classify import response_class, xrobots_noindex
@@ -81,6 +87,7 @@ from spider_spark.operators.dedup import (
 from spider_spark.operators.expand import expand_reachable
 from spider_spark.operators.politeness import (
     delay_budget,
+    delay_period,
     fifo_rank,
     priority_column,
     schedule_topk,
@@ -297,29 +304,64 @@ class CrawlEngine:
             .sortWithinPartitions("doc_id")
             .persist()
         )
-        # tiny dims -> driver (R1 source scan is a handful of rows; robots/
-        # sitemaps are one row per host)
+        # R1 source scan -> driver (seed-list sized; the per-host robots
+        # dim below is handled by the rules table, never a full collect)
         self.sources = [
             (r["source_id"], r["name"], r["url"])
             for r in spark.read.parquet(
                 os.path.join(input_dir, "sources.parquet")
             ).collect()
         ]
-        robots_rows = []
+        # robots dimension — distributed parse into a rules table, never a
+        # driver parse of every host's body (the north-rule web has
+        # O(10^6+) hosts; driver parse + full-table pickle broadcast was
+        # the last linear-in-hosts driver state). mapInPandas parses each
+        # (host, body) partition-side; only RESTRICTING hosts keep a row
+        # (non-allow-all rules, declared sitemaps, or a Crawl-delay) —
+        # absent hosts fail open to ALLOW_ALL, exactly the reference's
+        # unfetchable-robots behavior (HostCrawler.scala:77-91).
         robots_path = os.path.join(input_dir, "robots.parquet")
+        self.rules_df: DataFrame | None = None
+        n_robots_hosts = 0
         if os.path.exists(robots_path):
-            robots_rows = [
-                (r["host"], r["body"])
-                for r in spark.read.parquet(robots_path).collect()
-            ]
-        self.robots = RobotsTable(
-            {h: parse_robots(b, self.cfg.user_agent) for h, b in robots_rows}
-        )
+            # host count from parquet footers only — the broadcast-vs-slice
+            # mode decision costs no Spark job (restricting hosts ⊆ hosts,
+            # so footer-count ≤ threshold guarantees a bounded broadcast)
+            n_robots_hosts = self._parquet_rows_any(robots_path)
+            self.rules_df = (
+                spark.read.parquet(robots_path)
+                .mapInPandas(
+                    make_parse_rules_udf(self.cfg.user_agent),
+                    RULES_ROW_SCHEMA,
+                )
+                .filter(
+                    (F.col("mode") != "allow_all")
+                    | (F.size("sitemaps") > 0)
+                    | F.col("crawl_delay").isNotNull()
+                )
+                .repartition(n_shuffle, "host")
+                .persist()
+            )
+        if n_robots_hosts <= self.cfg.robots_broadcast_hosts:
+            # bounded dim → ONE global broadcast for the whole crawl (the
+            # autoBroadcastJoinThreshold trade: no per-round slice jobs)
+            self.robots = RobotsTable.from_rule_rows(
+                self.rules_df.collect() if self.rules_df is not None else []
+            )
+            self._robots_bc = spark.sparkContext.broadcast(self.robots)
+            self._extract_udf = make_extract_udf(self._robots_bc)
+            self._robots_udf = make_robots_udf(self._robots_bc)
+        else:
+            # slice mode: rules stay in the distributed table; every
+            # consumer gets a per-use active-host slice (semi-join +
+            # bounded collect + broadcast — the hyld/herr sidecar pattern)
+            self.robots = None
+            self._robots_bc = None
+            self._extract_udf = None
+            self._robots_udf = None
+        self._round_bcs: list = []  # per-round slice broadcasts (slice mode)
         self._sitemaps = None  # lazy driver-side dict (legacy/oracle path only)
         self._sm_path = os.path.join(input_dir, "sitemaps.parquet")
-        self._robots_bc = spark.sparkContext.broadcast(self.robots)
-        self._extract_udf = make_extract_udf(self._robots_bc)
-        self._robots_udf = make_robots_udf(self._robots_bc)
         self.namespace: dict[str, str] = {}
         self._ns_df: DataFrame | None = None
         # per-domain delay budgets (opt-in): one row per host whose robots
@@ -332,6 +374,10 @@ class CrawlEngine:
                 "yield_budget_total and respect_crawl_delay both redefine "
                 "the per-host base budget — enable at most one"
             )
+        if self.cfg.crawl_delay_skip and not self.cfg.respect_crawl_delay:
+            raise ValueError(
+                "crawl_delay_skip extends respect_crawl_delay — enable both"
+            )
         if self.cfg.yield_budget_total and self.cfg.yield_budget_min < 1:
             # with a zero floor a host allocated budget 0 schedules
             # nothing, drops out of the engine's hyld sidecar (stats come
@@ -340,22 +386,54 @@ class CrawlEngine:
             # keeps every queued host in both stats tables.
             raise ValueError("yield_budget_min must be >= 1")
         if self.cfg.respect_crawl_delay:
-            rows = [
-                (h, b)
-                for h, rr in self.robots.host_rules.items()
-                if (
-                    b := delay_budget(
-                        rr.crawl_delay,
-                        self.cfg.scrape_parallelism,
-                        self.cfg.politeness_tick_s,
+            # hosts with a Crawl-delay come from the rules table — in
+            # slice mode collect ONLY (host, crawl_delay) of hosts that
+            # declare one (bounded by delay-declaring hosts, not the host
+            # universe). The budget math stays in Python (delay_budget) so
+            # the pure-Python oracle is bit-identical — float floordiv
+            # differs from SQL floor(a/b) on values like 1.0//0.1.
+            if self.robots is not None:
+                delay_rows = [
+                    (h, rr.crawl_delay)
+                    for h, rr in self.robots.host_rules.items()
+                    if rr.crawl_delay is not None
+                ]
+            elif self.rules_df is not None:
+                delay_rows = [
+                    (r["host"], r["crawl_delay"])
+                    for r in self.rules_df.filter(
+                        F.col("crawl_delay").isNotNull()
                     )
-                )
-                < self.cfg.scrape_parallelism
-            ]
-            if rows:
-                self._host_budgets = spark.createDataFrame(
-                    rows, "host string, _budget int"
-                )
+                    .select("host", "crawl_delay")
+                    .collect()
+                ]
+            else:
+                delay_rows = []
+            par, tick = self.cfg.scrape_parallelism, self.cfg.politeness_tick_s
+            if self.cfg.crawl_delay_skip:
+                # keep a row when the budget restricts OR the delay spans
+                # rounds (k > 1 matters even when budget == parallelism)
+                rows3 = [
+                    (h, b, k)
+                    for h, d in delay_rows
+                    for b in (delay_budget(d, par, tick),)
+                    for k in (delay_period(d, tick),)
+                    if b < par or k > 1
+                ]
+                if rows3:
+                    self._host_budgets = spark.createDataFrame(
+                        rows3, "host string, _budget int, _period int"
+                    )
+            else:
+                rows = [
+                    (h, b)
+                    for h, d in delay_rows
+                    if (b := delay_budget(d, par, tick)) < par
+                ]
+                if rows:
+                    self._host_budgets = spark.createDataFrame(
+                        rows, "host string, _budget int"
+                    )
 
     # ------------------------------------------------------------ paths
 
@@ -389,6 +467,15 @@ class CrawlEngine:
             pq.read_metadata(f).num_rows
             for f in glob.glob(os.path.join(path, "*.parquet"))
         )
+
+    @staticmethod
+    def _parquet_rows_any(path: str) -> int:
+        """Footer row count for a parquet file OR a Spark-written dir."""
+        if os.path.isdir(path):
+            return CrawlEngine._parquet_rows(path)
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(path).num_rows
 
     # ------------------------------------------------------------ compaction
 
@@ -509,7 +596,7 @@ class CrawlEngine:
         if self.cfg.spark_seeding:
             return self._initialize_spark()
         queues, seen, _inflight, namespace = seed_state(
-            self.sources, self.robots, self.sitemaps().get,
+            self.sources, self._robots_full(), self.sitemaps().get,
             self.cfg.sitemap_max_depth,
         )
         self.namespace = namespace
@@ -553,6 +640,9 @@ class CrawlEngine:
         dies."""
         self.docs_meta.unpersist()
         self.docs_html.unpersist()
+        if self.rules_df is not None:
+            self.rules_df.unpersist()
+        self._drop_round_bcs()
 
     def sitemaps(self) -> dict:
         """Driver-side sitemap dict — legacy seeding and oracle parity
@@ -565,6 +655,51 @@ class CrawlEngine:
                     for r in self.spark.read.parquet(self._sm_path).collect()
                 }
         return self._sitemaps
+
+    # ------------------------------------------------- robots rules slices
+
+    def _rules_slice(self, hosts_df: DataFrame) -> RobotsTable:
+        """Bounded rules slice: semi-join the distributed rules table to
+        the given hosts and collect — rows exist only for RESTRICTING
+        hosts among them, so the driver cost is restricting∩hosts, never
+        the host universe (the hyld/herr sidecar pattern). An empty slice
+        means every host in scope fails open (gate = identity)."""
+        if self.rules_df is None:
+            return RobotsTable({})
+        rows = self.rules_df.join(
+            hosts_df.select("host").distinct(), "host", "left_semi"
+        ).collect()
+        return RobotsTable.from_rule_rows(rows)
+
+    def _rules_for_hosts(self, hosts) -> RobotsTable:
+        """Rules for a driver-side host list: the global table when one
+        was broadcast (bounded dim), else a collected slice."""
+        if self.robots is not None:
+            return self.robots
+        return self._rules_slice(
+            self.spark.createDataFrame([(h,) for h in hosts], "host string")
+        )
+
+    def _robots_full(self) -> RobotsTable:
+        """FULL robots table on the driver — legacy seeding / oracle
+        parity only (the sitemaps() cost class); the default Spark paths
+        never call this."""
+        if self.robots is not None:
+            return self.robots
+        return RobotsTable.from_rule_rows(
+            self.rules_df.collect() if self.rules_df is not None else []
+        )
+
+    def _track_bc(self, table: RobotsTable):
+        """Broadcast a rules slice; destroyed after the round's jobs."""
+        bc = self.spark.sparkContext.broadcast(table)
+        self._round_bcs.append(bc)
+        return bc
+
+    def _drop_round_bcs(self):
+        for bc in self._round_bcs:
+            bc.destroy()
+        self._round_bcs = []
 
     def _initialize_spark(self):
         """R21 as a Spark dataflow: sitemap-index trees flatten via the
@@ -586,6 +721,7 @@ class CrawlEngine:
         spark, cfg = self.spark, self.cfg
         namespace: dict[str, str] = {}
         host_first_idx: dict[str, int] = {}
+        proto_of: dict[str, str] = {}
         roots: list[tuple[str, str]] = []
         seeds: list[tuple[int, str, str]] = []
         for idx, (source_id, _name, seed_url) in enumerate(self.sources):
@@ -594,13 +730,19 @@ class CrawlEngine:
                 continue
             if host not in namespace:
                 host_first_idx[host] = idx
-                proto = seed_url.split("://", 1)[0]
-                roots.append((host, f"{proto}://{host}/sitemap.xml"))
-                for sm in self.robots.sitemaps_for(host):
-                    roots.append((host, sm))
+                proto_of[host] = seed_url.split("://", 1)[0]
             namespace[host] = source_id
             seeds.append((idx, host, strip_trailing_slash(seed_url)))
         self.namespace = namespace
+        # seed-host rules: global table in broadcast mode; in slice mode a
+        # collected restricting∩namespace slice (the seed loop itself is
+        # already driver-side over the collected sources table — the rules
+        # slice is the same cost class, not a new driver ceiling)
+        rt_seed = self._rules_for_hosts(list(namespace))
+        for host in host_first_idx:  # dict preserves first-occurrence order
+            roots.append((host, f"{proto_of[host]}://{host}/sitemap.xml"))
+            for sm in rt_seed.sitemaps_for(host):
+                roots.append((host, sm))
 
         sm_counts: dict[str, int] = {}
         skip_idx: dict[str, int] = {}
@@ -636,13 +778,16 @@ class CrawlEngine:
                 )
                 .select("host", F.col("child").alias("url"))
             )
-            # no host has rules ⇒ the gate is identity: skip the Arrow
+            # no restricting host ⇒ the gate is identity: skip the Arrow
             # round-trip through the robots UDF entirely
-            if self.robots.host_rules:
+            if rt_seed.host_rules:
+                gate_udf = (
+                    self._robots_udf
+                    if self._robots_udf is not None
+                    else make_robots_udf(self._track_bc(rt_seed))
+                )
                 pages = (
-                    pages.withColumn(
-                        "allowed", self._robots_udf("url", "host")
-                    )
+                    pages.withColumn("allowed", gate_udf("url", "host"))
                     .filter("allowed")
                     .drop("allowed")
                 )
@@ -703,7 +848,7 @@ class CrawlEngine:
                 continue
             taken.add(u)
             seen_rows.append((u, host, 0))
-            if self.robots.is_allowed(host, u):
+            if rt_seed.is_allowed(host, u):
                 seq = sm_counts.get(host, 0) + host_seed_n.get(host, 0)
                 seed_rows.append((u, host, seq, False))
                 host_seed_n[host] = host_seed_n.get(host, 0) + 1
@@ -726,6 +871,7 @@ class CrawlEngine:
             RoundMetrics(round=0, frontier_next=self._last_frontier_next),
             lineage=lineage,
         )
+        self._drop_round_bcs()
 
     def _ns(self) -> DataFrame:
         if self._ns_df is None:
@@ -909,6 +1055,21 @@ class CrawlEngine:
                     )
                     .drop("_berr")
                 )
+        if cfg.crawl_delay_skip and self._host_budgets is not None:
+            # cross-round Crawl-delay: a host with period k > 1 schedules
+            # only on rounds where (r-1) % k == 0; off-round hosts get
+            # budget 0 (whole queue deferred, seq intact). Applied LAST so
+            # error_backoff's greatest(1, ...) floor can't resurrect an
+            # off-round host. r is a literal — the filter stays a plain
+            # column expression on the already-joined broadcast row.
+            sched_in = sched_in.withColumn(
+                "_budget",
+                F.when(
+                    (F.coalesce(F.col("_period"), F.lit(1)) > 1)
+                    & ((F.lit(r - 1) % F.col("_period")) != 0),
+                    F.lit(0),
+                ).otherwise(F.col("_budget")),
+            ).drop("_period")
         scheduled, deferred = schedule_topk(
             sched_in,
             budget_ceiling,
@@ -918,6 +1079,17 @@ class CrawlEngine:
             budget_col=budget_col,
         )
         scheduled = scheduled.persist()
+
+        # slice mode: collect + broadcast ONLY the scheduled hosts' rules
+        # for this round's extraction UDF (page-host rules gate extracted
+        # links, ContentFilter.scala:75). Broadcast mode reuses the one
+        # global UDF — no extra per-round job.
+        if self._robots_bc is not None:
+            extract_udf = self._extract_udf
+        else:
+            extract_udf = make_extract_udf(
+                self._track_bc(self._rules_slice(scheduled.select("host")))
+            )
 
         tp = time.time()
 
@@ -1019,7 +1191,7 @@ class CrawlEngine:
             )
             .select("url", "host", "rn", "html")
             .repartition(ext_par)
-            .withColumn("ext", self._extract_udf("html", "url"))
+            .withColumn("ext", extract_udf("html", "url"))
             .select(
                 "url",
                 "host",
@@ -1180,7 +1352,22 @@ class CrawlEngine:
         # enqueue gate R20 (target host rules); counting happens regardless
         # (Supervisor.scala:200 vs HostCrawler.scala:146)
         cand_base = cand
-        cand = cand.withColumn("allowed", self._robots_udf("url", "chost"))
+        if self._robots_bc is not None:
+            cand = cand.withColumn("allowed", self._robots_udf("url", "chost"))
+        else:
+            # slice mode: target hosts (chost ⊆ namespace) of THIS round's
+            # candidates only — semi-join the rules table, broadcast the
+            # bounded slice; an empty slice means every active host fails
+            # open, so the gate is a literal (no Arrow round-trip)
+            gate_rt = self._rules_slice(
+                cand.select(F.col("chost").alias("host"))
+            )
+            cand = cand.withColumn(
+                "allowed",
+                make_robots_udf(self._track_bc(gate_rt))("url", "chost")
+                if gate_rt.host_rules
+                else F.lit(True),
+            )
         cand_events = cand.select(
             F.col("chost").alias("thost"), "url", "phost", "prn", "allowed"
         )
@@ -1374,6 +1561,7 @@ class CrawlEngine:
             df.unpersist()
         if hasattr(scheduled, "_fifo_rank_cache"):
             scheduled._fifo_rank_cache.unpersist()
+        self._drop_round_bcs()  # this round's rules-slice broadcasts
 
         self.round = r
         self._last_frontier_next = m.frontier_next
@@ -1517,7 +1705,12 @@ class CrawlEngine:
         while self.round < limit:
             m = self.run_round()
             mets.append(m.as_dict())
-            if m.scheduled == 0:
+            # quiescent = nothing fetched AND nothing queued. Without
+            # crawl_delay_skip scheduled == 0 already implies an empty
+            # frontier (budgets are >= 1); with it, a round where every
+            # pending host is off-period fetches nothing yet must keep
+            # ticking until the periods come due.
+            if m.scheduled == 0 and m.frontier_next == 0:
                 break
         total_fetched = sum(x["scheduled"] for x in mets)
         if finalize and not self.cfg.store_fetched_per_round:

@@ -184,11 +184,82 @@ def parse_robots(body: str | None, user_agent: str) -> RobotsRules:
     )
 
 
+# ---------------------------------------------------------------- rules table
+#
+# Scale path: at a 10^10-URL frontier the web has O(10^6+) hosts, so the
+# robots dimension can never be parsed on (or fully collected to) the
+# driver. The parse runs as a Spark job (``parse_rules_rows`` inside
+# mapInPandas) into a *rules table* of pre-compiled-rule rows — only hosts
+# whose rules actually RESTRICT anything (non-allow-all mode, declared
+# sitemaps, or a Crawl-delay) need a row; every absent host fails open to
+# ALLOW_ALL exactly as the reference does for unfetchable robots.txt
+# (HostCrawler.scala:77-91). Per crawl round the engine semi-joins this
+# table to the round's active hosts and broadcasts only that slice into
+# the gate/extraction UDFs (the same pattern as its hyld/herr sidecars).
+
+RULES_ROW_SCHEMA = (
+    "host string, mode string, "
+    "rules array<struct<allow:boolean,pattern:string>>, "
+    "sitemaps array<string>, crawl_delay double"
+)
+_RULES_COLS = ["host", "mode", "rules", "sitemaps", "crawl_delay"]
+
+
+def rules_to_row(host: str, rr: RobotsRules) -> dict:
+    """Serialize parsed rules to a rules-table row. Rule order (longest
+    first, Allow wins ties) is preserved positionally in the array."""
+    return {
+        "host": host,
+        "mode": rr.mode,
+        "rules": [
+            {"allow": bool(a), "pattern": pat} for a, _ln, _rx, pat in rr.rules
+        ],
+        "sitemaps": list(rr.sitemaps),
+        "crawl_delay": rr.crawl_delay,
+    }
+
+
+def rules_from_row(mode, pairs, sitemaps, crawl_delay) -> RobotsRules:
+    """Rebuild RobotsRules from a rules-table row (regexes recompiled;
+    the stored order IS the match order — no re-sort)."""
+    return RobotsRules(
+        mode=mode,
+        rules=[
+            (bool(p["allow"]), len(p["pattern"]), _rule_regex(p["pattern"]), p["pattern"])
+            for p in (pairs or [])
+        ],
+        sitemaps=list(sitemaps or []),
+        crawl_delay=crawl_delay,
+    )
+
+
+def make_parse_rules_udf(user_agent: str):
+    """mapInPandas generator: (host, body) batches → RULES_ROW_SCHEMA rows.
+    The parse itself (parse_robots) is identical to the driver-side path —
+    one implementation, two deployment shapes."""
+
+    def parse_rules_rows(batches):
+        for pdf in batches:
+            rows = [
+                # Arrow→pandas renders string nulls as NaN: normalize to
+                # None so the fail-open branch of parse_robots applies
+                rules_to_row(
+                    h, parse_robots(b if isinstance(b, str) else None, user_agent)
+                )
+                for h, b in zip(pdf["host"], pdf["body"])
+            ]
+            yield pd.DataFrame(rows, columns=_RULES_COLS)
+
+    return parse_rules_rows
+
+
 class RobotsTable:
     """host → RobotsRules map; absent host = ALLOW_ALL (fail-open).
 
-    Built driver-side from the small ``robots`` table and shipped to
-    executors inside pandas-UDF closures (a broadcast-sized dict)."""
+    A broadcast-sized dict shipped to executors inside pandas-UDF
+    closures. At scale this is never the FULL robots dimension — the
+    engine builds one per active-host slice of the distributed rules
+    table (``from_rule_rows``); small crawls broadcast one global table."""
 
     def __init__(self, host_rules: dict[str, RobotsRules]):
         self.host_rules = host_rules
@@ -198,6 +269,18 @@ class RobotsTable:
         """rows: iterable of (host, body)."""
         return RobotsTable(
             {host: parse_robots(body, user_agent) for host, body in rows}
+        )
+
+    @staticmethod
+    def from_rule_rows(rows) -> "RobotsTable":
+        """rows: iterable of RULES_ROW_SCHEMA rows (Row or dict)."""
+        return RobotsTable(
+            {
+                r["host"]: rules_from_row(
+                    r["mode"], r["rules"], r["sitemaps"], r["crawl_delay"]
+                )
+                for r in rows
+            }
         )
 
     def rules_for(self, host: str) -> RobotsRules:

@@ -272,11 +272,14 @@ def compact_parquet_dir(
     from concurrent.futures import ThreadPoolExecutor
 
     s, d = os.path.abspath(src), os.path.abspath(dst)
-    if s == d or s.startswith(d + os.sep):
-        # rmtree(dst) below would delete the source before the
-        # inventory is even read — refuse instead of losing data
+    if s == d or s.startswith(d + os.sep) or d.startswith(s + os.sep):
+        # dst == src / dst-ancestor-of-src: rmtree(dst) below would
+        # delete the source before the inventory is even read. dst
+        # INSIDE src: output groups land under the source tree, so any
+        # later read or re-inventory of src double-counts them.
         raise ValueError(
-            f"dst ({dst}) must not be src or an ancestor of src ({src})"
+            f"dst ({dst}) must not be src, an ancestor of src, or "
+            f"inside src ({src})"
         )
     if os.path.isdir(dst):
         # a previous (differently-planned) compaction's groups must not

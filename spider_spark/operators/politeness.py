@@ -16,6 +16,8 @@ Scale notes (100 TB / 10^10-frontier design point):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -57,6 +59,19 @@ def delay_budget(
     if crawl_delay is None or crawl_delay <= 0:
         return parallelism
     return max(1, min(parallelism, int(tick_s // crawl_delay)))
+
+
+def delay_period(crawl_delay: float | None, tick_s: float = 1.0) -> int:
+    """Cross-round Crawl-delay scheduling period: a host whose delay
+    spans k > 1 ticks fetches on every k-th round only (cfg.
+    crawl_delay_skip). ``delay_budget`` alone clamps such hosts to one
+    fetch per round — still k× more than robots asked for; the period
+    makes the long-delay semantics exact in rounds: one batch every
+    ceil(delay / tick) rounds. 1 = schedule every round (no delay, or
+    delay within one tick)."""
+    if crawl_delay is None or crawl_delay <= 0 or crawl_delay <= tick_s:
+        return 1
+    return math.ceil(crawl_delay / tick_s)
 
 
 def schedule_topk(
@@ -307,10 +322,14 @@ def deferred_by_cutoff(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:
 #
 # The reference gives every host the same fixed per-tick budget
 # (Config.scala:38, HostCrawler.scala:171). A production crawl with a
-# GLOBAL fetch budget instead allocates it where it pays: hosts whose
-# recent fetches discovered many new URLs get more slots next round
-# (crawl-efficiency scheduling — the budget-split complement of the
-# Cho/Garcia-Molina ordering modes above). The allocation is the
+# GLOBAL fetch budget instead allocates it where the frontier is
+# growing: a host's weight is the new URLs ENQUEUED TO IT last round
+# per fetch it served — fast-growing host queues get more slots next
+# round, so the global budget follows demand (queue-growth
+# prioritization; the budget-split complement of the
+# Cho/Garcia-Molina ordering modes above). Note the credit is inbound:
+# the weight measures growth of the host's own queue, not the
+# productivity of the host's own fetches. The allocation is the
 # largest-remainder (Hamilton) method over integer yield weights —
 # exact, deterministic, and mirrored bit-for-bit by the pure-Python
 # twin the oracle simulator uses and by the DuckDB SQL generator, so

@@ -49,7 +49,11 @@ from spider_spark.fixtures import Web
 from spider_spark.functions.extract import extract_batch, spans_to_html
 from spider_spark.functions.robots import RobotsTable, parse_robots
 from spider_spark.functions.urlnorm import strip_trailing_slash, url_host
-from spider_spark.operators.politeness import delay_budget, yield_budgets_py
+from spider_spark.operators.politeness import (
+    delay_budget,
+    delay_period,
+    yield_budgets_py,
+)
 
 # plain-Python twins of operators.politeness.priority_column — ascending
 # sort keys; Python's stable sort preserves FIFO among equal priorities,
@@ -197,6 +201,10 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
         )
     if cfg.yield_budget_total and cfg.yield_budget_min < 1:
         raise ValueError("yield_budget_min must be >= 1")
+    if cfg.crawl_delay_skip and not cfg.respect_crawl_delay:
+        raise ValueError(
+            "crawl_delay_skip extends respect_crawl_delay — enable both"
+        )
     robots = RobotsTable(
         {h: parse_robots(b, cfg.user_agent) for h, b in web.robots.items()}
     )
@@ -262,6 +270,15 @@ def crawl(web: Web, cfg: CrawlConfig | None = None) -> CrawlResult:
         if cfg.error_backoff:
             e = min(prev_errs.get(host, 0), cfg.error_backoff_cap)
             base = max(1, base >> e)
+        if cfg.respect_crawl_delay and cfg.crawl_delay_skip:
+            # cross-round Crawl-delay: off-period rounds fetch nothing —
+            # applied LAST (after the backoff floor), same order as the
+            # engine's schedule-time column pipeline
+            k = delay_period(
+                robots.rules_for(host).crawl_delay, cfg.politeness_tick_s
+            )
+            if k > 1 and (rnd - 1) % k != 0:
+                return 0
         return base
 
     rnd = 0

@@ -346,6 +346,51 @@ def test_crawl_delay_budgets_match_oracle(spark, tmp_path):
     assert any(n > 2 for (h, _), n in per.items() if h == hosts[2])
 
 
+def test_crawl_delay_skip_matches_oracle(spark, tmp_path):
+    """crawl_delay_skip: a host whose Crawl-delay spans k > 1 ticks is
+    scheduled only every k-th round (period = ceil(delay/tick)); the
+    deferred queue keeps FIFO seq across skipped rounds. Engine
+    schedule-time period column ≡ oracle host_budget early-zero."""
+    web = synth_web(n_hosts=3, pages_per_host=30, links_per_page=4, seed=17)
+    hosts = [f"host{i}.example.com" for i in range(3)]
+    web.robots[hosts[0]] = (
+        (web.robots.get(hosts[0]) or "") + "\nUser-agent: *\nCrawl-delay: 3\n"
+    )
+    web.robots[hosts[1]] = (
+        (web.robots.get(hosts[1]) or "") + "\nUser-agent: *\nCrawl-delay: 0.5\n"
+    )
+    cfg = CrawlConfig(
+        scrape_parallelism=5,
+        max_retries=1,
+        max_rounds=300,
+        respect_crawl_delay=True,
+        crawl_delay_skip=True,
+    )
+    oracle_res = oracle_crawl(web, cfg)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "delay_skip")
+    assert_match(eng, oracle_res)
+    # host0 (delay 3, period 3) fetched only on rounds ≡ 1 (mod 3), one
+    # URL per active round; host1 (delay 0.5) fetched every round
+    rows = eng.order_df().collect()
+    h0_rounds = sorted({r["round"] for r in rows if r["host"] == hosts[0]})
+    assert h0_rounds, "host0 never scheduled"
+    assert all((r - 1) % 3 == 0 for r in h0_rounds), h0_rounds
+    per0 = {}
+    for r in rows:
+        if r["host"] == hosts[0]:
+            per0[r["round"]] = per0.get(r["round"], 0) + 1
+    assert max(per0.values()) == 1
+    h1_rounds = {r["round"] for r in rows if r["host"] == hosts[1]}
+    assert len(h1_rounds) > 1
+
+
+def test_crawl_delay_skip_requires_respect(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        oracle_crawl(demo_web(), CrawlConfig(crawl_delay_skip=True))
+
+
 def test_pagerank_priority_matches_oracle(spark, tmp_path):
     """priority_mode='pagerank': highest integer PageRank over the
     accumulated intra-namespace link graph first, FIFO ties — engine

@@ -1,0 +1,130 @@
+"""PNG + baseline JPEG codecs (pure stdlib-zlib/numpy, analysis/codecs).
+
+PNG is lossless: round-trips must be byte-exact for every scanline
+filter. JPEG is lossy: round-trips bound the reconstruction error —
+near-zero at high quality for 4:4:4, chroma-limited for 4:2:0 — and the
+structural paths (marker walk, canonical Huffman, byte unstuffing,
+subsampled MCU interleave, padding) are what the assertions pin. An
+externally-produced PNG vector guards against mirrored encode/decode
+bugs; for JPEG the 4:2:0 encoder exercises the general Hi/Vi decode path
+an own-format round-trip would otherwise never touch.
+"""
+
+import base64
+
+import numpy as np
+import pytest
+
+from spider_spark.analysis import codecs
+
+rng = np.random.default_rng(42)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = np.zeros((h, w, 3), np.uint8)
+    g[..., 0] = (yy * 4) % 256
+    g[..., 1] = (xx * 3) % 256
+    g[..., 2] = ((yy + xx) * 2) % 256
+    return g
+
+
+# ------------------------------------------------------------------- PNG
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "mixed"])
+def test_png_roundtrip_every_filter(ft):
+    img = rng.integers(0, 256, (16, 11, 3), dtype=np.uint8)
+    assert (codecs.decode_png(codecs.encode_png(img, ft)) == img).all()
+
+
+def test_png_roundtrip_shapes():
+    for h, w in [(1, 1), (5, 3), (31, 7), (48, 64)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = codecs.decode_any(codecs.encode_png(img))
+        assert out.shape == (h, w, 3) and (out == img).all()
+
+
+def test_png_external_vector():
+    # 1x1 RGBA PNG produced by a standard encoder — structural
+    # conformance (signature, chunk walk, zlib IDAT, filter byte) against
+    # bytes this codec did not write
+    b64 = (
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+        "AAAADUlEQVR42mNk+M9QDwADhgGAWjR9awAAAABJRU5ErkJggg=="
+    )
+    img = codecs.decode_png(base64.b64decode(b64))
+    assert img.shape == (1, 1, 3)
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"not a png")
+    # truncated signature must not be accepted by the sniffer either
+    with pytest.raises(ValueError):
+        codecs.decode_any(b"\x89PNG not the signature")
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def test_jpeg_uniform_dc_only_exact():
+    img = np.full((16, 24, 3), [120, 64, 200], dtype=np.uint8)
+    for sub in ("444", "420"):
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, 95, sub))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1, sub
+
+
+def test_jpeg_gradient_high_quality():
+    g = _gradient(40, 56)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(g, 95))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+    out420 = codecs.decode_jpeg(codecs.encode_jpeg(g, 95, "420"))
+    # chroma is 2x2 box-averaged: smooth content stays within a few levels
+    assert np.abs(out420.astype(int) - g.astype(int)).max() <= 8
+
+
+def test_jpeg_noise_q100_near_lossless():
+    n = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(n, 100))
+    assert np.abs(out.astype(int) - n.astype(int)).max() <= 2
+
+
+def test_jpeg_odd_dims_padding():
+    for sub in ("444", "420"):
+        o = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(o, 90, sub))
+        assert out.shape == (13, 11, 3)
+
+
+def test_jpeg_quality_monotone():
+    g = _gradient(32, 32)
+    errs = []
+    for q in (30, 60, 95):
+        out = codecs.decode_jpeg(codecs.encode_jpeg(g, q))
+        errs.append(float(np.abs(out.astype(int) - g.astype(int)).mean()))
+    assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_jpeg_dispatch_and_rejects():
+    img = np.full((8, 8, 3), 50, np.uint8)
+    assert codecs.decode_any(codecs.encode_jpeg(img)).shape == (8, 8, 3)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\xff\xd8 garbage with no scan")
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"nope")
+    # progressive marker (SOF2) is an explicit unsupported error
+    prog = b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg(prog)
+
+
+def test_jpeg_feeds_multimodal_features():
+    from spider_spark.analysis.codecs import block_mean_features
+
+    img = np.full((16, 16, 3), 80, np.uint8)
+    data = codecs.encode_jpeg(img, 95)
+    feats = block_mean_features(codecs.decode_any(data), 2)
+    assert feats.shape == (12,)
+    assert np.allclose(feats, 80 / 255.0, atol=2 / 255.0)

@@ -189,6 +189,24 @@ def test_delay_budget_clamps():
     assert delay_budget(0.25, 10, tick_s=2.0) == 8
 
 
+def test_delay_period():
+    from spider_spark.operators.politeness import delay_period
+
+    # within one tick (or absent/nonsense) -> every round
+    assert delay_period(None) == 1
+    assert delay_period(0) == 1
+    assert delay_period(-3) == 1
+    assert delay_period(1.0) == 1
+    assert delay_period(0.5) == 1
+    # spanning k ticks -> every k-th round
+    assert delay_period(1.5) == 2
+    assert delay_period(2.0) == 2
+    assert delay_period(3.0) == 3
+    assert delay_period(2.5, tick_s=1.0) == 3
+    assert delay_period(5, tick_s=2.0) == 3
+    assert delay_period(30.0) == 30  # the VERDICT's 30s-host example
+
+
 def test_yield_budgets_known_value(spark):
     from spider_spark.operators.politeness import (
         yield_budgets,
