@@ -229,7 +229,10 @@ def test_codecs_roundtrip_and_real_decode(spark):
         assert (r["width"], r["height"], r["err"]) == (5, 7, None)
         assert np.allclose(r["features"], expected, atol=1e-6)
     assert out["img://trunc"]["err"] is not None
-    assert out["img://jpegish"]["err"] == "unrecognized image format"
+    # JPEG magic now dispatches to the REAL baseline decoder (round 3),
+    # which rejects the truncated body with its own error — still an err
+    # row, never a stage failure
+    assert out["img://jpegish"]["err"] == "no JPEG scan decoded"
     assert out["img://null"]["err"] == "null payload"
     for ref in ("img://trunc", "img://jpegish", "img://null"):
         assert out[ref]["width"] is None and out[ref]["features"] is None
