@@ -20,6 +20,15 @@ doesn't cover:
 
 Both run identically under ``Trigger.AvailableNow`` for deterministic
 catch-up (how the tests pin them to their batch equivalents).
+
+API version pin: the custom operators use ``applyInPandasWithState``
+(GroupState), available and stable on Spark 3.4+ including the 4.x line
+this repo targets. Spark 4 also ships the newer
+``transformWithStateInPandas`` (StatefulProcessor: multiple state
+variables, timers, TTL, initial state); these operators keep the
+GroupState API deliberately — one state value per key, no timers needed,
+and the wider deployed-version surface. A port is mechanical (state
+handle -> ValueState) if a feature needs timers/TTL later.
 """
 
 from __future__ import annotations
