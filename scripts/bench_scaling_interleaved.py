@@ -1,0 +1,324 @@
+"""Drift-immune interleaved A/B scaling evidence (N vs 4N executors).
+
+Round-3 post-mortem: six sequential-leg runs all self-marked
+inconclusive because the shared VM's capacity drifted 11-30% WITHIN
+each ~35-minute run — the low and high legs sampled different clock
+windows, so the throughput ratio carried the drift and the bracketing
+probes (rightly) gated the result. This harness removes the confound
+instead of measuring it:
+
+* one persistent warm JVM per parallelism level (crawl_worker.py),
+  launched once via ``spark-submit --py-files`` (the north_rule
+  deployment shape), pinned with taskset;
+* timed reps alternate between the two JVMs in time-symmetric ABBA
+  blocks — the mean midpoint of the A reps equals the mean midpoint of
+  the B reps regardless of leg durations, so any drift that is linear
+  across a block cancels exactly in the pooled ratio;
+* burner processes spin on the unused cores during low-parallelism
+  reps (--hot-machine semantics, always on here) so every rep runs at
+  identical machine-wide load and per-core clock;
+* a short full-box capacity probe runs before every rep; with
+  interleaving the probes are diagnostics (residual-drift bound), not
+  a correction the pass depends on.
+
+    python scripts/bench_scaling_interleaved.py \
+        [--hosts 32 --pages 60000 --budget 300000] [--blocks 2] \
+        [--low 8 --high 32] [--mem-per-core-mb 1024]
+
+Writes BENCH_SCALING.json-shaped output to --out plus a timestamped
+copy under bench_history/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.bench_scaling import _burn_cmd, build_web, build_zip  # noqa: E402
+
+
+class Worker:
+    """A persistent crawl_worker.py subprocess under one master."""
+
+    def __init__(
+        self,
+        cores: int,
+        heap: str,
+        zip_path: str,
+        web_dir: str,
+        cache: str,
+        args,
+        warm_dir: str,
+        pin: str | None,
+    ):
+        self.cores = cores
+        cmd = []
+        if pin:
+            cmd += ["taskset", "-c", pin]
+        cmd += [
+            "spark-submit",
+            "--master",
+            f"local[{cores}]",
+            "--conf",
+            f"spark.driver.memory={heap}",
+            "--py-files",
+            zip_path,
+            os.path.join(REPO, "scripts", "crawl_worker.py"),
+            "--input",
+            web_dir,
+            "--work",
+            os.path.join(cache, f"scalework_i{cores}"),
+            "--budget",
+            str(args.budget),
+            "--salt",
+            str(args.salt),
+        ]
+        if args.bloom:
+            cmd.append("--bloom")
+        if warm_dir:
+            cmd += ["--warmup-input", warm_dir]
+        print(f"[interleaved] launch: {' '.join(cmd)}", file=sys.stderr)
+        self.proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            bufsize=1,
+        )
+        self.q: queue.Queue[str] = queue.Queue()
+        self._reader = threading.Thread(target=self._pump, daemon=True)
+        self._reader.start()
+
+    def _pump(self) -> None:
+        for line in self.proc.stdout:
+            line = line.strip()
+            if line.startswith(("READY", "REP")):
+                self.q.put(line)
+        self.q.put("EOF")
+
+    def wait_ready(self, timeout: float) -> dict:
+        line = self.q.get(timeout=timeout)
+        if not line.startswith("READY"):
+            raise RuntimeError(f"worker local[{self.cores}]: {line!r}")
+        return json.loads(line.split(" ", 1)[1])
+
+    def run_rep(self, timeout: float, final: bool = False) -> dict:
+        self.proc.stdin.write("FINAL\n" if final else "RUN\n")
+        self.proc.stdin.flush()
+        line = self.q.get(timeout=timeout)
+        if not line.startswith("REP"):
+            raise RuntimeError(f"worker local[{self.cores}]: {line!r}")
+        return json.loads(line.split(" ", 1)[1])
+
+    def quit(self) -> None:
+        try:
+            self.proc.stdin.write("QUIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def full_box_probe(per_proc: int = 20000) -> float:
+    from scripts.bench_scaling import cpu_ceiling
+
+    return cpu_ceiling(os.cpu_count() or 32, per_proc=per_proc)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hosts", type=int, default=32)
+    ap.add_argument("--pages", type=int, default=60000)
+    ap.add_argument("--links", type=int, default=24)
+    ap.add_argument("--filler", type=int, default=1500)
+    ap.add_argument("--sitemap-frac", type=float, default=0.5)
+    ap.add_argument("--budget", type=int, default=300000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--bloom", action="store_true")
+    ap.add_argument("--salt", type=int, default=1)
+    ap.add_argument("--blocks", type=int, default=2, help="number of ABBA blocks")
+    ap.add_argument(
+        "--mem-per-core-mb",
+        type=int,
+        default=1024,
+        help="cluster-faithful heap: cores * this many MB (fixed-size "
+        "executors scaling N -> 4N); both JVMs are resident for the whole "
+        "run so low+high heaps must fit the box together",
+    )
+    ap.add_argument("--rep-timeout", type=int, default=3600)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
+    ap.add_argument("--tag", default="W", help="bench_history attempt tag")
+    args = ap.parse_args()
+
+    cache = os.path.join(REPO, ".cache")
+    os.makedirs(cache, exist_ok=True)
+    web_dir = build_web(
+        cache, args.hosts, args.pages, args.links, args.filler, args.sitemap_frac
+    )
+    warm_dir = build_web(cache, 2, 60, 6, 50, 0.0)
+    zip_path = build_zip(cache)
+    total = os.cpu_count() or args.high
+
+    low_w = Worker(
+        args.low,
+        f"{args.low * args.mem_per_core_mb}m",
+        zip_path,
+        web_dir,
+        cache,
+        args,
+        warm_dir,
+        pin=f"0-{args.low - 1}",
+    )
+    high_w = Worker(
+        args.high,
+        f"{args.high * args.mem_per_core_mb}m",
+        zip_path,
+        web_dir,
+        cache,
+        args,
+        warm_dir,
+        pin=None,
+    )
+    t_start = time.time()
+    try:
+        # warmups overlap (both untimed); READY can take several minutes
+        low_info = low_w.wait_ready(1800)
+        high_info = high_w.wait_ready(1800)
+        print(f"[interleaved] ready: {low_info} {high_info}", file=sys.stderr)
+
+        pattern = "ABBA" * args.blocks
+        reps: list[dict] = []
+        for i, leg in enumerate(pattern):
+            probe = full_box_probe()
+            is_final = i == len(pattern) - 1 or leg not in pattern[i + 1 :]
+            burner = None
+            if leg == "A" and args.low < total:
+                burner = subprocess.Popen(
+                    _burn_cmd(f"{args.low}-{total - 1}"),
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+            t0 = time.time()
+            try:
+                w = low_w if leg == "A" else high_w
+                rep = w.run_rep(args.rep_timeout, final=is_final)
+            finally:
+                if burner is not None:
+                    burner.kill()
+                    subprocess.run(
+                        ["pkill", "-f", "1103515245"], capture_output=True
+                    )
+            rep.update(
+                leg=leg,
+                idx=i,
+                t_mid=round(t0 + (time.time() - t0) / 2 - t_start, 1),
+                probe_before=round(probe, 1),
+            )
+            reps.append(rep)
+            print(f"[interleaved] rep {i} {leg}: {rep}", file=sys.stderr)
+        probe_end = full_box_probe()
+    finally:
+        low_w.quit()
+        high_w.quit()
+
+    a_reps = [r for r in reps if r["leg"] == "A"]
+    b_reps = [r for r in reps if r["leg"] == "B"]
+    thr_a = sum(r["urls_fetched"] for r in a_reps) / sum(
+        r["wall_sec"] for r in a_reps
+    )
+    thr_b = sum(r["urls_fetched"] for r in b_reps) / sum(
+        r["wall_sec"] for r in b_reps
+    )
+    ratio = args.high / args.low
+    speedup = thr_b / thr_a
+    eff = speedup / ratio
+    block_effs = []
+    for bi in range(args.blocks):
+        blk = reps[bi * 4 : bi * 4 + 4]
+        ba = [r for r in blk if r["leg"] == "A"]
+        bb = [r for r in blk if r["leg"] == "B"]
+        ta = sum(r["urls_fetched"] for r in ba) / sum(r["wall_sec"] for r in ba)
+        tb = sum(r["urls_fetched"] for r in bb) / sum(r["wall_sec"] for r in bb)
+        block_effs.append(round(tb / ta / ratio, 3))
+    probes = [r["probe_before"] for r in reps] + [round(probe_end, 1)]
+    drift = (max(probes) - min(probes)) / max(probes) if max(probes) else 1.0
+    # best/worst rep per leg show the residual within-leg spread the
+    # interleave leaves (sequential runs hid this inside one long leg)
+    spread = {
+        leg: round(
+            (max(rs, key=lambda r: r["urls_per_sec"])["urls_per_sec"])
+            / (min(rs, key=lambda r: r["urls_per_sec"])["urls_per_sec"]),
+            3,
+        )
+        for leg, rs in (("A", a_reps), ("B", b_reps))
+    }
+    out = {
+        "metric": "URLs fetched+deduped per second, same input at two "
+        "parallelism levels (sandbox stand-in for N vs 4N executors), "
+        "interleaved ABBA reps in shared clock windows",
+        "methodology": "persistent warm JVM per level (spark-submit "
+        "--py-files), timed reps alternate ABBA so linear clock drift "
+        "cancels in the pooled per-leg throughput; burners pin "
+        "machine-wide load equal across legs; full-box capacity probes "
+        "before every rep are diagnostics, not corrections",
+        "workload": {
+            "hosts": args.hosts,
+            "pages": args.pages,
+            "links": args.links,
+            "filler": args.filler,
+            "sitemap_frac": args.sitemap_frac,
+            "budget": args.budget,
+            "bloom": args.bloom,
+            "salt": args.salt,
+        },
+        "pattern": "ABBA" * args.blocks,
+        "mem_per_core_mb": args.mem_per_core_mb,
+        "reps": reps,
+        "low": {
+            "cores": args.low,
+            "urls_per_sec": round(thr_a, 1),
+            "wall_sec_total": round(sum(r["wall_sec"] for r in a_reps), 1),
+            "n_reps": len(a_reps),
+        },
+        "high": {
+            "cores": args.high,
+            "urls_per_sec": round(thr_b, 1),
+            "wall_sec_total": round(sum(r["wall_sec"] for r in b_reps), 1),
+            "n_reps": len(b_reps),
+        },
+        "core_ratio": ratio,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "block_efficiencies": block_effs,
+        "within_leg_throughput_spread": spread,
+        "capacity_probes": {
+            "full_box_procs_per_sec": probes,
+            "drift": round(drift, 3),
+            "note": "diagnostic residual-drift bound; the interleave "
+            "cancels linear drift in the ratio itself",
+        },
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "wall_clock_total_sec": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(out, indent=1))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    hist = os.path.join(REPO, "bench_history", f"BENCH_SCALING_{args.tag}.json")
+    with open(hist, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

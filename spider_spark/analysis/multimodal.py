@@ -69,6 +69,16 @@ RESIZED_FEATURE_SCHEMA = (
 )
 
 
+def _group_by_shape(imgs: list) -> dict:
+    """index lists of non-None images grouped by ndarray shape — the
+    stacking key for the vectorized per-shape feature paths."""
+    groups: dict = {}
+    for i, img in enumerate(imgs):
+        if img is not None:
+            groups.setdefault(img.shape, []).append(i)
+    return groups
+
+
 def media_metadata(df: DataFrame, ref_col: str = "media_ref", payload_col: str | None = None) -> DataFrame:
     """Typed metadata extraction over media rows via mapInPandas.
 
@@ -149,25 +159,18 @@ def decode_image_features(
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 refs = pdf[ref_col].astype(str)
-                widths, heights, feats, errs = [], [], [], []
-                for b in pdf[payload_col]:
-                    if b is None:
-                        widths.append(None); heights.append(None)
-                        feats.append(None); errs.append("null payload")
-                        continue
-                    try:
-                        img = codecs.decode_any(bytes(b))
-                        widths.append(img.shape[1])
-                        heights.append(img.shape[0])
-                        feats.append(
-                            codecs.block_mean_features(img, grid).tolist()[
-                                :n_features
-                            ]
-                        )
-                        errs.append(None)
-                    except (ValueError, struct.error, IndexError) as e:
-                        widths.append(None); heights.append(None)
-                        feats.append(None); errs.append(str(e)[:200])
+                imgs, errs = codecs.decode_batch(list(pdf[payload_col]))
+                widths = [None] * len(imgs)
+                heights = [None] * len(imgs)
+                feats: list = [None] * len(imgs)
+                for shape, idxs in _group_by_shape(imgs).items():
+                    fs = codecs.block_mean_batch(
+                        np.stack([imgs[i] for i in idxs]), grid
+                    )
+                    for k, i in enumerate(idxs):
+                        widths[i] = shape[1]
+                        heights[i] = shape[0]
+                        feats[i] = fs[k].tolist()[:n_features]
                 yield pd.DataFrame(
                     {
                         "media_ref": refs,
@@ -341,27 +344,41 @@ def resize_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref, b in zip(pdf[ref_col].astype(str), pdf[payload_col]):
-                try:
-                    if b is None:
-                        raise ValueError("null payload")
-                    img = codecs.decode_any(bytes(b))
-                    r = codecs.resize_nearest(img, width, height)
-                    f = codecs.block_mean_features(r, 2).reshape(2, 2, 3)
-                    cell = [
-                        round(float(f[i, j].mean()) * 255.0)
-                        for i in (0, 1)
-                        for j in (0, 1)
-                    ]
-                    rows.append(
-                        (ref, img.shape[1], img.shape[0], width, height,
-                         cell[0], cell[1], cell[2], cell[3], None)
+            refs = pdf[ref_col].astype(str)
+            imgs, errs = codecs.decode_batch(list(pdf[payload_col]))
+            rows: list = [None] * len(imgs)
+            for i, e in enumerate(errs):
+                if e is not None:
+                    rows[i] = (
+                        refs.iloc[i], None, None, None, None, None, None,
+                        None, None, e,
                     )
-                except (ValueError, struct.error, IndexError) as e:
-                    rows.append(
-                        (ref, None, None, None, None, None, None, None, None,
-                         str(e)[:200])
+            for shape, idxs in _group_by_shape(imgs).items():
+                h, w = shape[0], shape[1]
+                stack = np.stack([imgs[i] for i in idxs])
+                # same half-pixel-center index math as resize_nearest,
+                # applied to the whole same-shape stack at once
+                ys = np.minimum(
+                    ((np.arange(height) + 0.5) * h / height).astype(np.int64),
+                    h - 1,
+                )
+                xs = np.minimum(
+                    ((np.arange(width) + 0.5) * w / width).astype(np.int64),
+                    w - 1,
+                )
+                resized = stack[:, ys][:, :, xs]
+                fs = codecs.block_mean_batch(resized, 2)
+                # float64 ×255 + rint matches the old per-cell
+                # round(float(mean)*255.0) (both round half-even)
+                cells = np.rint(
+                    fs.reshape(len(idxs), 4, 3).mean(axis=2).astype(np.float64)
+                    * 255.0
+                ).astype(np.int64)
+                for k, i in enumerate(idxs):
+                    rows[i] = (
+                        refs.iloc[i], w, h, width, height,
+                        int(cells[k, 0]), int(cells[k, 1]),
+                        int(cells[k, 2]), int(cells[k, 3]), None,
                     )
             yield pd.DataFrame(
                 rows,
@@ -408,25 +425,32 @@ def image_phash(
     # overflow and kill the stage — the failure mode this module forbids
     assert grid * grid <= 7, "packed block-mean hash needs grid*grid <= 7"
 
+    # pack weights: cell k contributes v·256^(n-1-k), same value the old
+    # per-image ph = ph*256 + v loop produced
+    weights = 256 ** np.arange(grid * grid - 1, -1, -1, dtype=np.int64)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref, b in zip(pdf[ref_col].astype(str), pdf[payload_col]):
-                try:
-                    if b is None:
-                        raise ValueError("null payload")
-                    img = codecs.decode_any(bytes(b))
-                    f = codecs.block_mean_features(img, grid)
-                    cells = f.reshape(grid * grid, 3).mean(axis=1)
-                    ph = 0
-                    for v in np.rint(cells * 255.0).astype(np.int64):
-                        ph = ph * 256 + int(v)
-                    rows.append((ref, ph, None))
-                except (ValueError, struct.error, IndexError) as e:
-                    rows.append((ref, None, str(e)[:200]))
+            refs = pdf[ref_col].astype(str)
+            imgs, errs = codecs.decode_batch(list(pdf[payload_col]))
+            ph: list = [None] * len(imgs)
+            for idxs in _group_by_shape(imgs).values():
+                fs = codecs.block_mean_batch(
+                    np.stack([imgs[i] for i in idxs]), grid
+                )
+                cells = fs.reshape(len(idxs), grid * grid, 3).mean(axis=2)
+                packed = (
+                    np.rint(cells * 255.0).astype(np.int64) * weights
+                ).sum(axis=1)
+                for k, i in enumerate(idxs):
+                    ph[i] = int(packed[k])
             yield pd.DataFrame(
-                rows, columns=["media_ref", "phash", "err"]
-            ).astype({"phash": "Int64"})
+                {
+                    "media_ref": refs,
+                    "phash": pd.Series(ph, index=pdf.index, dtype="Int64"),
+                    "err": pd.Series(errs, index=pdf.index, dtype=object),
+                }
+            )
 
     return df.select(ref_col, payload_col).mapInPandas(
         run, schema=PHASH_SCHEMA
