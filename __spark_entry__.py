@@ -1586,6 +1586,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events").select("event_id")
         return M.phash_dedup(M.image_phash(MF.synth_quad_image(ev)))
 
+    def multimodal_phash_jpeg_dedup(spark, sf):
+        # REAL JPEG decode → phash dedup across ENCODINGS: same-group
+        # content encoded baseline-sequential 4:4:4 (even ids) and
+        # progressive SOF2 (odd ids) — identical quantized coefficients,
+        # so same-group payloads decode bit-identically and group on the
+        # perceptual hash despite thoroughly different bytes. JPEG loss
+        # makes the hash VALUE non-integer-exact, so the row returns the
+        # GROUPING (rep_ref, is_dup), a pure function of id arithmetic
+        # DuckDB replicates hash-free (media_fixtures.jpeg_quad_params)
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return M.phash_dedup(M.image_phash(MF.synth_jpeg_quad_image(ev))).select(
+            "media_ref", "rep_ref", "is_dup"
+        )
+
     def multimodal_phash_near(spark, sf):
         # near-dup pairs at cell-hamming<=1 via the leave-one-out band
         # join: planted groups (event_id%150, <251 so color tuples never
@@ -2084,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal_frames,
         "multimodal_resize": multimodal_resize,
         "multimodal_phash_dedup": multimodal_phash_dedup,
+        "multimodal_phash_jpeg_dedup": multimodal_phash_jpeg_dedup,
         "multimodal_phash_near": multimodal_phash_near,
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
@@ -2394,6 +2411,18 @@ def oracle_sql() -> dict[str, str]:
                    media_ref <> min(media_ref) OVER (PARTITION BY phash)
                      AS is_dup
             FROM h
+        """,
+        "multimodal_phash_jpeg_dedup": """
+            WITH t AS (
+              SELECT 'img://' || CAST(event_id AS VARCHAR) AS media_ref,
+                     event_id % 23 AS g
+              FROM events
+            )
+            SELECT media_ref,
+                   min(media_ref) OVER (PARTITION BY g) AS rep_ref,
+                   media_ref <> min(media_ref) OVER (PARTITION BY g)
+                     AS is_dup
+            FROM t
         """,
         "multimodal_phash_near": """
             WITH c AS (

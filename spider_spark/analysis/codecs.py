@@ -368,16 +368,19 @@ def _png_unfilter_stack(stack: np.ndarray, nch: int) -> np.ndarray:
 
 # -------------------------------------------------------------------- JPEG
 #
-# Pure-numpy baseline JPEG codec (ITU T.81 sequential DCT, Huffman,
-# 8-bit). Decoder: marker walk (DQT/SOF0/DHT/DRI/SOS), canonical Huffman
-# from DHT counts, byte-unstuffing, per-MCU DC-predict + run/size AC
-# decode, dequant + de-zigzag + separable float IDCT, general Hi/Vi
-# chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Progressive
-# (SOF2), arithmetic coding, and 12-bit precision raise ValueError.
-# Encoder (fixture/test side): 4:4:4 baseline with Annex-K quant tables
-# scaled by the libjpeg quality rule and per-image single-length
-# canonical Huffman tables (valid DHTs any conformant decoder accepts —
-# simple over optimal). The zigzag order is GENERATED from the diagonal
+# Pure-numpy JPEG codec (ITU T.81, Huffman, 8-bit). Decoder: marker walk
+# (DQT/SOF0/SOF2/DHT/DRI/SOS), canonical Huffman from DHT counts,
+# byte-unstuffing, per-MCU DC-predict + run/size AC decode, dequant +
+# de-zigzag + separable float IDCT, general Hi/Vi chroma upsampling
+# (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. PROGRESSIVE (SOF2) decodes
+# for real: per-scan spectral selection + successive approximation
+# (T.81 G.2 — DC/AC first and refinement passes, EOB runs, deferred
+# correction bits) into per-component coefficient stores, reconstructed
+# with one vectorized IDCT at EOI. Arithmetic coding and 12-bit
+# precision raise ValueError.
+# Encoders (fixture/test side): 4:4:4/4:2:0 baseline plus a progressive
+# 4:4:4 encoder (same quant rule, per-scan single-length canonical
+# Huffman tables). The zigzag order is GENERATED from the diagonal
 # traversal, shared by both sides, so it cannot be transcribed wrong on
 # one side only.
 
@@ -524,7 +527,11 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG → uint8 (H,W,3) RGB (grayscale expands)."""
+    """Baseline sequential (SOF0/1) or progressive (SOF2) JPEG →
+    uint8 (H,W,3) RGB (grayscale expands). Progressive streams decode
+    scan by scan into per-component coefficient stores — spectral
+    selection fills bands, successive approximation raises bit precision
+    — and reconstruct once at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     zz = _zigzag_order()
@@ -535,12 +542,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     rgb = None
+    coefs = None  # progressive: per-component (bv, bh, 64) int32 stores
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
         m = data[pos + 1]
-        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+        if m == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if m in (0xD8, 0x01, 0x00) or 0xD0 <= m <= 0xD7:
+            # 0x00 = stuffed FF in trailing entropy pad the bit reader
+            # did not consume before stopping
             pos += 2
             continue
         if m == 0xD9:  # EOI
@@ -566,7 +579,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 syms = seg[s + 17 : s + 17 + n]
                 (huff_ac if tc else huff_dc)[th] = _huff_table(counts, syms)
                 s += 17 + n
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline(+ext sequential)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError("12-bit JPEG not supported")
@@ -576,10 +589,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            frame = {"h": h, "w": w, "comps": comps, "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError(
+                "only baseline sequential and progressive JPEG supported"
+            )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS
@@ -587,18 +602,203 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             sel = {}
+            scan_ids = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cid] = (tt >> 4, tt & 0xF)
-            rgb = _decode_scan(
-                data, pos + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac,
-                restart_interval, zz,
+                scan_ids.append(cid)
+            if not frame["progressive"]:
+                rgb = _decode_scan(
+                    data, pos + 2 + seg_len, frame, sel, qt, huff_dc,
+                    huff_ac, restart_interval, zz,
+                )
+                break
+            if coefs is None:
+                coefs = _alloc_progressive(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seg_len, frame, coefs, scan_ids, sel,
+                huff_dc, huff_ac, restart_interval, zz, ss, se, ah, al,
             )
-            break
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and coefs is not None:
+        rgb = _reconstruct_progressive(frame, coefs, qt)
     if rgb is None:
         raise ValueError("no JPEG scan decoded")
     return rgb
+
+
+def _alloc_progressive(frame) -> list[np.ndarray]:
+    """Per-component (block_rows, block_cols, 64) int32 coefficient
+    stores on the MCU-padded grid, natural (de-zigzagged) order."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    for c in comps:
+        # non-interleaved scans cover only the component's own ceil-grid
+        c["bw"] = -(-(frame["w"] * c["h"]) // (8 * hmax))
+        c["bh"] = -(-(frame["h"] * c["v"]) // (8 * vmax))
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _decode_progressive_scan(
+    data, pos, frame, coefs, scan_ids, sel, huff_dc, huff_ac, dri, zz,
+    ss, se, ah, al,
+) -> int:
+    """One progressive scan (T.81 G.2) into the coefficient stores;
+    returns the stream position after the scan's entropy data. Handles
+    interleaved DC scans, single-component DC/AC scans, first (Ah=0) and
+    refinement (Ah>0) passes, EOB runs, and restart intervals."""
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    scomps = [by_id[cid] for cid in scan_ids]
+    if ss > se or se > 63:
+        raise ValueError("bad progressive spectral band")
+    if len(scomps) > 1 and ss != 0:
+        raise ValueError("interleaved progressive AC scan not allowed")
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(ci, y, x):
+        t = br.huff(huff_dc[sel[comps[ci]["id"]][0]])
+        pred[ci] += _extend(br.read(t), t)
+        coefs[ci][y, x, 0] = pred[ci] << al
+
+    def dc_refine(ci, y, x):
+        if br.read(1):
+            coefs[ci][y, x, 0] |= p1
+
+    def ac_first(ci, y, x):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        blk = coefs[ci][y, x]
+        k = ss
+        while k <= se:
+            rs = br.huff(huff_ac[sel[comps[ci]["id"]][1]])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1 + (br.read(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            blk[zz[k]] = _extend(br.read(s), s) << al
+            k += 1
+
+    def ac_refine(ci, y, x):
+        nonlocal eobrun
+        blk = coefs[ci][y, x]
+        tac = huff_ac[sel[comps[ci]["id"]][1]]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.huff(tac)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) + (br.read(r) if r else 0)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                elif s == 1:
+                    val = p1 if br.read(1) else m1
+                else:
+                    raise ValueError("bad AC refinement magnitude")
+                # advance past r zero-history slots, appending correction
+                # bits to nonzero-history coefficients along the way
+                while k <= se:
+                    z = zz[k]
+                    if blk[z] != 0:
+                        if br.read(1) and (blk[z] & p1) == 0:
+                            blk[z] += p1 if blk[z] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[z] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # within an EOB run only correction bits are coded
+            while k <= se:
+                z = zz[k]
+                if blk[z] != 0:
+                    if br.read(1) and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    if ss == 0 and ah == 0:
+        unit = dc_first
+    elif ss == 0:
+        unit = dc_refine
+    elif ah == 0:
+        unit = ac_first
+    else:
+        unit = ac_refine
+
+    def restart():
+        nonlocal eobrun
+        br.restart()
+        pred[:] = [0] * len(comps)
+        eobrun = 0
+
+    if len(scomps) > 1:
+        # interleaved MCU order over all scan components
+        n_mcu = frame["mcux"] * frame["mcuy"]
+        for mi in range(n_mcu):
+            if dri and mi and mi % dri == 0:
+                restart()
+            my, mx = divmod(mi, frame["mcux"])
+            for ci in scomps:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        unit(ci, my * c["v"] + by, mx * c["h"] + bx)
+    else:
+        # single-component scan: row-major over the component ceil-grid
+        ci = scomps[0]
+        c = comps[ci]
+        n_blk = c["bw"] * c["bh"]
+        for bi in range(n_blk):
+            if dri and bi and bi % dri == 0:
+                restart()
+            y, x = divmod(bi, c["bw"])
+            unit(ci, y, x)
+    return br.pos
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + vectorized IDCT over all blocks, then the shared
+    upsample/crop/color path."""
+    comps = frame["comps"]
+    basis = _dct_basis()
+    planes = []
+    for c, blocks in zip(comps, coefs):
+        q = qt[c["tq"]]  # (64,) natural order
+        bv, bh, _ = blocks.shape
+        deq = (blocks.astype(np.float64) * q).reshape(bv, bh, 8, 8)
+        px = np.einsum("ia,ybij,jc->ybac", basis, deq, basis) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8))
+    return _planes_to_rgb(
+        comps, planes, frame["h"], frame["w"], frame["hmax"], frame["vmax"]
+    )
 
 
 def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, dri, zz):
@@ -650,7 +850,13 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, dri, zz):
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample each plane to full MCU-grid resolution, crop to (h, w)
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full MCU-grid resolution, crop to
+    (h, w), JFIF YCbCr→RGB (or grayscale expand). Shared by the
+    sequential and progressive reconstruction paths."""
     full = []
     for c, p in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -876,6 +1082,249 @@ def encode_jpeg(
                     bwiter.put(code, ln)
     bwiter.flush()
     out.extend(bwiter.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _jpeg_quantized_blocks(img: np.ndarray, quality: int):
+    """4:4:4 DCT + quantization → per-component ZIGZAG-ordered coefficient
+    arrays (n_blocks, 64) in row-major block order, plus (qy, qc)."""
+    img = np.ascontiguousarray(img.astype(np.float64))
+    h, w = img.shape[:2]
+    zz = _zigzag_order()
+    basis = _dct_basis()
+    qy = _quality_scale(_JPEG_LUMA_Q, quality)
+    qc = _quality_scale(_JPEG_CHROMA_Q, quality)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    bx, by = -(-w // 8), -(-h // 8)
+    comps = []
+    for p, q in ((y, qy), (cb, qc), (cr, qc)):
+        qm = q.reshape(8, 8)
+        pp = _pad_plane(p, by * 8, bx * 8)
+        blocks = np.empty((by * bx, 64), np.int64)
+        i = 0
+        for yb in range(by):
+            for xb in range(bx):
+                blk = pp[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] - 128.0
+                coef = basis @ blk @ basis.T
+                blocks[i] = np.round(coef / qm).astype(np.int64).reshape(-1)[
+                    zz
+                ]
+                i += 1
+        comps.append(blocks)
+    return comps, qy, qc
+
+
+# default progressive scan script: interleaved DC with one successive-
+# approximation level, split luma spectral bands, two-level luma AC
+# approximation chain, one-level chroma chains — exercises every decoder
+# path (interleaved DC first+refine, AC first with EOBRUN/ZRL, AC
+# refinement with correction bits)
+_PROG_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+
+
+def _run_progressive_scan(
+    blocks, comps_in_scan, ss, se, ah, al, emit_sym, emit_bit
+):
+    """Drive one progressive scan's entropy coding through emitter
+    callbacks (two-pass: symbol statistics, then real bits). Implements
+    T.81 G.1.2: DC first/refine with point transform, AC first with
+    EOB-run folding, AC refine with deferred correction bits."""
+    if ss == 0 and ah == 0:  # DC first (interleaved order == block order)
+        pred = {ci: 0 for ci in comps_in_scan}
+        for bi in range(blocks[comps_in_scan[0]].shape[0]):
+            for ci in comps_in_scan:
+                v = int(blocks[ci][bi, 0]) >> al
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = _category(diff)
+                emit_sym(ci, "dc", t)
+                if t:
+                    emit_bit(diff if diff > 0 else diff + (1 << t) - 1, t)
+        return
+    if ss == 0:  # DC refine: one raw bit per block, no symbols
+        for bi in range(blocks[comps_in_scan[0]].shape[0]):
+            for ci in comps_in_scan:
+                emit_bit((int(blocks[ci][bi, 0]) >> al) & 1, 1)
+        return
+    (ci,) = comps_in_scan  # AC scans are single-component (T.81)
+    band_all = blocks[ci][:, ss : se + 1]
+    if ah == 0:  # AC first
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                emit_sym(ci, "ac", rr << 4)
+                if rr:
+                    emit_bit(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        for bi in range(band_all.shape[0]):
+            band = band_all[bi]
+            tv = np.sign(band) * (np.abs(band) >> al)
+            nz = np.nonzero(tv)[0]
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            r = 0
+            for k in range(nz[-1] + 1):
+                v = int(tv[k])
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    emit_sym(ci, "ac", 0xF0)
+                    r -= 16
+                s = _category(v)
+                emit_sym(ci, "ac", (r << 4) | s)
+                emit_bit(v if v > 0 else v + (1 << s) - 1, s)
+                r = 0
+            if nz[-1] + 1 < band.shape[0]:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+        return
+    # AC refine: newly-visible coefficients (|coef|>>al == 1) are coded
+    # with run/size 1 symbols; already-visible ones contribute correction
+    # bits interleaved in position order; all-invisible tails fold into
+    # EOB runs whose correction bits are deferred until the run flushes
+    eobrun = 0
+    deferred: list[int] = []
+
+    def flush():
+        nonlocal eobrun, deferred
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            emit_sym(ci, "ac", rr << 4)
+            if rr:
+                emit_bit(eobrun - (1 << rr), rr)
+            for bit in deferred:
+                emit_bit(bit, 1)
+            eobrun = 0
+            deferred = []
+
+    for bi in range(band_all.shape[0]):
+        band = band_all[bi]
+        absq = np.abs(band) >> al
+        newly = np.nonzero(absq == 1)[0]
+        eobpos = newly[-1] if len(newly) else -1
+        r = 0
+        br_bits: list[int] = []
+        for k in range(band.shape[0]):
+            t = int(absq[k])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                flush()
+                emit_sym(ci, "ac", 0xF0)
+                r -= 16
+                for bit in br_bits:
+                    emit_bit(bit, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            flush()
+            emit_sym(ci, "ac", (r << 4) | 1)
+            emit_bit(1 if band[k] > 0 else 0, 1)
+            for bit in br_bits:
+                emit_bit(bit, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            deferred.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, scans=None
+) -> bytes:
+    """uint8 (H,W,3) RGB → progressive (SOF2) 4:4:4 JPEG.
+
+    Same quant tables and coefficients as :func:`encode_jpeg` at the same
+    quality — progressive vs sequential is purely an entropy-coding
+    reordering, so ``decode_jpeg`` of both forms reconstructs identical
+    coefficients (the round-trip tests assert pixel equality within IDCT
+    float tolerance). Per-scan single-length canonical Huffman tables;
+    the default scan script exercises spectral selection AND successive
+    approximation (DC and AC refinement passes)."""
+    comps, qy, qc = _jpeg_quantized_blocks(img, quality)
+    h, w = img.shape[:2]
+    zz = _zigzag_order()
+    if scans is None:
+        scans = _PROG_SCANS
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for tq, q in ((0, qy), (1, qc)):
+        seg(0xDB, bytes([tq]) + bytes(q[zz].astype(np.uint8)))
+    seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for comps_in_scan, ss, se, ah, al in scans:
+        # pass 1: per-class symbol statistics
+        syms: dict = {}
+
+        def collect(ci, kind, sym):
+            syms.setdefault((kind, 0 if ci == 0 else 1), []).append(sym)
+
+        _run_progressive_scan(
+            comps, comps_in_scan, ss, se, ah, al, collect, lambda v, n: None
+        )
+        enc: dict = {}
+        for (kind, cls), ss_syms in sorted(syms.items()):
+            counts, symbols, table = _single_len_huff(ss_syms)
+            tc = 0 if kind == "dc" else 1
+            seg(0xC4, bytes([(tc << 4) | cls]) + bytes(counts) + bytes(symbols))
+            enc[(kind, cls)] = table
+        sos = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            cls = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (cls << 4) | cls])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        # pass 2: real emission
+        bw = _BitWriter()
+
+        def emit_sym(ci, kind, sym):
+            code, ln = enc[(kind, 0 if ci == 0 else 1)][sym]
+            bw.put(code, ln)
+
+        _run_progressive_scan(
+            comps, comps_in_scan, ss, se, ah, al, emit_sym, bw.put
+        )
+        bw.flush()
+        out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
 

@@ -191,6 +191,71 @@ def synth_quad_image(
     return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
+def jpeg_quad_params(i: int, group_mod: int = 23) -> dict:
+    """JPEG quadrant-image parameters for id ``i`` (mirrored in SQL).
+
+    Content depends only on ``g = i % group_mod``; the ENCODING rotates
+    between baseline sequential 4:4:4 and progressive (SOF2) by ``i``.
+    Size is FIXED (12×8): JPEG is lossy, so unlike the lossless quad
+    fixture the cell means are not integer-exact — but sequential and
+    progressive 4:4:4 code the SAME quantized coefficients, so same-g
+    payloads decode bit-identically and the perceptual-hash GROUPING
+    (rep_ref, is_dup) is a pure function of the id arithmetic that a SQL
+    oracle can replicate without computing any hash. Distinct groups'
+    quadrant levels differ by ≥5 gray levels while q90 block-mean error
+    is ≤2, so no cross-group hash collision (asserted in tests)."""
+    g = i % group_mod
+    return {
+        "g": g,
+        "c00": (g * 5) % 251,
+        "c01": (g * 11 + 3) % 251,
+        "c10": (g * 17 + 7) % 251,
+        "c11": (g * 23 + 13) % 251,
+        "progressive": i % 2,
+    }
+
+
+def _jpeg_quad_payload(p: dict, _cache: dict = {}) -> bytes:
+    key = (p["c00"], p["c01"], p["c10"], p["c11"], p["progressive"])
+    blob = _cache.get(key)
+    if blob is None:
+        img = np.empty((8, 12, 3), np.uint8)
+        img[:4, :6] = p["c00"]
+        img[:4, 6:] = p["c01"]
+        img[4:, :6] = p["c10"]
+        img[4:, 6:] = p["c11"]
+        blob = (
+            codecs.encode_jpeg_progressive(img, 90)
+            if p["progressive"]
+            else codecs.encode_jpeg(img, 90, "444")
+        )
+        _cache[key] = blob
+    return blob
+
+
+def synth_jpeg_quad_image(
+    df: DataFrame, id_col: str = "event_id", group_mod: int = 23
+) -> DataFrame:
+    """(id) → (media_ref='img://id', payload=REAL JPEG): quadrant images
+    whose bytes rotate baseline-sequential / progressive encodings of the
+    same per-group content (:func:`jpeg_quad_params`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_ref": [f"img://{int(i)}" for i in ids],
+                    "payload": [
+                        _jpeg_quad_payload(jpeg_quad_params(int(i), group_mod))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
 def near_quad_image_params(i: int, groups: int = 150) -> dict:
     """Near-duplicate variant of :func:`quad_image_params` (mirrored in
     SQL): content group ``g = i % groups`` with ``groups < 251`` so color

@@ -23,10 +23,13 @@ iterator contracts, partition sizing — is real and tested. Decode status:
   - REAL for baseline sequential JPEG (``codecs.decode_jpeg``): marker
     walk, canonical Huffman, dequant + float IDCT, general Hi/Vi chroma
     upsampling (4:4:4/4:2:2/4:2:0), restart markers — the dominant web
-    image format decodes for real; progressive/arithmetic/12-bit degrade
-    to an err row.
+    image format decodes for real; arithmetic/12-bit degrade to an err
+    row.
+  - REAL for progressive (SOF2) JPEG: per-scan spectral selection and
+    successive approximation (DC/AC first + refinement passes, EOB runs)
+    into per-component coefficient stores, one vectorized IDCT at EOI.
   - STUB for formats that genuinely need codec libraries absent from
-    this container (MP3/MP4, progressive JPEG, interlaced PNG): such
+    this container (MP3/MP4, interlaced PNG): such
     payloads surface as an err row. Ref-only calls can still request the
     deterministic ``fake=True`` pseudo-features to exercise downstream
     stages end-to-end.

@@ -114,10 +114,15 @@ def test_jpeg_dispatch_and_rejects():
         codecs.decode_jpeg(b"\xff\xd8 garbage with no scan")
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"nope")
-    # progressive marker (SOF2) is an explicit unsupported error
-    prog = b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9"
-    with pytest.raises(ValueError, match="baseline"):
+    # progressive (SOF2) now decodes; a frame with no scan still errors
+    sof2 = b"\x08\x00\x08\x00\x08\x00"  # prec=8, 8x8, 0 components
+    prog = b"\xff\xd8\xff\xc2\x00\x08" + sof2 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no JPEG scan"):
         codecs.decode_jpeg(prog)
+    # arithmetic coding stays an explicit unsupported error
+    arith = b"\xff\xd8\xff\xc9\x00\x08" + sof2 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="progressive JPEG supported"):
+        codecs.decode_jpeg(arith)
 
 
 def test_jpeg_feeds_multimodal_features():
@@ -128,3 +133,81 @@ def test_jpeg_feeds_multimodal_features():
     feats = block_mean_features(codecs.decode_any(data), 2)
     assert feats.shape == (12,)
     assert np.allclose(feats, 80 / 255.0, atol=2 / 255.0)
+
+
+# ------------------------------------------------------- progressive JPEG
+
+
+def _seq_prog_equal(img, quality=90, scans=None):
+    seq = codecs.decode_jpeg(codecs.encode_jpeg(img, quality, "444"))
+    prog = codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(img, quality, scans=scans)
+    )
+    # same quant tables + coefficients -> progressive is purely an
+    # entropy reordering; reconstruction must match the sequential
+    # decode exactly
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_matches_sequential_gradient():
+    _seq_prog_equal(_gradient(24, 17), 60)
+    _seq_prog_equal(_gradient(24, 17), 90)
+
+
+def test_progressive_matches_sequential_noise():
+    img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    for q in (30, 75, 95):
+        _seq_prog_equal(img, q)
+
+
+def test_progressive_eobrun_stress_flat():
+    # large flat image at low quality -> nearly all AC bands zero ->
+    # EOB runs fold across many blocks (and across successive-
+    # approximation refinement scans with deferred correction bits)
+    img = np.full((64, 64, 3), 77, np.uint8)
+    img[0, 0] = 200  # one block with content so scans aren't empty
+    _seq_prog_equal(img, 25)
+
+
+def test_progressive_zrl_stress_sparse():
+    # isolated bright pixels produce high-frequency coefficients with
+    # long zero runs inside blocks -> ZRL paths in first AND refinement
+    # scans
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[::7, ::5] = 255
+    _seq_prog_equal(img, 85)
+
+
+def test_progressive_spectral_only_script():
+    # pure spectral selection, no successive approximation
+    scans = (
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 5, 0, 0),
+        ((0,), 6, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    )
+    _seq_prog_equal(_gradient(16, 24), 80, scans=scans)
+
+
+def test_progressive_dc_only_stream_decodes():
+    # DC scans alone are a legal (if blurry) progressive stream: AC
+    # stays zero -> each 8x8 block reconstructs to its DC mean
+    scans = (((0, 1, 2), 0, 0, 0, 1), ((0, 1, 2), 0, 0, 1, 0))
+    img = np.full((16, 16, 3), 90, np.uint8)
+    out = codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(img, 95, scans=scans)
+    )
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - 90).max() <= 2
+
+
+def test_progressive_via_decode_any_and_batch():
+    img = _gradient(12, 12)
+    data = codecs.encode_jpeg_progressive(img, 90)
+    want = codecs.decode_jpeg(data)
+    assert np.array_equal(codecs.decode_any(data), want)
+    imgs, errs = codecs.decode_batch([data, data, None])
+    assert errs == [None, None, "null payload"]
+    assert np.array_equal(imgs[0], want)
+    assert np.array_equal(imgs[1], want)
