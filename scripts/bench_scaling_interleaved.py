@@ -61,6 +61,14 @@ class Worker:
         pin: str | None,
     ):
         self.cores = cores
+        # command channel: a named pipe — Spark's PythonRunner does not
+        # forward the JVM's stdin to the Python driver, so stdin cannot
+        # carry the RUN/QUIT protocol (stdout IS forwarded)
+        self.ctl_path = os.path.join(cache, f"ctl_{cores}.fifo")
+        if os.path.exists(self.ctl_path):
+            os.remove(self.ctl_path)
+        os.mkfifo(self.ctl_path)
+        self.ctl = None
         cmd = []
         if pin:
             cmd += ["taskset", "-c", pin]
@@ -86,10 +94,11 @@ class Worker:
             cmd.append("--bloom")
         if warm_dir:
             cmd += ["--warmup-input", warm_dir]
+        cmd += ["--control", self.ctl_path]
         print(f"[interleaved] launch: {' '.join(cmd)}", file=sys.stderr)
         self.proc = subprocess.Popen(
             cmd,
-            stdin=subprocess.PIPE,
+            stdin=subprocess.DEVNULL,
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
             text=True,
@@ -110,11 +119,14 @@ class Worker:
         line = self.q.get(timeout=timeout)
         if not line.startswith("READY"):
             raise RuntimeError(f"worker local[{self.cores}]: {line!r}")
+        # the worker opens the pipe's read end right after READY, so this
+        # open is a clean rendezvous, not a block
+        self.ctl = open(self.ctl_path, "w", buffering=1)
         return json.loads(line.split(" ", 1)[1])
 
     def run_rep(self, timeout: float, final: bool = False) -> dict:
-        self.proc.stdin.write("FINAL\n" if final else "RUN\n")
-        self.proc.stdin.flush()
+        self.ctl.write("FINAL\n" if final else "RUN\n")
+        self.ctl.flush()
         line = self.q.get(timeout=timeout)
         if not line.startswith("REP"):
             raise RuntimeError(f"worker local[{self.cores}]: {line!r}")
@@ -122,8 +134,10 @@ class Worker:
 
     def quit(self) -> None:
         try:
-            self.proc.stdin.write("QUIT\n")
-            self.proc.stdin.flush()
+            if self.ctl is not None:
+                self.ctl.write("QUIT\n")
+                self.ctl.flush()
+                self.ctl.close()
             self.proc.wait(timeout=60)
         except Exception:
             self.proc.kill()
@@ -156,6 +170,13 @@ def main() -> None:
         "executors scaling N -> 4N); both JVMs are resident for the whole "
         "run so low+high heaps must fit the box together",
     )
+    ap.add_argument(
+        "--driver-mem",
+        default=None,
+        help="fixed heap for BOTH workers (overrides --mem-per-core-mb): "
+        "at large workloads a per-core low-leg heap GC-thrashes (run-O "
+        "evidence), which measures the garbage collector, not scaling",
+    )
     ap.add_argument("--rep-timeout", type=int, default=3600)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     ap.add_argument("--tag", default="W", help="bench_history attempt tag")
@@ -172,7 +193,7 @@ def main() -> None:
 
     low_w = Worker(
         args.low,
-        f"{args.low * args.mem_per_core_mb}m",
+        args.driver_mem or f"{args.low * args.mem_per_core_mb}m",
         zip_path,
         web_dir,
         cache,
@@ -182,7 +203,7 @@ def main() -> None:
     )
     high_w = Worker(
         args.high,
-        f"{args.high * args.mem_per_core_mb}m",
+        args.driver_mem or f"{args.high * args.mem_per_core_mb}m",
         zip_path,
         web_dir,
         cache,
@@ -284,6 +305,7 @@ def main() -> None:
         },
         "pattern": "ABBA" * args.blocks,
         "mem_per_core_mb": args.mem_per_core_mb,
+        "driver_mem": args.driver_mem,
         "reps": reps,
         "low": {
             "cores": args.low,

@@ -11,7 +11,10 @@ instead of gating the run.
 
 This module is the worker half: it starts a SparkSession under whatever
 master spark-submit gives it, warms up (Python worker pool + an untimed
-warm-up crawl), prints READY, then serves a line protocol on stdin:
+warm-up crawl), prints READY, then serves a line protocol read from the
+``--control`` named pipe (Spark's PythonRunner does NOT forward the JVM's
+stdin to the Python driver, so stdin cannot carry commands; stdout IS
+forwarded, so replies ride it):
 
     RUN    -> wipe the work dir, initialize (untimed), run the timed
               crawl rounds, print one line: REP {json}
@@ -45,6 +48,11 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=1)
     ap.add_argument("--seen-buckets", type=int, default=32)
     ap.add_argument("--warmup-input", default=None)
+    ap.add_argument(
+        "--control",
+        required=True,
+        help="named pipe to read RUN/FINAL/QUIT commands from",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -97,7 +105,10 @@ def main() -> None:
 
     print(f"READY {json.dumps({'cores': cores, 'master': sc.master})}", flush=True)
 
-    for line in sys.stdin:
+    # opening the read end blocks until the orchestrator (which waits for
+    # READY first) opens the write end — a clean rendezvous
+    ctl = open(args.control, "r")
+    for line in ctl:
         cmd = line.strip().upper()
         if cmd == "QUIT":
             break

@@ -99,6 +99,14 @@ class CrawlConfig:
     # (semi-join + bounded collect + broadcast, the hyld/herr sidecar
     # pattern) so driver state never scales with the host universe
     robots_broadcast_hosts: int = 100_000
+    # seed/namespace init threshold (the robots_broadcast_hosts pattern
+    # applied to seeds): namespace/first-occurrence/roots are derived from
+    # the sources TABLE with Spark — never a driver loop over the seed
+    # list — and the host-level namespace dict is collected only when the
+    # host count is at most this threshold (broadcast _ns joins, dict
+    # lineage). Above it the namespace stays a distributed DataFrame and
+    # the _ns joins drop the broadcast hint.
+    seed_broadcast_hosts: int = 100_000
     store_fetched_per_round: bool = False  # span sink each round vs once at end
     sanity_check: bool = True           # R28 scrape-sanity anti-join per round
     spark_seeding: bool = True          # R21 distributed sitemap expansion

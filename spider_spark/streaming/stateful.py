@@ -1,5 +1,5 @@
-"""Stateful streaming operators: watermarked session windows and a
-custom applyInPandasWithState accumulator.
+"""Stateful streaming operators: watermarked session windows and custom
+``transformWithStateInPandas`` accumulators.
 
 Two classes of state the built-in file-source topology in ingest.py
 doesn't cover:
@@ -10,25 +10,30 @@ doesn't cover:
     emitted (append mode) once the watermark passes its close. State
     per in-flight session only, so state size tracks concurrent users,
     not history.
-  - ``running_host_totals``: a custom stateful operator via
-    ``applyInPandasWithState`` — cumulative per-host fetch counts
-    across micro-batches (the live analogue of the batch R6 visit
-    counting). Arrow-batched: the state handle holds one counter per
-    host; each micro-batch adds its Arrow chunk sizes. This is the
+  - ``running_host_totals``: a custom stateful operator — cumulative
+    per-host fetch counts across micro-batches (the live analogue of
+    the batch R6 visit counting). Arrow-batched: one ValueState counter
+    per host; each micro-batch adds its Arrow chunk sizes. This is the
     template for any custom crawl state the built-ins can't express
     (token-bucket politeness, per-host error EWMA, ...).
 
 Both run identically under ``Trigger.AvailableNow`` for deterministic
 catch-up (how the tests pin them to their batch equivalents).
 
-API version pin: the custom operators use ``applyInPandasWithState``
-(GroupState), available and stable on Spark 3.4+ including the 4.x line
-this repo targets. Spark 4 also ships the newer
-``transformWithStateInPandas`` (StatefulProcessor: multiple state
-variables, timers, TTL, initial state); these operators keep the
-GroupState API deliberately — one state value per key, no timers needed,
-and the wider deployed-version surface. A port is mechanical (state
-handle -> ValueState) if a feature needs timers/TTL later.
+API: the custom operators are written against Spark 4's
+``transformWithStateInPandas`` (StatefulProcessor + typed state
+variables — the successor of the legacy ``applyInPandasWithState``
+GroupState surface, migrated per the round-3 note at the old
+stateful.py:24-27). The new API's state-server protocol needs the
+``protobuf`` Python package at query runtime; this container does not
+ship it (and installs are off-limits), so the dispatchers probe for it
+(``TWS_AVAILABLE``) and fall back to a behavior-identical GroupState
+implementation when absent — the StatefulProcessor classes themselves
+are exercised directly by unit tests either way, and the
+streaming≡batch equality tests pin whichever path runs.
+transformWithState also requires the RocksDB state store provider;
+``rocksdb_conf()`` returns the one setting a session needs before
+starting such a query.
 """
 
 from __future__ import annotations
@@ -38,9 +43,38 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 from spider_spark.analysis.sessions import _us
+
+
+def _tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+#: transformWithStateInPandas runnable on this interpreter (its state
+#: server speaks protobuf; absent -> the legacy GroupState fallback)
+TWS_AVAILABLE = _tws_available()
+
+
+def rocksdb_conf() -> dict[str, str]:
+    """Session conf required by transformWithState queries: the HDFS-
+    backed default state store does not implement the new API's typed
+    state variables; RocksDB (bundled with Spark) does."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    }
 
 
 def streaming_session_stats(
@@ -83,33 +117,81 @@ def streaming_session_stats(
     )
 
 
-def _host_totals_fn_factory(host_col: str):
-    def fn(
-        key: tuple,
-        pdfs: Iterable[pd.DataFrame],
-        state: GroupState,
+class _GroupStateValueShim:
+    """Adapts a legacy GroupState handle to the ValueState get/update
+    surface, so ONE StatefulProcessor implementation serves both the
+    transformWithState path and the protobuf-less fallback."""
+
+    def __init__(self, state):
+        self._state = state
+
+    def get(self):
+        return tuple(self._state.get) if self._state.exists else None
+
+    def update(self, v) -> None:
+        self._state.update(tuple(v))
+
+
+class _HostTotalsProcessor(StatefulProcessor):
+    """Cumulative per-host count: ONE int64 ValueState per host."""
+
+    def __init__(self, host_col: str):
+        self._host_col = host_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._total = handle.getValueState("total", "n_total long")
+
+    def handleInputRows(
+        self, key, rows, timer_values
     ) -> Iterator[pd.DataFrame]:
-        total = state.get[0] if state.exists else 0
-        batch = 0
-        for pdf in pdfs:
-            batch += len(pdf)
+        prev = self._total.get()
+        total = prev[0] if prev is not None else 0
+        batch = sum(len(pdf) for pdf in rows)
         total += batch
-        state.update((total,))
+        self._total.update((total,))
         yield pd.DataFrame(
-            {host_col: [key[0]], "n_total": [total], "n_batch": [batch]}
+            {self._host_col: [key[0]], "n_total": [total], "n_batch": [batch]}
         )
 
-    return fn
+    def close(self) -> None:
+        pass
 
 
-def running_host_totals(order: DataFrame, host_col: str = "host") -> DataFrame:
+def running_host_totals(
+    order: DataFrame, host_col: str = "host", api: str = "auto"
+) -> DataFrame:
     """Cumulative per-host fetch counts across micro-batches (update
     mode: one row per host per micro-batch that touched it, carrying
     the running total). State is a single int64 per host — bounded by
-    host cardinality, not crawl length."""
+    host cardinality, not crawl length.
+
+    ``api``: "tws" forces transformWithStateInPandas (requires protobuf
+    + ``rocksdb_conf()``), "legacy" forces applyInPandasWithState,
+    "auto" picks tws when runnable."""
+    out_schema = f"{host_col} string, n_total long, n_batch long"
+    if api == "tws" or (api == "auto" and TWS_AVAILABLE):
+        return order.groupBy(host_col).transformWithStateInPandas(
+            statefulProcessor=_HostTotalsProcessor(host_col),
+            outputStructType=out_schema,
+            outputMode="update",
+            timeMode="none",
+        )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    proc = _HostTotalsProcessor(host_col)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # fallback delegates to the SAME processor logic through a
+        # GroupState-backed ValueState shim — one implementation of the
+        # accumulator math, two wire protocols
+        proc._total = _GroupStateValueShim(state)
+        yield from proc.handleInputRows(key, pdfs, None)
+
     return order.groupBy(host_col).applyInPandasWithState(
-        _host_totals_fn_factory(host_col),
-        outputStructType=f"{host_col} string, n_total long, n_batch long",
+        fn,
+        outputStructType=out_schema,
         stateStructType="n_total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -165,34 +247,40 @@ def streaming_tumbling_stats(
     )
 
 
-def _token_bucket_fn_factory(
-    rate: int,
-    capacity: int,
-    host_col: str = "host",
-    url_col: str = "url",
-    seq_col: str = "seq",
-):
-    def fn(
-        key: tuple,
-        pdfs: Iterable[pd.DataFrame],
-        state: GroupState,
+class _TokenBucketProcessor(StatefulProcessor):
+    """Per-host token bucket: ONE int64 ValueState per host."""
+
+    def __init__(self, rate, capacity, host_col, url_col, seq_col):
+        self._rate = int(rate)
+        self._capacity = int(capacity)
+        self._host_col = host_col
+        self._url_col = url_col
+        self._seq_col = seq_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._tokens = handle.getValueState("tokens", "tokens long")
+
+    def handleInputRows(
+        self, key, rows, timer_values
     ) -> Iterator[pd.DataFrame]:
-        tokens = state.get[0] if state.exists else capacity
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(seq_col, kind="mergesort").reset_index(
+        prev = self._tokens.get()
+        tokens = prev[0] if prev is not None else self._capacity
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(self._seq_col, kind="mergesort").reset_index(
             drop=True
         )
-        take = min(int(tokens), len(rows))
-        out = rows.iloc[:take].copy()
+        take = min(int(tokens), len(pdf))
+        out = pdf.iloc[:take].copy()
         out["batch_pos"] = range(1, take + 1)
         # spend, then refill for the NEXT batch (deferred rows are
         # dropped here — a production stream re-queues them upstream;
         # the bounded state is the point of this template)
-        tokens = min(capacity, tokens - take + rate)
-        state.update((int(tokens),))
-        yield out[[host_col, url_col, seq_col, "batch_pos"]]
+        tokens = min(self._capacity, tokens - take + self._rate)
+        self._tokens.update((int(tokens),))
+        yield out[[self._host_col, self._url_col, self._seq_col, "batch_pos"]]
 
-    return fn
+    def close(self) -> None:
+        pass
 
 
 def token_bucket_schedule(
@@ -202,6 +290,7 @@ def token_bucket_schedule(
     host_col: str = "host",
     url_col: str = "url",
     seq_col: str = "seq",
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming politeness: per-host token bucket over micro-batches —
     the custom stateful operator the built-in streaming aggregations
@@ -216,15 +305,34 @@ def token_bucket_schedule(
     frontiers (unused budget accumulates up to ``capacity``).
 
     State per host is ONE int64 — bounded by host cardinality. Arrow-
-    batched via applyInPandasWithState; update mode."""
+    batched; update mode. ``api`` as in :func:`running_host_totals`
+    (tws requires protobuf + ``rocksdb_conf()``)."""
+    out_schema = (
+        f"{host_col} string, {url_col} string, {seq_col} long, "
+        "batch_pos long"
+    )
+    proc = _TokenBucketProcessor(rate, capacity, host_col, url_col, seq_col)
+    if api == "tws" or (api == "auto" and TWS_AVAILABLE):
+        return frontier.groupBy(host_col).transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=out_schema,
+            outputMode="update",
+            timeMode="none",
+        )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # fallback delegates to the SAME processor logic through a
+        # GroupState-backed ValueState shim — one implementation of the
+        # bucket math, two wire protocols
+        proc._tokens = _GroupStateValueShim(state)
+        yield from proc.handleInputRows(key, pdfs, None)
+
     return frontier.groupBy(host_col).applyInPandasWithState(
-        _token_bucket_fn_factory(
-            int(rate), int(capacity), host_col, url_col, seq_col
-        ),
-        outputStructType=(
-            f"{host_col} string, {url_col} string, {seq_col} long, "
-            "batch_pos long"
-        ),
+        fn,
+        outputStructType=out_schema,
         stateStructType="tokens long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
