@@ -94,6 +94,9 @@ HEADLINE = [
     "text_page_metadata",     # title/description/og/lang/h1 extraction
     # round-3 additions
     "r8_delay_skip",          # cross-round Crawl-delay period scheduling
+    # round-4 additions
+    "multimodal_phash_jpeg_dedup",  # progressive+baseline JPEG phash dedup
+    "dedup_clusters",         # star-edge cluster resolution (O(n)/bucket)
 ]
 
 
