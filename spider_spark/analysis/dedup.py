@@ -643,11 +643,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # initial labels stay LAZY (narrow projection of the checkpointed
+    # sym + one distinct that fuses into round 1's first join) — one
+    # fewer driver-synchronous job per call
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
     comp_t = labels.schema["comp"].dataType
     for _ in range(max_iters):
