@@ -178,6 +178,16 @@ def main() -> None:
         "evidence), which measures the garbage collector, not scaling",
     )
     ap.add_argument("--rep-timeout", type=int, default=3600)
+    ap.add_argument(
+        "--warm-reps",
+        type=int,
+        default=1,
+        help="untimed FULL-WORKLOAD reps per JVM before the timed "
+        "pattern: the first rep in a JVM pays JIT + first-touch cache "
+        "fill (measured +64%% on the 32-core leg, +5%% on the 8-core "
+        "leg — an asymmetry that would corrupt the ratio); steady-state "
+        "warm executors are what a real cluster measures",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     ap.add_argument("--tag", default="W", help="bench_history attempt tag")
     args = ap.parse_args()
@@ -226,6 +236,29 @@ def main() -> None:
 
         ceil_low_0 = cpu_ceiling(args.low)
         ceil_high_0 = cpu_ceiling(args.high)
+
+        warmups = []
+        for _w in range(args.warm_reps):
+            for w, leg in ((low_w, "A"), (high_w, "B")):
+                burner = None
+                if leg == "A" and args.low < total:
+                    burner = subprocess.Popen(
+                        _burn_cmd(f"{args.low}-{total - 1}"),
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                    )
+                try:
+                    wrep = w.run_rep(args.rep_timeout)
+                finally:
+                    if burner is not None:
+                        burner.kill()
+                        subprocess.run(
+                            ["pkill", "-f", "1103515245"],
+                            capture_output=True,
+                        )
+                wrep["leg"] = leg
+                warmups.append(wrep)
+                print(f"[interleaved] warmup {leg}: {wrep}", file=sys.stderr)
 
         pattern = "ABBA" * args.blocks
         reps: list[dict] = []
@@ -325,6 +358,7 @@ def main() -> None:
         "pattern": "ABBA" * args.blocks,
         "mem_per_core_mb": args.mem_per_core_mb,
         "driver_mem": args.driver_mem,
+        "warmup_reps": warmups,
         "reps": reps,
         "low": {
             "cores": args.low,

@@ -103,3 +103,37 @@ def test_distributed_init_equals_legacy_seeding(spark, tmp_path):
     assert rows(legacy, "seen") == rows(dist, "seen")
     assert legacy.namespace == dist.namespace
     assert legacy.n_hosts == dist.n_hosts
+
+
+def test_docs_cache_shared_across_engines(spark, tmp_path):
+    """Two sequential crawls over one input reuse the input-pure doc
+    caches: identical results, no per-crawl cache refill, ownership
+    transfer keeps close() from unpersisting shared caches."""
+    from spider_spark.fixtures import demo_web
+
+    web = demo_web()
+    input_dir = write_web(web, str(tmp_path / "web"))
+    cfg = CrawlConfig(scrape_parallelism=3, max_rounds=60)
+    e1 = CrawlEngine(spark, input_dir, str(tmp_path / "w1"), cfg)
+    cache = e1.docs_cache()
+    s1 = e1.run()
+    e1.close()  # must NOT unpersist the transferred caches
+    assert cache["docs_meta"].storageLevel.useMemory
+    e2 = CrawlEngine(
+        spark, input_dir, str(tmp_path / "w2"), cfg, docs_cache=cache
+    )
+    assert e2.docs_meta is cache["docs_meta"]
+    s2 = e2.run()
+    e2.close()
+    assert s1.urls_fetched == s2.urls_fetched
+    assert sorted(
+        tuple(r) for r in e1.order_df().collect()
+    ) == sorted(tuple(r) for r in e2.order_df().collect())
+    # wrong input dir is refused, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="docs_cache was built for"):
+        CrawlEngine(
+            spark, str(tmp_path), str(tmp_path / "w3"), cfg, docs_cache=cache
+        )
+    CrawlEngine.release_docs_cache(cache)
