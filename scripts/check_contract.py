@@ -27,7 +27,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(4)
+            # 12 decimals ~ the driver's value-hash strictness for the
+            # float columns this contract carries (every query pushes
+            # real arithmetic to exact int/decimal precisely so engines
+            # cannot diverge; floats appear only as final casts). The
+            # old 4-decimal round was a looser gate than the driver's.
+            df[c] = df[c].round(12)
         elif str(df[c].dtype).startswith(("int", "uint")):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
