@@ -1453,9 +1453,16 @@ def decode_batch(
             )
             for k, (i, _) in enumerate(members):
                 imgs[i] = px[k]
-        except (ValueError, struct.error, IndexError) as e:
+        except (ValueError, struct.error, IndexError):
+            # one bad member (e.g. an out-of-range palette index) must not
+            # poison its same-shape siblings: re-run each member through
+            # the single-image decoder for a per-image verdict, preserving
+            # decode_any's exact per-image results and error messages
             for i, _ in members:
-                errs[i] = str(e)[:200]
+                try:
+                    imgs[i] = decode_png(bytes(payloads[i]))
+                except (ValueError, struct.error, IndexError) as e:
+                    errs[i] = str(e)[:200]
     return imgs, errs
 
 

@@ -40,6 +40,13 @@ class CrawlConfig:
     cuckoo_slots: int = 4               # fingerprint slots per cuckoo bucket
     cuckoo_stash_bits: int = 1 << 17    # overflow bloom stash bitmap size
     cuckoo_stash_hashes: int = 5
+    # compact_state() writes the merged seen table BUCKETED by url
+    # (lake.write_bucketed): steady-state R4 anti-joins then read the
+    # 10^10-row seen side with NO Exchange/Sort (SURVEY §1.2's
+    # `bucket(N, url)` layout); per-round deltas since the compaction
+    # stay plain parquet and anti-join as a second, delta-sized step
+    seen_bucketed: bool = False
+    seen_bucket_count: int = 32         # layout constant (4096 at 10^10)
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
     # frontier ordering: "fifo" (reference semantics), "short_url"
     # (shorter URLs first per host, FIFO within equal length),

@@ -69,6 +69,28 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def register_external_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int,
+    schema_ddl: str,
+) -> None:
+    """(Re-)register catalog metadata for a directory of files previously
+    written by :func:`write_bucketed` (bucket ids ride in the file names,
+    so the files themselves carry the layout; only the catalog entry is
+    session-scoped). Used after a compaction rename or on engine restart —
+    the Iceberg-catalog analogue is table metadata pointing at the same
+    manifests after a rewrite commit."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def bucketed_anti_join(
     candidates: DataFrame, seen: DataFrame, key: str = "url"
 ) -> DataFrame:

@@ -150,3 +150,85 @@ def test_crash_recovery_after_rename_keeps_output(spark, tmp_path):
     assert not os.path.exists(os.path.join(base, _COMPACT_MARKER))
     assert _round_dirs(work, "seen") == [f"round={eng.round}"]
     assert engine_seen(eng2) == before  # the table survived
+
+
+def test_bucketed_compaction_zero_exchange_and_parity(spark, tmp_path):
+    """cfg.seen_bucketed: compaction writes the seen base via
+    lake.write_bucketed; the R4 anti-join then reads the state side with
+    NO Exchange and NO Sort (only the round-sized candidate set
+    shuffles), rows stay identical, the crawl still matches the oracle,
+    and a fresh engine re-registers the layout from the sidecar."""
+    import pyspark.sql.functions as F
+
+    from spider_spark import lake
+
+    web = synth_web(n_hosts=3, pages_per_host=40, links_per_page=5, seed=9)
+    cfg = CrawlConfig(
+        scrape_parallelism=10,
+        max_retries=1,
+        max_rounds=200,
+        seen_bucketed=True,
+        seen_bucket_count=8,
+    )
+    input_dir = write_web(web, str(tmp_path / "web_b"))
+    work = str(tmp_path / "work_b")
+
+    eng = CrawlEngine(spark, input_dir, work, cfg)
+    eng.initialize()
+    eng.run_round()
+    eng.run_round()
+    before = engine_seen(eng)
+    assert eng.compact_state()["seen"] > 0
+    assert eng._seen_bucketed_round == eng.round
+    assert engine_seen(eng) == before  # lossless, multiplicity intact
+
+    # ---- plan pin: state side of R4 is Exchange- and Sort-free -------
+    base, deltas = eng._seen_state()
+    assert base is not None and deltas is None
+    cand = spark.range(500).select(
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias(
+            "url"
+        )
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = eng._anti_seen(cand, base, deltas)
+        # exactly ONE Exchange: the candidate side; zero on the seen side
+        assert lake.count_exchanges(j) == 1
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        ).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan, plan
+        # the plain-parquet baseline shuffles BOTH sides
+        plain = cand.join(
+            spark.read.parquet(
+                os.path.join(work, "seen", f"round={eng.round}")
+            ).select("url"),
+            "url",
+            "left_anti",
+        )
+        assert lake.count_exchanges(plain) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # ---- crawl continues over the bucketed base, matches the oracle --
+    eng.run()
+    assert_match(eng, oracle_crawl(web, cfg))
+
+    # deltas accumulated since the compaction anti-join as a second step
+    base2, deltas2 = eng._seen_state()
+    assert base2 is not None and deltas2 is not None
+    assert not deltas2.rdd.isEmpty()
+
+    # second compaction folds the deltas into a NEW bucketed base
+    assert eng.compact_state()["seen"] > 0
+    assert eng._seen_bucketed_round == eng.round
+    assert_match(eng, oracle_crawl(web, cfg))
+
+    # ---- restart: a fresh engine re-registers from the sidecar -------
+    eng2 = CrawlEngine(spark, input_dir, work, cfg)
+    assert eng2._seen_bucketed_round == eng._seen_bucketed_round
+    t = spark.table(eng2._seen_table_name())
+    assert t.columns == ["url", "host", "round"]
+    assert t.count() == sum(engine_seen(eng).values())

@@ -120,3 +120,35 @@ def test_block_mean_batch_degenerate_grid_cells():
     got = codecs.block_mean_batch(stack, 3)
     want = np.stack([codecs.block_mean_features(im, 3) for im in stack])
     assert np.array_equal(got, want)
+
+
+def _palette_png(w, h, indices, plte):
+    """Hand-built 8-bit palette (color-type 3) PNG, filter 0 rows."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(indices[y * w : (y + 1) * w]) for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"PLTE", bytes(plte))
+        + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+
+
+def test_batch_bad_palette_member_does_not_poison_group():
+    # Two same-shape palette PNGs sharing one PLTE: one valid, one whose
+    # indices exceed the palette. The batch path groups them together;
+    # the bad member must err alone while the sibling still decodes
+    # bit-identically to decode_any (the group-poisoning bug the round-4
+    # advisor found).
+    plte = [10, 20, 30, 40, 50, 60]  # 2 entries
+    good = _palette_png(3, 2, [0, 1, 0, 1, 0, 1], plte)
+    bad = _palette_png(3, 2, [0, 1, 5, 1, 0, 1], plte)  # index 5 > 1
+    _assert_batch_matches([good, bad, good])
+    imgs, errs = codecs.decode_batch([good, bad, good])
+    assert imgs[0] is not None and imgs[2] is not None
+    assert imgs[1] is None and errs[1] is not None

@@ -137,3 +137,62 @@ def test_docs_cache_shared_across_engines(spark, tmp_path):
             spark, str(tmp_path), str(tmp_path / "w3"), cfg, docs_cache=cache
         )
     CrawlEngine.release_docs_cache(cache)
+
+
+def test_above_threshold_yield_backoff_lineage_parity(spark, tmp_path):
+    """Round-5 gate: with seed_broadcast_hosts=0 the per-ROUND host-keyed
+    driver paths must also go distributed — yield budgets via the
+    politeness.yield_budgets DataFrame twin (no hyld collect), backoff
+    via a non-broadcast herr join, manifests totals-only — and the whole
+    crawl still matches the oracle exactly."""
+    import json
+    import os
+
+    web = synth_web(
+        n_hosts=4,
+        pages_per_host=25,
+        links_per_page=5,
+        error_frac=0.15,
+        seed=61,
+    )
+    base = dict(
+        scrape_parallelism=5,
+        max_retries=1,
+        max_rounds=200,
+        yield_budget_total=10,
+        error_backoff=True,
+    )
+    oracle_res = oracle_crawl(web, CrawlConfig(**base))
+    cfg = CrawlConfig(seed_broadcast_hosts=0, **base)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "bigmode_yield")
+    assert eng._ns_small is False
+    assert_match(eng, oracle_res)
+    # manifests: totals-only lineage, but round totals still exact
+    ck = os.path.join(eng.work_dir, "checkpoints")
+    manifests = sorted(os.listdir(ck))
+    assert len(manifests) >= 2
+    for name in manifests:
+        with open(os.path.join(ck, name)) as fh:
+            man = json.load(fh)
+        assert man["frontier_by_host"] == {}
+    # totals-only mode must still record exact frontier_next counts:
+    # cross-check each manifest against the parquet it describes
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    for name in manifests:
+        with open(os.path.join(ck, name)) as fh:
+            man = json.load(fh)
+        rows = sum(
+            _pq.read_metadata(f).num_rows
+            for f in _glob.glob(
+                os.path.join(
+                    eng.work_dir,
+                    "frontier",
+                    f"round={man['round']}",
+                    "*.parquet",
+                )
+            )
+        )
+        assert man["metrics"]["frontier_next"] == rows
