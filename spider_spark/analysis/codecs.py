@@ -138,21 +138,42 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
-    """uint8 (H,W,3) RGB → non-interlaced 8-bit truecolor PNG.
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass,
+#: in stream order (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    ``filter_type``: 0..4 applies that scanline filter to every row;
-    ``"mixed"`` cycles row % 5 so round-trip tests exercise every
-    unfilter path."""
-    import zlib
 
-    img = np.ascontiguousarray(img.astype(np.uint8))
-    h, w = img.shape[:2]
-    bpp = 3
-    prev = np.zeros(w * bpp, dtype=np.uint8)
+def _adam7_passes(w: int, h: int):
+    """Yield (x0, y0, dx, dy, pw, ph) for each NON-EMPTY Adam7 pass of a
+    w×h image (empty passes contribute zero scanlines to the stream)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw and ph:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def _filter_scanlines(
+    rows: np.ndarray, bpp: int, filter_type: int | str
+) -> bytearray:
+    """Apply PNG scanline filters to raw sample-byte rows (h, stride)
+    uint8 → the filtered stream (filter byte + stride bytes per row).
+    ``bpp`` is bytes per pixel (channels × bytes-per-sample); ``prev``
+    starts at zero, so each call is an independent filter unit — exactly
+    one image, or one Adam7 pass."""
+    h, stride = rows.shape
+    prev = np.zeros(stride, dtype=np.uint8)
     out = bytearray()
     for y in range(h):
-        row = img[y].reshape(-1)
+        row = rows[y]
         ft = (y % 5) if filter_type == "mixed" else int(filter_type)
         if ft == 0:
             filt = row
@@ -174,7 +195,62 @@ def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
             raise ValueError(f"bad filter {filter_type}")
         out += bytes([ft]) + filt.astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return out
+
+
+def encode_png(
+    img: np.ndarray, filter_type: int | str = 0, interlace: bool = False
+) -> bytes:
+    """uint8 (H,W,3) RGB → 8-bit truecolor PNG.
+
+    ``filter_type``: 0..4 applies that scanline filter to every row;
+    ``"mixed"`` cycles row % 5 so round-trip tests exercise every
+    unfilter path. ``interlace=True`` writes Adam7 passes (each pass its
+    own filter unit, per spec)."""
+    import zlib
+
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    h, w = img.shape[:2]
+    out = bytearray()
+    if interlace:
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub = np.ascontiguousarray(img[y0::dy, x0::dx])
+            out += _filter_scanlines(
+                sub.reshape(ph, pw * 3), 3, filter_type
+            )
+    else:
+        out = _filter_scanlines(img.reshape(h, w * 3), 3, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(
+    img16: np.ndarray, filter_type: int | str = 0, interlace: bool = False
+) -> bytes:
+    """uint16 (H,W,3) RGB → 16-bit truecolor PNG (big-endian samples;
+    filters operate on BYTES with bpp = 6, per spec)."""
+    import zlib
+
+    img16 = np.ascontiguousarray(img16.astype(np.uint16))
+    h, w = img16.shape[:2]
+    as_bytes = (
+        img16.astype(">u2").view(np.uint8).reshape(h, w * 6)
+    )
+    out = bytearray()
+    if interlace:
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub = np.ascontiguousarray(
+                img16[y0::dy, x0::dx].astype(">u2")
+            ).view(np.uint8).reshape(ph, pw * 6)
+            out += _filter_scanlines(sub, 6, filter_type)
+    else:
+        out = _filter_scanlines(as_bytes, 6, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -194,11 +270,11 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def _png_parse(data: bytes):
-    """Chunk-walk + inflate a PNG → (w, h, nch, color_type, plte, lines)
-    where ``lines`` is the (H, stride+1) filtered-scanline array. Shared
-    by the single-image and batch decoders so both raise identical
-    errors; the zlib inflate (C speed) happens here, per image."""
+def _png_meta(data: bytes):
+    """Chunk-walk + inflate a PNG → (w, h, depth, nch, ctype_n,
+    interlace, plte, raw) with ``raw`` the inflated filtered byte
+    stream. Validates header/stream structure; scanline geometry is the
+    caller's (it depends on depth/interlace)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -223,14 +299,28 @@ def _png_parse(data: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, ctype_n, _comp, _filt, interlace = ihdr
-    if depth != 8:
+    if depth not in (8, 16):
         raise ValueError(f"unsupported PNG bit depth {depth}")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG not supported")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if nch is None:
         raise ValueError(f"unsupported PNG color type {ctype_n}")
+    if depth == 16 and ctype_n == 3:
+        raise ValueError("invalid PNG: 16-bit palette")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    return w, h, depth, nch, ctype_n, bool(interlace), plte, raw
+
+
+def _png_parse(data: bytes):
+    """(w, h, nch, color_type, plte, lines) for the 8-BIT NON-INTERLACED
+    common case, ``lines`` the (H, stride+1) filtered-scanline array —
+    the shape the batch decoder groups on. Interlaced / 16-bit payloads
+    raise ValueError here; route them to :func:`decode_png`, whose
+    general path handles both."""
+    w, h, depth, nch, ctype_n, interlace, plte, raw = _png_meta(data)
+    if depth != 8:
+        raise ValueError(f"unsupported fast-path PNG bit depth {depth}")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not on the fast path")
     stride = w * nch
     if raw.size != h * (stride + 1):
         raise ValueError("PNG scanline size mismatch")
@@ -255,11 +345,47 @@ def _png_postprocess(
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → uint8 (H,W,3) RGB. Grayscale expands to
-    3 channels, palette rows go through the PLTE LUT, alpha channels are
-    dropped (feature code downstream is RGB-only)."""
-    w, h, nch, ctype_n, plte, lines = _png_parse(data)
-    stride = w * nch
+    """PNG → uint8 (H,W,3) RGB: 8- or 16-bit, sequential or Adam7
+    interlaced. Grayscale expands to 3 channels, palette rows go through
+    the PLTE LUT, alpha channels are dropped (feature code downstream is
+    RGB-only); 16-bit samples reduce to their high byte (the exact
+    v >> 8 map, stated so the DuckDB-side oracles can replicate it)."""
+    w, h, depth, nch, ctype_n, interlace, plte, raw = _png_meta(data)
+    sb = depth // 8
+    bpp = nch * sb
+    if interlace:
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            if raw.size < pos + need:
+                raise ValueError("PNG scanline size mismatch")
+            lines = raw[pos : pos + need].reshape(ph, stride + 1)
+            pos += need
+            sub = _png_unfilter_rows(lines, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if pos != raw.size:
+            raise ValueError("PNG scanline size mismatch")
+    else:
+        stride = w * bpp
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG scanline size mismatch")
+        px = _png_unfilter_rows(raw.reshape(h, stride + 1), bpp).reshape(
+            h, w, bpp
+        )
+    if sb == 2:  # big-endian sample pairs → high byte
+        px = px.reshape(h, w, nch, 2)[..., 0]
+    return _png_postprocess(px.reshape(h, w, nch), ctype_n, plte)
+
+
+def _png_unfilter_rows(lines: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering over one filter unit (a whole
+    non-interlaced image, or one Adam7 pass): (h, stride+1) filtered
+    lines → (h, stride) raw sample bytes. ``bpp`` = channels ×
+    bytes-per-sample (the 'left' offset the spec filters use)."""
+    h, stride1 = lines.shape
+    stride = stride1 - 1
     filters, rows = lines[:, 0], lines[:, 1:]
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -268,7 +394,7 @@ def decode_png(data: bytes) -> np.ndarray:
         if f == 0:
             rec = r.copy()
         elif f == 1:  # Sub: per-lane running sum, mod-256
-            lanes = r.reshape(-1, nch).astype(np.uint64)
+            lanes = r.reshape(-1, bpp).astype(np.uint64)
             rec = (
                 np.cumsum(lanes, axis=0) & 0xFF
             ).astype(np.uint8).reshape(-1)
@@ -277,16 +403,16 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f == 3:  # Average
             rec = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                left = rec[x - nch] if x >= nch else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (
                     int(r[x]) + ((int(left) + int(prev[x])) >> 1)
                 ) & 0xFF
         elif f == 4:  # Paeth
             rec = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                a = int(rec[x - nch]) if x >= nch else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -295,7 +421,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter byte {f}")
         img[y] = rec
         prev = rec
-    return _png_postprocess(img.reshape(h, w, nch), ctype_n, plte)
+    return img
 
 
 def _png_unfilter_stack(stack: np.ndarray, nch: int) -> np.ndarray:
@@ -1395,6 +1521,13 @@ def decode_batch(
                     key = (len(b), off, w, h, nch, top_down)
                     bmp_groups.setdefault(key, []).append((i, b))
             elif b[:8] == _PNG_SIG:
+                # IHDR is mandatory-first: depth at byte 24, interlace at
+                # byte 28. 16-bit / Adam7 payloads take the single-image
+                # general path; the stacked unfilter groups 8-bit
+                # sequential scanline geometry only
+                if len(b) > 28 and (b[24] != 8 or b[28] != 0):
+                    imgs[i] = decode_png(b)
+                    continue
                 w, h, nch, ctype_n, plte, lines = _png_parse(b)
                 if (lines[:, 0] > 4).any():
                     # bad filter byte: single-image path for its message

@@ -296,6 +296,15 @@ def minhash_lsh_star_edges(
     buckets = minhash_band_buckets(
         df, text_col, id_col, num_hashes, bands, shingle_w
     )
+    # buckets feeds two subtrees with DIFFERENT exchange shapes (the hub
+    # partial-agg vs the plain join side), so ReuseExchange never dedupes
+    # them and the minhash signature pass — the dominant cost, md5 per
+    # shingle inside interpreted HOF lambdas — would run twice.
+    # Materialize the narrow (doc_id, band, bh) table once instead:
+    # rows = docs × bands, ~40 bytes each — bounded, unlike a signature
+    # recompute which rescans the corpus text (measured 1.5-2x on the
+    # sf0.1 pipeline_clean_corpus row)
+    buckets = buckets.localCheckpoint(eager=False)
     hubs = buckets.groupBy("band", "bh").agg(F.min("doc_id").alias("hub"))
     return (
         buckets.join(hubs, ["band", "bh"])
@@ -663,7 +672,9 @@ def connected_components(
             .unionByName(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"), F.max("_old").alias("_old"))
-            .localCheckpoint()
+            # lazy: the changed-count below is the materializing action,
+            # so each round is ONE job, not checkpoint-then-count
+            .localCheckpoint(eager=False)
         )
         changed = new.where(F.col("comp") < F.col("_old")).count()
         labels = new.drop("_old")
@@ -697,7 +708,9 @@ def duplicate_clusters(
     # reps feeds two subtrees (the LSH edges and the component join);
     # materialize once so the corpus-wide fingerprint groupBy+join
     # doesn't run per consumer
-    reps = exact_representatives(df, text_col, id_col).localCheckpoint()
+    reps = exact_representatives(df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     # star edges, not pairwise candidates: transitive closure only needs
     # connectivity, and a near-dup mega-cluster must cost O(n) edges,
     # not O(n²) pairs (see minhash_lsh_star_edges)

@@ -134,14 +134,23 @@ def quad_image_params(i: int, group_mod: int = 23) -> dict:
         "c01": (g * 11 + 3) % 251,
         "c10": (g * 17 + 7) % 251,
         "c11": (g * 23 + 13) % 251,
-        "container": i % 3,                      # rotate PPM/BMP/PNG
+        "container": i % 4,          # rotate PPM/BMP/PNG/interlaced-PNG
     }
 
 
 # payload containers rotated by id: PPM (raw), BMP (raw, different byte
-# layout), PNG (REAL compressed web format — the stdlib-zlib codec). The
-# rotation proves every dedup/metadata operator is container-blind.
-_QUAD_ENCODERS = (codecs.encode_ppm, codecs.encode_bmp, codecs.encode_png)
+# layout), PNG (REAL compressed web format — the stdlib-zlib codec), and
+# Adam7-INTERLACED PNG with mixed per-row filters (the general decode
+# path). The rotation proves every dedup/metadata operator is
+# container-blind; the oracle never sees the container — only content.
+_QUAD_ENCODERS = (
+    codecs.encode_ppm,
+    codecs.encode_bmp,
+    codecs.encode_png,
+    lambda img: codecs.encode_png(
+        img, filter_type="mixed", interlace=True
+    ),
+)
 
 
 def _quad_payload(p: dict, _cache: dict = {}) -> bytes:
@@ -270,7 +279,7 @@ def near_quad_image_params(i: int, groups: int = 150) -> dict:
     p["w"] = 6 + (i % 5) * 2
     p["h"] = 4 + (i % 3) * 2
     p["c11"] = p["c11"] + ((i // groups) % 2)
-    p["container"] = i % 3
+    p["container"] = i % 4
     return p
 
 

@@ -152,3 +152,23 @@ def test_batch_bad_palette_member_does_not_poison_group():
     imgs, errs = codecs.decode_batch([good, bad, good])
     assert imgs[0] is not None and imgs[2] is not None
     assert imgs[1] is None and errs[1] is not None
+
+
+def test_batch_routes_interlaced_and_16bit_to_general_path():
+    # Adam7 + 16-bit payloads must decode (not err) via the single-image
+    # general path, mixed freely with groupable sequential PNGs
+    img = _rand_img(9, 7)
+    img16 = rng.integers(0, 65536, (6, 5, 3), dtype=np.uint16)
+    payloads = [
+        codecs.encode_png(img, filter_type="mixed"),
+        codecs.encode_png(img, filter_type="mixed", interlace=True),
+        codecs.encode_png16(img16, filter_type=2),
+        codecs.encode_png16(img16, filter_type=4, interlace=True),
+        codecs.encode_png(img, filter_type=1),
+    ]
+    _assert_batch_matches(payloads)
+    imgs, errs = codecs.decode_batch(payloads)
+    assert errs == [None] * 5
+    assert np.array_equal(imgs[1], img)
+    assert np.array_equal(imgs[2], (img16 >> 8).astype(np.uint8))
+    assert np.array_equal(imgs[3], (img16 >> 8).astype(np.uint8))

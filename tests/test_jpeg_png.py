@@ -211,3 +211,85 @@ def test_progressive_via_decode_any_and_batch():
     assert errs == [None, None, "null payload"]
     assert np.array_equal(imgs[0], want)
     assert np.array_equal(imgs[1], want)
+
+
+# ---------------------------------------- Adam7 interlace + 16-bit depth
+
+
+def _rng_img(h, w, seed=3):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "mixed"])
+@pytest.mark.parametrize(
+    "hw", [(1, 1), (2, 3), (8, 8), (9, 7), (17, 5), (5, 17)]
+)
+def test_adam7_roundtrip_every_filter_and_odd_sizes(ft, hw):
+    # sizes straddle the 8x8 pass grid: single-pixel (only pass 1
+    # non-empty), sub-8 (several empty passes), exact 8x8, and odd
+    # overshoots in each dimension
+    h, w = hw
+    img = _rng_img(h, w, seed=h * 31 + w)
+    enc = codecs.encode_png(img, filter_type=ft, interlace=True)
+    assert np.array_equal(codecs.decode_png(enc), img)
+    # interlaced and sequential encodings of the same pixels decode
+    # bit-identically
+    seq = codecs.encode_png(img, filter_type=ft)
+    assert np.array_equal(codecs.decode_png(enc), codecs.decode_png(seq))
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "mixed"])
+def test_png16_roundtrip_high_byte(ft):
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, (6, 5, 3), dtype=np.uint16)
+    enc = codecs.encode_png16(img16, filter_type=ft)
+    got = codecs.decode_png(enc)
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_png16_interlaced_roundtrip():
+    rng = np.random.default_rng(13)
+    img16 = rng.integers(0, 65536, (9, 7, 3), dtype=np.uint16)
+    enc = codecs.encode_png16(img16, filter_type="mixed", interlace=True)
+    assert np.array_equal(
+        codecs.decode_png(enc), (img16 >> 8).astype(np.uint8)
+    )
+
+
+def test_adam7_truncated_stream_errors():
+    img = _rng_img(9, 7)
+    enc = codecs.encode_png(img, filter_type=0, interlace=True)
+    # truncate the inflated stream by re-deflating a shorter payload
+    import zlib
+
+    w, h, depth, nch, ctype_n, interlace, plte, raw = codecs._png_meta(enc)
+    short = zlib.compress(raw.tobytes()[:-3])
+    ihdr = codecs._png_chunk(
+        b"IHDR",
+        __import__("struct").pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1),
+    )
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + ihdr
+        + codecs._png_chunk(b"IDAT", short)
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="scanline size mismatch"):
+        codecs.decode_png(bad)
+
+
+def test_invalid_16bit_palette_errors():
+    import struct as _s
+
+    ihdr = codecs._png_chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + ihdr
+        + codecs._png_chunk(b"PLTE", bytes([0, 0, 0]))
+        + codecs._png_chunk(b"IDAT", b"x\x9c\x03\x00\x00\x00\x00\x01")
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="16-bit palette"):
+        codecs.decode_png(bad)
