@@ -367,7 +367,42 @@ def test_connected_components_and_clusters(spark):
         [(1, 2), (2, 3), (3, 4)], "id_l long, id_r long"
     )
     with _pytest.raises(RuntimeError, match="converge"):
-        D.connected_components(chain, max_iters=1)
+        # force the distributed loop (the cap is its safety valve; the
+        # single-task union-find path has no iteration to cap)
+        D.connected_components(chain, max_iters=1, local_threshold=0)
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    """The size-gated single-task union-find and the min-label
+    propagation loop are the same operator: identical labels on random
+    graphs (long and string ids), forced through each path."""
+    import random
+
+    rnd = random.Random(5)
+    for trial, n, m in [(0, 40, 60), (1, 80, 50), (2, 30, 29)]:
+        pairs = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(m)
+        ]
+        el = spark.createDataFrame(pairs, "id_l long, id_r long")
+        local = {
+            (r["node"], r["comp"])
+            for r in D.connected_components(el).collect()
+        }
+        dist = {
+            (r["node"], r["comp"])
+            for r in D.connected_components(
+                el, local_threshold=0
+            ).collect()
+        }
+        assert local == dist, f"trial {trial}"
+    # string ids through the single-task path (Arrow schema passthrough)
+    es = spark.createDataFrame(
+        [("d", "b"), ("b", "a"), ("x", "y")], "id_l string, id_r string"
+    )
+    got = {
+        r["node"]: r["comp"] for r in D.connected_components(es).collect()
+    }
+    assert got == {"a": "a", "b": "a", "d": "a", "x": "x", "y": "x"}
 
     rows = [
         (1, "alpha beta gamma delta epsilon"),
