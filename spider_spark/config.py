@@ -48,6 +48,12 @@ class CrawlConfig:
     seen_bucketed: bool = False
     seen_bucket_count: int = 32         # layout constant (4096 at 10^10)
     hot_host_salt: int = 1              # >1 enables salted repartition of hot hosts
+    # measure the frontier's host skew each round (analysis/skew.hot_keys,
+    # bounded: at most partitions-1 hot keys can exist) and raise the
+    # politeness pre-prune salt to the measured salt_factor, capped below.
+    # Salt is physical-only: rn and results are identical for any salt >= 1
+    auto_salt: bool = False
+    auto_salt_cap: int = 64
     # frontier ordering: "fifo" (reference semantics), "short_url"
     # (shorter URLs first per host, FIFO within equal length),
     # "indegree" (most-referenced first — backlink counts accumulated in

@@ -220,6 +220,7 @@ class RoundMetrics:
     frontier_next: int = 0
     sanity_unscheduled: int = 0  # R28: fetched non-sitemap urls ∉ seen (must be 0)
     sitemap_fetches: int = 0     # R28 warn analogue: sitemap-origin fetches
+    salt_used: int = 1           # politeness pre-prune salt this round (auto_salt)
     wall_sec: float = 0.0
     phases: dict = field(default_factory=dict)
 
@@ -1439,10 +1440,36 @@ class CrawlEngine:
                     F.lit(0),
                 ).otherwise(F.col("_budget")),
             ).drop("_period")
+        salt = cfg.hot_host_salt
+        if cfg.auto_salt and not exact:
+            # close the measure->plan loop (analysis/skew.hot_keys):
+            # raise the phase-1 pre-prune salt to the frontier's measured
+            # per-host skew. The report is bounded by the partition count
+            # (at most P-1 keys can exceed fair share), so this is one
+            # combine-heavy groupBy + an O(1) scalar pull per round —
+            # scale-safe at any host count, unlike host-keyed stats.
+            # total rides _last_frontier_next (manifest bookkeeping, no
+            # count job). exact_rank rounds skip it: fifo_rank is range-
+            # partitioned, already skew-proof without salt.
+            from spider_spark.analysis.skew import hot_keys
+
+            mx = (
+                hot_keys(
+                    frontier,
+                    "host",
+                    n_partitions=spark.sparkContext.defaultParallelism,
+                    total=self._last_frontier_next,
+                )
+                .agg(F.max("salt_factor"))
+                .first()[0]
+            )
+            if mx is not None:
+                salt = max(salt, min(int(mx), cfg.auto_salt_cap))
+        m.salt_used = salt
         scheduled, deferred = schedule_topk(
             sched_in,
             budget_ceiling,
-            cfg.hot_host_salt,
+            salt,
             exact_rank=exact,
             order_cols=order_cols,
             budget_col=budget_col,

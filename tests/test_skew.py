@@ -111,3 +111,28 @@ def test_skew_duckdb_equality(spark):
         for r in con.sql(skew.partition_load_sql("t", "k", 16, n)).fetchall()
     }
     assert got_pl == want_pl
+
+
+def test_auto_salt_crawl_parity_and_salt_applied(spark, tmp_path):
+    """cfg.auto_salt closes the measure->plan loop: the politeness
+    pre-prune salt follows hot_keys' measured salt_factor per round.
+    Salt is physical-only, so the crawl must stay bit-identical to the
+    oracle while the recorded salt_used exceeds 1 on a skewed frontier
+    (host0 carries 2x the pages -> far above fair share of a 32-way
+    shuffle)."""
+    from spider_spark.config import CrawlConfig
+    from spider_spark.fixtures import synth_web, write_web
+    from spider_spark.oracle import crawl as oracle_crawl
+    from tests.test_engine_vs_oracle import assert_match, engine_run
+
+    web = synth_web(
+        n_hosts=3, pages_per_host=40, links_per_page=6, seed=31
+    )
+    base = dict(scrape_parallelism=6, max_retries=1, max_rounds=200)
+    oracle_res = oracle_crawl(web, CrawlConfig(**base))
+    cfg = CrawlConfig(auto_salt=True, auto_salt_cap=16, **base)
+    eng, _ = engine_run(spark, web, cfg, tmp_path, "autosalt")
+    assert_match(eng, oracle_res)
+    salts = [m["salt_used"] for m in eng.metrics if m["scheduled"]]
+    assert any(s > 1 for s in salts), salts
+    assert all(1 <= s <= 16 for s in salts), salts
