@@ -553,6 +553,43 @@ class CrawlEngine:
     # files — files carry their bucket ids in their names, the catalog
     # entry is the only session-scoped part.
 
+    def export_documents_bucketed(
+        self, path: str, table: str | None = None, n_buckets: int | None = None
+    ) -> str:
+        """Write the fetch-side documents snapshot BUCKETED by doc_id
+        (lake.write_bucketed) and return the catalog table name.
+
+        The in-memory docs_meta/docs_html caches are the warm-session
+        equivalent (their InMemoryRelation keeps HashPartitioning(doc_id)
+        so the per-round R10 join is already exchange-free on the docs
+        side); this snapshot is the COLD-START / cross-job layout — a new
+        session's R10 fetch join against ``spark.table(name)`` plans no
+        Exchange or Sort on the documents side without first re-filling a
+        multi-GB cache. Bucket count defaults to the seen layout constant
+        so both state tables share one co-location geometry."""
+        from spider_spark import lake
+
+        n = n_buckets or self.cfg.seen_bucket_count
+        name = table or (
+            "docs_b_"
+            + __import__("hashlib")
+            .md5(os.path.abspath(path).encode())
+            .hexdigest()[:12]
+        )
+        lake.write_bucketed(
+            self.documents.select(
+                "doc_id",
+                "status",
+                "content_type",
+                xrobots_noindex("headers").alias("noindex"),
+            ).repartition(n, "doc_id"),
+            name,
+            key="doc_id",
+            n_buckets=n,
+            path=path,
+        )
+        return name
+
     def _seen_table_name(self) -> str:
         import hashlib
 

@@ -234,3 +234,53 @@ def test_compact_parquet_dir_roundtrip(spark, tmp_path):
         if n.endswith(".parquet")
     ]
     assert len(out_files) == n_groups < n_before
+
+
+def test_documents_bucketed_snapshot_fetch_join_plan(spark, tmp_path):
+    """export_documents_bucketed: the cold-start R10 fetch join against
+    the doc_id-bucketed documents snapshot plans no Exchange/Sort on the
+    documents side (only the round-sized scheduled set shuffles), and
+    rows match the plain-parquet join exactly."""
+    import pyspark.sql.functions as F
+
+    from spider_spark import lake
+    from spider_spark.config import CrawlConfig
+    from spider_spark.engine import CrawlEngine
+    from spider_spark.fixtures import synth_web, write_web
+
+    web = synth_web(n_hosts=2, pages_per_host=30, links_per_page=4, seed=3)
+    input_dir = write_web(web, str(tmp_path / "web_ds"))
+    eng = CrawlEngine(
+        spark, input_dir, str(tmp_path / "work_ds"), CrawlConfig()
+    )
+    name = eng.export_documents_bucketed(
+        str(tmp_path / "docs_b"), n_buckets=8
+    )
+    try:
+        docs = spark.table(name)
+        # scheduled set from the PLAIN corpus (the realistic shape: the
+        # round's frontier slice is never bucket-aligned)
+        sched = eng.documents.select(F.col("doc_id").alias("url")).where(
+            F.length("url") % 3 == 0
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = sched.join(docs, sched["url"] == docs["doc_id"], "left")
+            assert lake.count_exchanges(j) == 1  # scheduled side only
+            plain = sched.join(
+                eng.documents.select(
+                    "doc_id", "status", "content_type"
+                ),
+                sched["url"] == F.col("doc_id"),
+                "left",
+            )
+            assert lake.count_exchanges(plain) >= 2
+            assert j.count() == plain.count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", prev
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        eng.close()
