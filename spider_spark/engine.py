@@ -613,6 +613,19 @@ class CrawlEngine:
         if not os.path.isdir(base_dir):  # stale sidecar (layout rewritten)
             os.remove(sc_path)
             return
+        import glob
+        import re
+
+        # the files must actually carry bucket ids (bucketBy writes
+        # part-...-<uuid>_NNNNN.*.parquet): a sidecar surviving a crashed
+        # re-compaction under a toggled cfg must not attach bucket
+        # metadata to plain files — that would mis-route the join
+        files = glob.glob(os.path.join(base_dir, "*.parquet"))
+        if not files or not all(
+            re.search(r"_\d{5}\.", os.path.basename(f)) for f in files
+        ):
+            os.remove(sc_path)
+            return
         from spider_spark import lake
 
         lake.register_external_bucketed(

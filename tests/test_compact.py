@@ -232,3 +232,28 @@ def test_bucketed_compaction_zero_exchange_and_parity(spark, tmp_path):
     t = spark.table(eng2._seen_table_name())
     assert t.columns == ["url", "host", "round"]
     assert t.count() == sum(engine_seen(eng).values())
+
+
+def test_stale_bucket_sidecar_over_plain_files_is_ignored(spark, tmp_path):
+    """A _bucketed.json surviving a crashed re-compaction under a
+    toggled cfg must not attach bucket metadata to plain parquet files
+    (that would mis-route the co-located join): registration verifies
+    the bucket-id filename stamp and retires the sidecar otherwise."""
+    import json
+
+    web = synth_web(n_hosts=2, pages_per_host=20, links_per_page=4, seed=4)
+    cfg = CrawlConfig(scrape_parallelism=8, max_rounds=50)
+    input_dir = write_web(web, str(tmp_path / "web_s"))
+    work = str(tmp_path / "work_s")
+    eng = CrawlEngine(spark, input_dir, work, cfg)
+    eng.initialize()
+    eng.run_round()
+    eng.compact_state()  # PLAIN compaction (seen_bucketed off)
+    # forge a sidecar claiming the plain dir is bucketed
+    with open(os.path.join(work, "seen", "_bucketed.json"), "w") as f:
+        json.dump({"round": eng.round, "n_buckets": 8}, f)
+    eng2 = CrawlEngine(spark, input_dir, work, cfg)
+    assert eng2._seen_bucketed_round is None
+    assert not os.path.exists(os.path.join(work, "seen", "_bucketed.json"))
+    eng2.close()
+    eng.close()
