@@ -24,13 +24,17 @@ API: the custom operators are written against Spark 4's
 ``transformWithStateInPandas`` (StatefulProcessor + typed state
 variables — the successor of the legacy ``applyInPandasWithState``
 GroupState surface, migrated per the round-3 note at the old
-stateful.py:24-27). The new API's state-server protocol needs the
-``protobuf`` Python package at query runtime; this container does not
-ship it (and installs are off-limits), so the dispatchers probe for it
-(``TWS_AVAILABLE``) and fall back to a behavior-identical GroupState
-implementation when absent — the StatefulProcessor classes themselves
-are exercised directly by unit tests either way, and the
-streaming≡batch equality tests pin whichever path runs.
+stateful.py:24-27). The new API's state-server protocol needs a
+``google.protobuf`` runtime at query runtime; when the real package is
+absent, :mod:`spider_spark.protoshim` provides a vendored pure-Python
+mini-runtime — calling ``protoshim.install()`` BEFORE the first
+SparkSession makes the TWS path fully executable (the test suite does
+this in conftest; scripts/tws_validate.py is the standalone job). The
+dispatchers still probe (``TWS_AVAILABLE``) and fall back to a
+behavior-identical GroupState implementation when neither runtime is
+importable — the StatefulProcessor classes themselves are exercised
+directly by unit tests either way, and the streaming≡batch equality
+tests pin whichever path runs.
 transformWithState also requires the RocksDB state store provider;
 ``rocksdb_conf()`` returns the one setting a session needs before
 starting such a query.

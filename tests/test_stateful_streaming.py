@@ -224,11 +224,12 @@ def test_token_bucket_schedule_across_batches(spark, tmp_path):
 
 # ------------------------- StatefulProcessor unit coverage (new API)
 #
-# transformWithStateInPandas itself needs the protobuf package at query
-# runtime (absent in this container -> the operators fall back to
-# GroupState, equality-tested above). The StatefulProcessor classes ARE
-# the migrated logic, so drive them directly against a fake ValueState:
-# identical math runs on both wire protocols.
+# transformWithStateInPandas needs a google.protobuf runtime at query
+# time; conftest installs the vendored spider_spark.protoshim before the
+# JVM starts, so in this suite the api="auto" tests above execute the
+# REAL TransformWithStateInPandas path (state server + RocksDB). The
+# StatefulProcessor classes are also driven directly against a fake
+# ValueState here: identical math, no wire protocol.
 
 
 class _FakeValueState:
@@ -304,10 +305,82 @@ def test_token_bucket_processor_spend_and_refill():
     assert proc._tokens.get() == (3,)
 
 
-def test_tws_api_flag_consistency():
-    """api='tws' must build a transformWithStateInPandas plan string;
-    api='legacy' an applyInPandasWithState one (plan-level pin that the
+def test_tws_api_flag_consistency(spark):
+    """api='tws' must build a transformWithStateInPandas plan; api=
+    'legacy' an applyInPandasWithState one (plan-level pin that the
     dispatch actually switches APIs)."""
-    from spider_spark.streaming.stateful import TWS_AVAILABLE
+    from spider_spark.streaming.stateful import (
+        TWS_AVAILABLE,
+        running_host_totals,
+    )
 
     assert isinstance(TWS_AVAILABLE, bool)
+    if not TWS_AVAILABLE:
+        pytest.skip("no protobuf runtime: cannot build the TWS plan")
+    df = spark.createDataFrame(
+        [("h", "u", 1)], "host string, url string, seq long"
+    )
+    tws_plan = (
+        running_host_totals(df, api="tws")
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    legacy_plan = (
+        running_host_totals(df, api="legacy")
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    # Spark 4.1 names the logical node TransformWithStateInPySpark
+    assert "TransformWithStateIn" in tws_plan
+    assert "TransformWithStateIn" not in legacy_plan
+    assert "FlatMapGroupsInPandasWithState" in legacy_plan
+
+
+def test_tws_and_legacy_token_buckets_agree(spark, tmp_path):
+    """The SAME frontier through BOTH wire protocols: the real
+    transformWithStateInPandas state server (vendored protobuf shim)
+    and the GroupState fallback must schedule identical rows — the
+    strongest available pin that the shim's wire encoding is correct
+    end-to-end (the JVM state server parses every request it sends)."""
+    from spider_spark.streaming.stateful import (
+        TWS_AVAILABLE,
+        token_bucket_schedule,
+    )
+
+    if not TWS_AVAILABLE:
+        pytest.skip("no protobuf runtime; TWS path not executable")
+    tmp = str(tmp_path / "tb2_frontier")
+    schema = "host string, url string, seq long"
+    files = [
+        [("h1", f"https://h1/{i}", i) for i in range(5)]
+        + [("h2", "https://h2/0", 0)],
+        [("h1", f"https://h1/{i}", i) for i in range(5, 7)],
+        [("h2", "https://h2/1", 1)],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(tmp, f"part{i}"), mode="overwrite"
+        )
+    results = {}
+    for api in ("tws", "legacy"):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(tmp, "part*"))
+        )
+        run_available_now(
+            token_bucket_schedule(stream, rate=2, capacity=3, api=api),
+            f"t_tb2_{api}",
+            str(tmp_path / f"ck_tb2_{api}"),
+            output_mode="update",
+        )
+        results[api] = {
+            (r["host"], r["url"], r["seq"], r["batch_pos"])
+            for r in spark.table(f"t_tb2_{api}").collect()
+        }
+    assert results["tws"] == results["legacy"]
+    # h1: 3 in batch 0 (urls 3,4 deferred) + 2 in batch 1; h2: 1 + 1
+    assert len(results["tws"]) == 7
+    assert ("h1", "https://h1/3", 3, 4) not in results["tws"]
