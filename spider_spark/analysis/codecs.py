@@ -12,6 +12,7 @@ Arrow-batched `mapInPandas` workers; no Spark imports.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -572,70 +573,137 @@ def _dct_basis() -> np.ndarray:
 
 
 class _BitReader:
-    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
-    stops at any non-RST marker."""
+    """MSB-first bit reader over entropy-coded data.
+
+    The entropy segment — everything up to the next unstuffed marker —
+    is located (bytes.find) and FF00-unstuffed (bytes.replace) ONCE at C
+    speed; fills then splice 40 bits at a time into the accumulator.
+    Past the segment end, reads yield zero bits (exactly the T.81
+    behavior of stopping at a marker) and ``marker`` holds the
+    terminating marker byte. ``pos`` is the caller's resume position:
+    the FF of that marker (the marker loop in decode_jpeg re-syncs from
+    there)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
-        self.pos = pos
         self.bits = 0
         self.nbits = 0
         self.marker = None
+        self._load_segment(pos)
+
+    def _load_segment(self, start: int):
+        data = self.data
+        n = len(data)
+        q = start
+        marker_at, nxt = n, 0xD9  # running off the end == implicit EOI
+        while True:
+            i = data.find(b"\xff", q)
+            if i < 0:
+                break
+            if i + 1 >= n:
+                marker_at = i
+                break
+            b2 = data[i + 1]
+            if b2 == 0x00:  # stuffed FF: part of entropy data
+                q = i + 2
+                continue
+            marker_at, nxt = i, b2
+            break
+        self._seg = data[start:marker_at].replace(b"\xff\x00", b"\xff")
+        self._spos = 0
+        self._next_marker = nxt
+        self.pos = marker_at
 
     def _fill(self):
-        while self.nbits <= 24:
-            if self.marker is not None:
-                self.bits = (self.bits << 8) & 0xFFFFFFFF
-                self.nbits += 8
-                continue
-            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
-            if b == 0xFF:
-                nxt = (
-                    self.data[self.pos + 1]
-                    if self.pos + 1 < len(self.data)
-                    else 0xD9
-                )
-                if nxt == 0x00:  # stuffed FF
-                    self.pos += 2
-                    b = 0xFF
-                else:  # real marker: stop consuming
-                    self.marker = nxt
-                    b = 0
-            else:
-                self.pos += 1
-            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFF
-            self.nbits += 8
+        spos = self._spos
+        chunk = self._seg[spos : spos + 5]
+        if len(chunk) < 5:
+            # consuming past the segment: zero padding, marker reached
+            self.marker = self._next_marker
+            chunk = chunk + b"\x00" * (5 - len(chunk))
+        self._spos = spos + 5
+        self.bits = (
+            (self.bits & ((1 << self.nbits) - 1)) << 40
+        ) | int.from_bytes(chunk, "big")
+        self.nbits += 40
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        self._fill()
+        if self.nbits < n:
+            self._fill()
         v = (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
         return v
 
-    def huff(self, table: dict) -> int:
-        """table: {(length, code): symbol}."""
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad JPEG huffman code")
+    def recv_extend(self, t: int) -> int:
+        """read(t) + sign-extend (T.81 F.2.2.1) fused for the hot path."""
+        if t == 0:
+            return 0
+        nb = self.nbits
+        if nb < t:
+            self._fill()
+            nb = self.nbits
+        nb -= t
+        self.nbits = nb
+        v = (self.bits >> nb) & ((1 << t) - 1)
+        return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+    def huff(self, table: "_HuffTable") -> int:
+        """One-shot prefix decode: peek 16 bits, index the table's LUT
+        (every index carries the symbol + code length of the unique
+        prefix code it starts with; length 0 = invalid prefix). Exactly
+        the T.81 bit-walk semantics, ~10x fewer Python operations."""
+        if self.nbits < 16:
+            self._fill()
+        idx = (self.bits >> (self.nbits - 16)) & 0xFFFF
+        ln = table.lut_len[idx]
+        if ln == 0:
+            raise ValueError("bad JPEG huffman code")
+        self.nbits -= ln
+        return table.lut_sym[idx]
 
     def restart(self):
         """Consume an RSTn marker between restart intervals."""
         self.bits = 0
         self.nbits = 0
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
-            self.pos += 2  # skip FF Dn
             self.marker = None
+            self._load_segment(self.pos + 2)  # skip FF Dn
 
 
-def _huff_table(counts: list[int], symbols: bytes) -> dict:
-    """Canonical Huffman (T.81 C.2): {(length, code): symbol}."""
-    table = {}
+class _HuffTable(dict):
+    """Canonical Huffman table: the {(length, code): symbol} dict plus a
+    flat 16-bit-prefix LUT for one-shot decode (lut_sym / lut_len as
+    plain Python lists — scalar list indexing beats numpy here)."""
+
+    __slots__ = ("lut_sym", "lut_len")
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_lut(counts: tuple[int, ...], symbols: bytes):
+    """16-bit prefix LUT for a canonical table. Cached: a corpus encoded
+    by one encoder reuses the same few DHT segments across every image,
+    so the 65536-entry build cost amortizes to a dict hit per image."""
+    sym = np.zeros(65536, dtype=np.int16)
+    ln = np.zeros(65536, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = symbols[k]
+            ln[base : base + span] = length
+            k += 1
+            code += 1
+        code <<= 1
+    return sym.tolist(), ln.tolist()
+
+
+def _huff_table(counts: list[int], symbols: bytes) -> "_HuffTable":
+    """Canonical Huffman (T.81 C.2): {(length, code): symbol} + LUT."""
+    table = _HuffTable()
     code = 0
     k = 0
     for ln in range(1, 17):
@@ -644,6 +712,7 @@ def _huff_table(counts: list[int], symbols: bytes) -> dict:
             k += 1
             code += 1
         code <<= 1
+    table.lut_sym, table.lut_len = _huff_lut(tuple(counts), bytes(symbols))
     return table
 
 
@@ -795,10 +864,17 @@ def _decode_progressive_scan(
     pred = [0] * len(comps)
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
+    zzl = [int(z) for z in zz]  # scalar list indexing in the hot loops
+    # AC tables per component, hoisted out of the block loops (fixed for
+    # the scan's lifetime; present only when the scan codes AC)
+    ac_tbl = [
+        huff_ac.get(sel[c["id"]][1]) if c["id"] in sel else None
+        for c in comps
+    ]
 
     def dc_first(ci, y, x):
         t = br.huff(huff_dc[sel[comps[ci]["id"]][0]])
-        pred[ci] += _extend(br.read(t), t)
+        pred[ci] += br.recv_extend(t)
         coefs[ci][y, x, 0] = pred[ci] << al
 
     def dc_refine(ci, y, x):
@@ -810,10 +886,11 @@ def _decode_progressive_scan(
         if eobrun > 0:
             eobrun -= 1
             return
+        tac = ac_tbl[ci]
         blk = coefs[ci][y, x]
         k = ss
         while k <= se:
-            rs = br.huff(huff_ac[sel[comps[ci]["id"]][1]])
+            rs = br.huff(tac)
             r, s = rs >> 4, rs & 0xF
             if s == 0:
                 if r == 15:  # ZRL
@@ -824,13 +901,17 @@ def _decode_progressive_scan(
             k += r
             if k > se:
                 raise ValueError("AC index overflow")
-            blk[zz[k]] = _extend(br.read(s), s) << al
+            blk[zzl[k]] = br.recv_extend(s) << al
             k += 1
 
     def ac_refine(ci, y, x):
         nonlocal eobrun
+        # pull the block into a plain list: the correction-bit loop
+        # touches most coefficients and numpy scalar indexing would
+        # dominate the scan; one vectorized store writes it back
         blk = coefs[ci][y, x]
-        tac = huff_ac[sel[comps[ci]["id"]][1]]
+        vals = blk.tolist()
+        tac = ac_tbl[ci]
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -848,14 +929,15 @@ def _decode_progressive_scan(
                 # advance past r zero-history slots, appending correction
                 # bits to nonzero-history coefficients along the way
                 while k <= se:
-                    z = zz[k]
-                    if blk[z] != 0:
-                        if br.read(1) and (blk[z] & p1) == 0:
-                            blk[z] += p1 if blk[z] >= 0 else m1
+                    z = zzl[k]
+                    v = vals[z]
+                    if v != 0:
+                        if br.read(1) and (v & p1) == 0:
+                            vals[z] = v + (p1 if v >= 0 else m1)
                     else:
                         if r == 0:
                             if val:
-                                blk[z] = val
+                                vals[z] = val
                             k += 1
                             break
                         r -= 1
@@ -863,12 +945,14 @@ def _decode_progressive_scan(
         if eobrun > 0:
             # within an EOB run only correction bits are coded
             while k <= se:
-                z = zz[k]
-                if blk[z] != 0:
-                    if br.read(1) and (blk[z] & p1) == 0:
-                        blk[z] += p1 if blk[z] >= 0 else m1
+                z = zzl[k]
+                v = vals[z]
+                if v != 0:
+                    if br.read(1) and (v & p1) == 0:
+                        vals[z] = v + (p1 if v >= 0 else m1)
                 k += 1
             eobrun -= 1
+        blk[:] = vals
 
     if ss == 0 and ah == 0:
         unit = dc_first
@@ -928,15 +1012,20 @@ def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
 
 
 def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, dri, zz):
+    """Baseline entropy decode into per-component coefficient grids,
+    then the SAME vectorized dequant+IDCT+color path the progressive
+    decoder uses (_reconstruct_progressive) — the entropy loop stays
+    pure-Python-scalar (lists, LUT huff decode), everything per-pixel is
+    batched numpy."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    basis = _dct_basis()
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+    zzl = [int(z) for z in zz]  # scalar list indexing in the hot loop
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
         for c in comps
     ]
     br = _BitReader(data, pos)
@@ -950,12 +1039,13 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, dri, zz):
         for ci, c in enumerate(comps):
             dct, act = sel[c["id"]]
             tdc, tac = huff_dc[dct], huff_ac[act]
-            q = qt[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef = np.zeros(64)
+            cv, ch = c["v"], c["h"]
+            blk = coefs[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    coef = [0] * 64
                     t = br.huff(tdc)
-                    pred[ci] += _extend(br.read(t), t)
+                    pred[ci] += br.recv_extend(t)
                     coef[0] = pred[ci]
                     k = 1
                     while k < 64:
@@ -969,14 +1059,13 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, dri, zz):
                         k += r
                         if k > 63:
                             raise ValueError("AC index overflow")
-                        coef[zz[k]] = _extend(br.read(s), s)
+                        coef[zzl[k]] = br.recv_extend(s)
                         k += 1
-                    block = (coef * q).reshape(8, 8)
-                    px = basis.T @ block @ basis + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+                    blk[my * cv + by, mx * ch + bx] = coef
+    rframe = dict(frame)
+    rframe["hmax"] = hmax
+    rframe["vmax"] = vmax
+    return _reconstruct_progressive(rframe, coefs, qt)
 
 
 def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray:
