@@ -1627,6 +1627,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.image_phash(MF.synth_near_quad_image(ev, groups=150))
         )
 
+    def multimodal_mp3_meta(spark, sf):
+        # REAL MP3 container parse (frame-header walk + ID3v2 skip) over
+        # synthesized MPEG-1 Layer III streams: frame count / bitrate
+        # pattern / tag size are closed-form in event_id
+        # (media_fixtures.mp3_params), so every parsed column is integer
+        # arithmetic for DuckDB while Spark walks real frame headers
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return M.decode_mp3_features(MF.synth_mp3(ev))
+
+    def multimodal_mp4_samples(spark, sf):
+        # REAL ISO BMFF box-tree + stbl sample-table parse with stride-2
+        # sampling: sample sizes/values/timestamps are closed-form in
+        # (event_id, sample_idx) (media_fixtures.mp4_params), byte-exact
+        # extraction via stco/stsz offsets — no codec library involved
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = (
+            _t(spark, sf, "events")
+            .select("event_id")
+            .where(F.col("event_id") % 5 == 0)
+        )
+        return M.sample_mp4_payloads(MF.synth_mp4(ev), stride=2)
+
     def events_sessionize(spark, sf):
         # gap-based sessionization: lag + running sum over one (user, ts)
         # window partitioning — a single Exchange+Sort at any scale
@@ -2110,6 +2135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_dedup": multimodal_phash_dedup,
         "multimodal_phash_jpeg_dedup": multimodal_phash_jpeg_dedup,
         "multimodal_phash_near": multimodal_phash_near,
+        "multimodal_mp3_meta": multimodal_mp3_meta,
+        "multimodal_mp4_samples": multimodal_mp4_samples,
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
         "events_tumbling": events_tumbling,
@@ -2469,6 +2496,43 @@ def oracle_sql() -> dict[str, str]:
               ON l.band = r.band AND l.key = r.key
                  AND l.media_ref < r.media_ref
             GROUP BY l.media_ref, r.media_ref
+        """,
+        # replica of decode_mp3_features over synth_mp3: n = 3 + id%5
+        # frames at 44.1 kHz; odd ids alternate 128/192 kbps from 128
+        # (so floor(n/2) frames carry 192), even ids constant 128 —
+        # bitrate_avg is the parser's integer mean, duration the Layer-
+        # III 1152-samples-per-frame arithmetic (media_fixtures.mp3_params)
+        "multimodal_mp3_meta": """
+            SELECT 'mp3://' || CAST(event_id AS VARCHAR) AS media_ref,
+                   CAST(3 + event_id % 5 AS INT) AS n_frames,
+                   CAST(44100 AS INT) AS sample_rate,
+                   CAST(CASE WHEN event_id % 2 = 1 THEN
+                          (128 * ((3 + event_id % 5)
+                                  - (3 + event_id % 5) // 2)
+                           + 192 * ((3 + event_id % 5) // 2))
+                          // (3 + event_id % 5)
+                        ELSE 128 END AS INT) AS bitrate_avg,
+                   CAST(event_id % 2 AS INT) AS vbr_int,
+                   CAST((3 + event_id % 5) * 1152 * 1000 // 44100
+                        AS BIGINT) AS duration_ms,
+                   CAST(NULL AS VARCHAR) AS err
+            FROM events
+        """,
+        # replica of sample_mp4_payloads(stride=2) over synth_mp4:
+        # sampled indices k = 0,2,4,6 below n_samples = 2 + id%6; sample
+        # k is 3+((id+7k) mod 9) bytes of the constant value
+        # (id+11k) mod 251 at timestamp 40k ms (media_fixtures.mp4_params)
+        "multimodal_mp4_samples": """
+            SELECT 'mp4://' || CAST(e.event_id AS VARCHAR) AS media_ref,
+                   CAST(g.k AS INT) AS sample_idx,
+                   CAST(g.k * 40 AS BIGINT) AS ts_milli,
+                   CAST(3 + (e.event_id + 7 * g.k) % 9 AS INT) AS n_bytes,
+                   CAST((e.event_id + 11 * g.k) % 251 AS INT) AS byte_val,
+                   CAST(NULL AS VARCHAR) AS err
+            FROM events e
+            JOIN (SELECT unnest(generate_series(0, 6, 2)) AS k) g
+              ON g.k < 2 + e.event_id % 6
+            WHERE e.event_id % 5 = 0
         """,
         "crawl_change_rate": FR.change_rate_sql(
             f"SELECT {_PAGE_SQL} AS url, ts, event_id, event_type AS fp "

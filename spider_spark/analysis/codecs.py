@@ -1844,3 +1844,405 @@ def sample_frames(data: bytes, stride: int = 1, limit: int | None = None):
         off, size = offs[i]
         yield i, (i / fps if fps else 0.0), data[off : off + size]
         count += 1
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Audio Layer III) — container/frame level
+# ---------------------------------------------------------------------------
+#
+# Public header layout (ISO/IEC 11172-3 §2.4.1.3; widely documented):
+# every frame starts with a 32-bit header — 11 sync bits, 2 version bits,
+# 2 layer bits, 1 CRC-absent bit, 4 bitrate-index bits, 2 sample-rate-
+# index bits, 1 padding bit, then mode/copyright/emphasis bits.  Frame
+# length for Layer III = 144 * bitrate / sample_rate + padding bytes.
+# Frame PAYLOAD entropy decode (Huffman spectral data → IMDCT → synthesis
+# filterbank) is out of scope — this is the parse level a training-data
+# pipeline needs for duration/bitrate filters and frame indexing, and it
+# is exact: the tables below are the spec's.
+
+#: MPEG-1 Layer III bitrates (kbps) by 4-bit header index; 0 = "free",
+#: 15 = forbidden
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1
+)
+#: MPEG-1 sample rates (Hz) by 2-bit header index; index 3 reserved
+_MP3_RATES = (44100, 48000, 32000, -1)
+#: samples per MPEG-1 Layer III frame
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def encode_mp3(
+    frame_specs: list[tuple[int, int, int]], id3_size: int = 0
+) -> bytes:
+    """Build a syntactically valid MP3 stream: one frame per
+    ``(bitrate_kbps, sample_rate, padding)`` spec, each a correct header
+    followed by a deterministic filler payload (byte value = frame index
+    mod 251 — opaque to the parser, checkable by tests). ``id3_size``
+    prepends an ID3v2.3 tag of that many payload bytes (syncsafe size),
+    exercising the parser's tag skip."""
+    out = bytearray()
+    if id3_size:
+        if id3_size >= 1 << 28:
+            raise ValueError("ID3 size must fit 28 syncsafe bits")
+        ss = (
+            ((id3_size >> 21) & 0x7F) << 24
+            | ((id3_size >> 14) & 0x7F) << 16
+            | ((id3_size >> 7) & 0x7F) << 8
+            | (id3_size & 0x7F)
+        )
+        out += b"ID3\x03\x00\x00" + struct.pack(">I", ss)
+        out += bytes((i * 7) % 251 for i in range(id3_size))
+    for fi, (kbps, rate, pad) in enumerate(frame_specs):
+        bi = _MP3_BITRATES.index(kbps)
+        ri = _MP3_RATES.index(rate)
+        if bi <= 0 or bi == 15 or ri == 3 or pad not in (0, 1):
+            raise ValueError("unsupported MP3 frame spec")
+        # sync(11) ver(11=MPEG1) layer(01=III) no-CRC(1)
+        b0, b1 = 0xFF, 0xFB
+        b2 = (bi << 4) | (ri << 2) | (pad << 1)
+        b3 = 0x44  # joint stereo, no mode ext, not copyrighted, not original
+        length = 144 * kbps * 1000 // rate + pad
+        frame = bytearray((b0, b1, b2, b3))
+        frame += bytes(((fi + k) % 251 for k in range(length - 4)))
+        out += frame
+    return bytes(out)
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Frame-level MP3 parse: skips a leading ID3v2 tag, walks every
+    MPEG-1 Layer III frame header, and returns
+    ``{n_frames, sample_rate, bitrate_min, bitrate_max, bitrate_avg,
+    vbr, duration_ms, frames}`` where ``frames`` is
+    ``[(offset, length, bitrate_kbps), ...]``.  Raises ValueError when
+    no valid frame is found; trailing garbage after the last valid
+    frame is tolerated (real streams end with tags/padding)."""
+    pos = 0
+    n = len(data)
+    if data[:3] == b"ID3" and n >= 10:
+        ss = struct.unpack_from(">I", data, 6)[0]
+        tag = (
+            ((ss >> 24) & 0x7F) << 21
+            | ((ss >> 16) & 0x7F) << 14
+            | ((ss >> 8) & 0x7F) << 7
+            | (ss & 0x7F)
+        )
+        pos = 10 + tag
+    frames = []
+    bitrates = []
+    rate = None
+    while pos + 4 <= n:
+        b0, b1, b2, _b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xFE) != 0xFA:  # sync + MPEG1 Layer III
+            break  # (0xFA allows the CRC-protected variant bit)
+        bi, ri, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        kbps = _MP3_BITRATES[bi]
+        if kbps <= 0 or ri == 3:
+            break
+        r = _MP3_RATES[ri]
+        if rate is None:
+            rate = r
+        elif r != rate:
+            break  # mixed sample rates: treat as end of stream
+        length = 144 * kbps * 1000 // r + pad
+        if length < 4 or pos + length > n:
+            break
+        frames.append((pos, length, kbps))
+        bitrates.append(kbps)
+        pos += length
+    if not frames:
+        raise ValueError("no MP3 frames found")
+    return {
+        "n_frames": len(frames),
+        "sample_rate": rate,
+        "bitrate_min": min(bitrates),
+        "bitrate_max": max(bitrates),
+        # integer-exact average (kbps * frames is small): floor division
+        "bitrate_avg": sum(bitrates) // len(bitrates),
+        "vbr": len(set(bitrates)) > 1,
+        "duration_ms": len(frames) * _MP3_SAMPLES_PER_FRAME * 1000 // rate,
+        "frames": frames,
+    }
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12) — container/sample-table level
+# ---------------------------------------------------------------------------
+#
+# Public box grammar: a file is a sequence of boxes, each
+# ``uint32 size | 4cc type | payload``; container boxes (moov, trak,
+# mdia, minf, stbl) nest children directly.  The sample tables inside
+# stbl fully index the media payload: stts (decode deltas), stsz
+# (sizes), stsc (samples per chunk), stco/co64 (chunk offsets).  Parsing
+# them yields every sample's (offset, size, timestamp) WITHOUT touching
+# codec data — the capability a pipeline needs for stride frame/sample
+# extraction and duration/dimension filters.  Codec payload decode
+# (H.264/AAC) is out of scope, as documented in analysis/multimodal.py.
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def encode_mp4(
+    samples: list[bytes],
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    width: int = 64,
+    height: int = 48,
+    kind: str = "vide",
+) -> bytes:
+    """Minimal valid ISO BMFF file: ftyp + mdat (samples back to back,
+    one chunk per sample) + moov with the full stbl index.  Every sample
+    keeps its exact bytes and acquires decode timestamp
+    ``i * sample_delta`` in ``timescale`` units."""
+    if not samples:
+        raise ValueError("need at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mdat_payload = b"".join(samples)
+    mdat = _box(b"mdat", mdat_payload)
+    # absolute chunk offsets: ftyp + mdat header precede the payload
+    base = len(ftyp) + 8
+    offsets = []
+    off = base
+    for s in samples:
+        offsets.append(off)
+        off += len(s)
+    n = len(samples)
+    duration = n * sample_delta
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)      # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),          # next track id
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + kind.encode("ascii") + b"\x00" * 12 + b"\x00",
+    )
+    # stsd: one opaque sample entry — 4cc 'rawb' (not a registered codec:
+    # honest about carrying synthetic payloads)
+    entry = _box(b"rawb", b"\x00" * 6 + struct.pack(">H", 1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(
+        b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta)
+    )
+    stsc = _full(
+        b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1)
+    )
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", n) + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in range;
+    recurses are the caller's job (containers yield their payload span)."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < body - pos or pos + size > end:
+            raise ValueError("bad box size")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_boxes(data: bytes, start: int, end: int, path: tuple) -> list:
+    """All payload spans matching a box path like (b'moov', b'trak')."""
+    if not path:
+        return [(start, end)]
+    out = []
+    for btype, b0, b1 in _walk_boxes(data, start, end):
+        if btype == path[0]:
+            out.extend(_find_boxes(data, b0, b1, path[1:]))
+    return out
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Box-tree + sample-table parse of an ISO BMFF file.  Returns
+    ``{major_brand, timescale, duration_ms, tracks}``; each track is
+    ``{kind, width, height, timescale, n_samples, duration_ms,
+    samples: [(offset, size, ts_units), ...]}`` with offsets absolute
+    into ``data`` — ``data[o:o+s]`` IS sample bytes, no codec needed."""
+    n = len(data)
+    brand = b""
+    for btype, b0, b1 in _walk_boxes(data, 0, n):
+        if btype == b"ftyp":
+            brand = data[b0 : b0 + 4]
+            break
+    mvhd_spans = _find_boxes(data, 0, n, (b"moov", b"mvhd"))
+    if not mvhd_spans:
+        raise ValueError("no moov/mvhd box")
+    m0, _m1 = mvhd_spans[0]
+    ver = data[m0]
+    if ver == 1:
+        mv_timescale, mv_duration = struct.unpack_from(">IQ", data, m0 + 4 + 16)
+    else:
+        _c, _m, mv_timescale, mv_duration = struct.unpack_from(
+            ">IIII", data, m0 + 4
+        )
+    tracks = []
+    for t0, t1 in _find_boxes(data, 0, n, (b"moov", b"trak")):
+        trk: dict = {"kind": "", "width": 0, "height": 0}
+        for btype, b0, b1 in _walk_boxes(data, t0, t1):
+            if btype == b"tkhd":
+                tver = data[b0]
+                base = b0 + 4 + (32 if tver == 1 else 20)
+                w, h = struct.unpack_from(">II", data, base + 52)
+                trk["width"], trk["height"] = w >> 16, h >> 16
+        md = _find_boxes(data, t0, t1, (b"mdia",))
+        if not md:
+            continue
+        d0, d1 = md[0]
+        timescale = mv_timescale
+        for btype, b0, b1 in _walk_boxes(data, d0, d1):
+            if btype == b"mdhd":
+                mver = data[b0]
+                timescale = struct.unpack_from(
+                    ">I", data, b0 + 4 + (16 if mver == 1 else 8)
+                )[0]
+            elif btype == b"hdlr":
+                trk["kind"] = data[b0 + 8 : b0 + 12].decode(
+                    "ascii", "replace"
+                )
+        stbl = _find_boxes(data, d0, d1, (b"minf", b"stbl"))
+        if not stbl:
+            continue
+        s0, s1 = stbl[0]
+        deltas: list = []
+        sizes: list = []
+        chunk_offsets: list = []
+        stsc_rows: list = []
+        for btype, b0, b1 in _walk_boxes(data, s0, s1):
+            if btype == b"stts":
+                cnt = struct.unpack_from(">I", data, b0 + 4)[0]
+                for k in range(cnt):
+                    c, d = struct.unpack_from(">II", data, b0 + 8 + 8 * k)
+                    deltas.extend([d] * c)
+            elif btype == b"stsz":
+                fixed, cnt = struct.unpack_from(">II", data, b0 + 4)
+                if fixed:
+                    sizes = [fixed] * cnt
+                else:
+                    sizes = list(
+                        struct.unpack_from(f">{cnt}I", data, b0 + 12)
+                    )
+            elif btype == b"stco":
+                cnt = struct.unpack_from(">I", data, b0 + 4)[0]
+                chunk_offsets = list(
+                    struct.unpack_from(f">{cnt}I", data, b0 + 8)
+                )
+            elif btype == b"co64":
+                cnt = struct.unpack_from(">I", data, b0 + 4)[0]
+                chunk_offsets = list(
+                    struct.unpack_from(f">{cnt}Q", data, b0 + 8)
+                )
+            elif btype == b"stsc":
+                cnt = struct.unpack_from(">I", data, b0 + 4)[0]
+                for k in range(cnt):
+                    fc, spc, _sdi = struct.unpack_from(
+                        ">III", data, b0 + 8 + 12 * k
+                    )
+                    stsc_rows.append((fc, spc))
+        if not sizes or not chunk_offsets:
+            continue
+        # expand stsc run-length (first_chunk, samples_per_chunk) to a
+        # per-chunk count, then lay samples within chunks back to back
+        n_chunks = len(chunk_offsets)
+        per_chunk = []
+        for idx, (fc, spc) in enumerate(stsc_rows):
+            last = (
+                stsc_rows[idx + 1][0] - 1
+                if idx + 1 < len(stsc_rows)
+                else n_chunks
+            )
+            per_chunk.extend([spc] * (last - fc + 1))
+        samples = []
+        si = 0
+        ts = 0
+        for ci, coff in enumerate(chunk_offsets):
+            off = coff
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= len(sizes):
+                    break
+                sz = sizes[si]
+                delta = deltas[si] if si < len(deltas) else 0
+                samples.append((off, sz, ts))
+                off += sz
+                ts += delta
+                si += 1
+        trk["timescale"] = timescale
+        trk["n_samples"] = len(samples)
+        trk["duration_ms"] = ts * 1000 // timescale if timescale else 0
+        trk["samples"] = samples
+        tracks.append(trk)
+    if not tracks:
+        raise ValueError("no parsable track")
+    return {
+        "major_brand": brand.decode("ascii", "replace"),
+        "timescale": mv_timescale,
+        "duration_ms": (
+            mv_duration * 1000 // mv_timescale if mv_timescale else 0
+        ),
+        "tracks": tracks,
+    }
+
+
+def sample_mp4(data: bytes, stride: int = 1, limit: int | None = None):
+    """Yield (sample_idx, ts_milli, sample_bytes) from the FIRST track,
+    touching only the sampled byte ranges (the stbl index makes stride
+    sampling seek, exactly like the SSVF path in sample_frames)."""
+    info = parse_mp4(data)
+    trk = info["tracks"][0]
+    ts_scale = trk["timescale"] or 1
+    count = 0
+    for i in range(0, trk["n_samples"], max(1, stride)):
+        if limit is not None and count >= limit:
+            return
+        off, sz, ts = trk["samples"][i]
+        yield i, ts * 1000 // ts_scale, data[off : off + sz]
+        count += 1

@@ -303,3 +303,89 @@ def synth_near_quad_image(
             )
 
     return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def mp3_params(i: int) -> dict:
+    """Closed-form MP3 stream parameters for id ``i`` (mirrored in SQL):
+    3..7 frames at 44.1 kHz; odd ids alternate 128/192 kbps starting at
+    128 (VBR), even ids are constant 128 kbps; ID3v2 tag of 0/11/22
+    payload bytes exercises the parser's tag skip."""
+    n = 3 + (i % 5)
+    return {
+        "n_frames": n,
+        "vbr": i % 2 == 1,
+        "id3": (i % 3) * 11,
+        "rate": 44100,
+    }
+
+
+def synth_mp3(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """(id) → (media_ref='mp3://id', payload=valid MPEG-1 Layer III
+    frame sequence). Frame j's bitrate is 192 when the stream is VBR and
+    j is odd, else 128 — so n_frames, bitrate_avg, vbr and duration_ms
+    are all integer arithmetic on the id (see mp3_params)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs = [], []
+            for i in pdf[id_col].astype("int64"):
+                p = mp3_params(int(i))
+                specs = [
+                    (192 if p["vbr"] and j % 2 == 1 else 128, p["rate"], 0)
+                    for j in range(p["n_frames"])
+                ]
+                refs.append(f"mp3://{int(i)}")
+                blobs.append(codecs.encode_mp3(specs, id3_size=p["id3"]))
+            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+def mp4_params(i: int) -> dict:
+    """Closed-form MP4 track parameters for id ``i`` (mirrored in SQL):
+    2..7 samples, 40 ms apart; sample k is 3+((i+7k) mod 9) bytes of the
+    constant value (i+11k) mod 251."""
+    return {
+        "n_samples": 2 + (i % 6),
+        "delta": 40,
+        "timescale": 1000,
+        "width": 16 + (i % 4) * 16,
+        "height": 16 + (i % 3) * 16,
+        "kind": "vide" if i % 2 == 0 else "soun",
+    }
+
+
+def mp4_sample_bytes(i: int, k: int) -> bytes:
+    """Sample k of stream i: constant-byte payload (size and value are
+    both closed-form, so stride sampling is SQL-derivable)."""
+    size = 3 + (i + 7 * k) % 9
+    return bytes([(i + 11 * k) % 251]) * size
+
+
+def synth_mp4(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """(id) → (media_ref='mp4://id', payload=minimal ISO BMFF file with
+    a full stbl sample index over constant-byte samples)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs = [], []
+            for i in pdf[id_col].astype("int64"):
+                p = mp4_params(int(i))
+                samples = [
+                    mp4_sample_bytes(int(i), k)
+                    for k in range(p["n_samples"])
+                ]
+                refs.append(f"mp4://{int(i)}")
+                blobs.append(
+                    codecs.encode_mp4(
+                        samples,
+                        timescale=p["timescale"],
+                        sample_delta=p["delta"],
+                        width=p["width"],
+                        height=p["height"],
+                        kind=p["kind"],
+                    )
+                )
+            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+
+    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)

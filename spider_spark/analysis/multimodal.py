@@ -16,10 +16,10 @@ iterator contracts, partition sizing — is real and tested. Decode status:
     seeks to sampled frames instead of scanning the blob.
   - REAL nearest-neighbor resize (pure numpy index math) feeding
     block-mean features.
-  - REAL for PNG (8-bit, non-interlaced, color types 0/2/3/4/6): pure
-    stdlib-zlib + numpy codec (``codecs.decode_png``) — the most common
-    lossless web format decodes for real; interlaced/16-bit PNGs degrade
-    to an err row.
+  - REAL for PNG (color types 0/2/3/4/6, 8- and 16-bit, sequential and
+    Adam7-interlaced): pure stdlib-zlib + numpy codec
+    (``codecs.decode_png``) — the most common lossless web format
+    decodes for real; 16-bit samples reduce to the high byte.
   - REAL for baseline sequential JPEG (``codecs.decode_jpeg``): marker
     walk, canonical Huffman, dequant + float IDCT, general Hi/Vi chroma
     upsampling (4:4:4/4:2:2/4:2:0), restart markers — the dominant web
@@ -28,11 +28,17 @@ iterator contracts, partition sizing — is real and tested. Decode status:
   - REAL for progressive (SOF2) JPEG: per-scan spectral selection and
     successive approximation (DC/AC first + refinement passes, EOB runs)
     into per-component coefficient stores, one vectorized IDCT at EOI.
-  - STUB for formats that genuinely need codec libraries absent from
-    this container (MP3/MP4, interlaced PNG): such
-    payloads surface as an err row. Ref-only calls can still request the
-    deterministic ``fake=True`` pseudo-features to exercise downstream
-    stages end-to-end.
+  - REAL at the CONTAINER level for MP3 and MP4/ISO-BMFF: frame-header
+    walk with ID3v2 skip (``codecs.parse_mp3`` — frame count, bitrate
+    stats, duration) and box-tree + stbl sample-table parse
+    (``codecs.parse_mp4`` / ``sample_mp4`` — track kind/dims/timescale
+    and byte-exact per-sample (offset, size, timestamp) stride
+    sampling). The codec PAYLOAD (MP3 spectral data, H.264/AAC samples)
+    is the one layer that genuinely needs codec libraries absent from
+    this container — those bytes pass through opaque; corrupt
+    containers surface as an err row. Ref-only calls can still request
+    the deterministic ``fake=True`` pseudo-features to exercise
+    downstream stages end-to-end.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB binary column
 never materializes per-partition; keep
@@ -69,6 +75,14 @@ FRAME_SAMPLE_SCHEMA = (
 RESIZED_FEATURE_SCHEMA = (
     "media_ref string, orig_width int, orig_height int, width int, "
     "height int, f00 long, f01 long, f10 long, f11 long, err string"
+)
+MP3_META_SCHEMA = (
+    "media_ref string, n_frames int, sample_rate int, bitrate_avg int, "
+    "vbr_int int, duration_ms long, err string"
+)
+MP4_SAMPLE_SCHEMA = (
+    "media_ref string, sample_idx int, ts_milli long, n_bytes int, "
+    "byte_val int, err string"
 )
 
 
@@ -133,9 +147,9 @@ def decode_image_features(
 
     With ``payload_col`` set, payloads are REALLY decoded with the
     pure-numpy codecs in ``analysis.codecs`` (uncompressed 24/32-bit BMP,
-    binary PPM/PGM, 8-bit non-interlaced PNG via stdlib zlib, and
-    baseline sequential JPEG — all decodable without any image library in
-    this container): real
+    binary PPM/PGM, PNG incl. Adam7/16-bit via stdlib zlib, and baseline
+    sequential + progressive JPEG — all decodable without any image
+    library in this container): real
     width/height plus a block-mean RGB feature vector of EXACTLY
     ``n_features`` values — the first n_features of the 3·grid² cell
     means, grid being the smallest ≥2 with 3·grid² ≥ n_features — so real
@@ -143,8 +157,9 @@ def decode_image_features(
     zip_with consumers never see ragged arrays. Undecodable or null
     payloads yield a row with null width/height/features and the reason in
     ``err`` — a 100-TB crawl always contains corrupt bytes, and one bad
-    payload must not kill the stage. JPEG/MP3/MP4 still need a codec
-    library and surface as err='unrecognized image format'.
+    payload must not kill the stage. MP3/MP4 payloads are not images and
+    surface here as err='unrecognized image format' (their container
+    parse lives in decode_mp3_features / sample_mp4_payloads).
 
     Without a payload column, ``fake=True`` keeps the former stub: a
     deterministic byte-hash pseudo-feature vector per ref so downstream
@@ -272,6 +287,108 @@ def decode_audio_features(
 
     return df.select(ref_col, payload_col).mapInPandas(
         decode, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def decode_mp3_features(
+    df: DataFrame, ref_col: str = "media_ref", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL MP3 container parse (frame-header walk, ID3v2 skip) over
+    Arrow-batched mapInPandas: frame count, sample rate, integer-exact
+    average bitrate, VBR flag, and duration — the duration/bitrate
+    filter columns a training-data pipeline screens audio with, no codec
+    library involved (``codecs.parse_mp3``; spectral payload decode is
+    out of scope per the module docstring).  Undecodable payloads
+    degrade to an ``err`` row, never a stage failure."""
+    from spider_spark.analysis import codecs
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf[ref_col].astype(str), pdf[payload_col]):
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    f = codecs.parse_mp3(bytes(b))
+                    rows.append(
+                        (ref, f["n_frames"], f["sample_rate"],
+                         f["bitrate_avg"], int(f["vbr"]),
+                         f["duration_ms"], None)
+                    )
+                except (ValueError, struct.error, IndexError) as e:
+                    rows.append(
+                        (ref, None, None, None, None, None, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_frames", "sample_rate", "bitrate_avg",
+                    "vbr_int", "duration_ms", "err",
+                ],
+            ).astype(
+                {
+                    "n_frames": "Int32",
+                    "sample_rate": "Int32",
+                    "bitrate_avg": "Int32",
+                    "vbr_int": "Int32",
+                    "duration_ms": "Int64",
+                }
+            )
+
+    return df.select(ref_col, payload_col).mapInPandas(
+        parse, schema=MP3_META_SCHEMA
+    )
+
+
+def sample_mp4_payloads(
+    df: DataFrame,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    stride: int = 1,
+    limit: int | None = None,
+) -> DataFrame:
+    """Stride sampling over ISO BMFF (MP4) payloads via the stbl sample
+    tables (``codecs.sample_mp4``): one output row per sampled sample,
+    carrying its timestamp, byte length, and first byte value (exact for
+    the constant-byte fixtures; a real pipeline would hand the bytes to
+    a codec here).  The box index makes stride sampling touch only the
+    sampled byte ranges — the seek-not-scan property at 100 TB.
+    Explodes rows: output cardinality is sum(ceil(n_samples/stride))."""
+    from spider_spark.analysis import codecs
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, b in zip(pdf[ref_col].astype(str), pdf[payload_col]):
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    for idx, ts_ms, sb in codecs.sample_mp4(
+                        bytes(b), stride=stride, limit=limit
+                    ):
+                        rows.append(
+                            (ref, idx, ts_ms, len(sb),
+                             sb[0] if sb else None, None)
+                        )
+                except (ValueError, struct.error, IndexError) as e:
+                    rows.append((ref, None, None, None, None, str(e)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "sample_idx", "ts_milli", "n_bytes",
+                    "byte_val", "err",
+                ],
+            ).astype(
+                {
+                    "sample_idx": "Int32",
+                    "ts_milli": "Int64",
+                    "n_bytes": "Int32",
+                    "byte_val": "Int32",
+                }
+            )
+
+    return df.select(ref_col, payload_col).mapInPandas(
+        sample, schema=MP4_SAMPLE_SCHEMA
     )
 
 
