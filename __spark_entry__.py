@@ -1652,6 +1652,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return M.sample_mp4_payloads(MF.synth_mp4(ev), stride=2)
 
+    def warc_parse_records(spark, sf):
+        # REAL WARC walk (per-record gzip members, WARC header parse,
+        # HTTP response-block split) over synthesized .warc.gz blobs:
+        # url/status/date/body are closed-form in (event_id, j)
+        # (sources/warc.warc_params), so DuckDB rebuilds every parsed
+        # column — including body length — while Spark decompresses and
+        # walks real members (reference scope: captures-as-interchange,
+        # the layer above SiteScraper.scala's direct store)
+        from spider_spark.sources import warc as W
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return (
+            W.read_warc_records(W.synth_warc(ev))
+            .where(
+                F.col("err").isNull()
+                & (F.col("warc_type") == "response")
+            )
+            .select(
+                "ref",
+                F.col("rec_idx").cast("int").alias("rec_idx"),
+                "url",
+                "http_status",
+                "mime",
+                F.length("body").cast("bigint").alias("body_len"),
+                "warc_date",
+            )
+        )
+
+    def warc_cdx_index(spark, sf):
+        # CDX capture index over the same fixture: SURT urlkey, 14-digit
+        # timestamp, sha-256 body digest (JVM-side F.sha2) — DuckDB
+        # reconstructs the digest from the body string it builds itself
+        from spider_spark.sources import warc as W
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return W.cdx_index(W.synth_warc(ev)).select(
+            "urlkey", "ts14", "url", "mime", "http_status", "digest"
+        )
+
     def events_sessionize(spark, sf):
         # gap-based sessionization: lag + running sum over one (user, ts)
         # window partitioning — a single Exchange+Sort at any scale
@@ -2137,6 +2176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_near": multimodal_phash_near,
         "multimodal_mp3_meta": multimodal_mp3_meta,
         "multimodal_mp4_samples": multimodal_mp4_samples,
+        "warc_parse_records": warc_parse_records,
+        "warc_cdx_index": warc_cdx_index,
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
         "events_tumbling": events_tumbling,
@@ -2533,6 +2574,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT unnest(generate_series(0, 6, 2)) AS k) g
               ON g.k < 2 + e.event_id % 6
             WHERE e.event_id % 5 = 0
+        """,
+        # replica of read_warc_records over synth_warc: 1 + id%3
+        # response records per blob (rec_idx j+1 after the warcinfo),
+        # url/status/date closed-form, body = repeat('doc id j ',
+        # 3+(id+j)%7) rebuilt in SQL so body_len is just length()
+        # (sources/warc.warc_params)
+        "warc_parse_records": """
+            SELECT 'warc://' || event_id AS ref,
+                   CAST(g.j + 1 AS INT) AS rec_idx,
+                   'http://w' || (event_id % 7) || '.example.org/p/'
+                     || event_id || '/' || g.j AS url,
+                   CAST(CASE WHEN (event_id + g.j) % 5 = 0
+                             THEN 404 ELSE 200 END AS INT) AS http_status,
+                   'text/html' AS mime,
+                   CAST(length(repeat('doc ' || event_id || ' ' || g.j
+                                      || ' ', 3 + (event_id + g.j) % 7))
+                        AS BIGINT) AS body_len,
+                   strftime(epoch_ms((1700000000 + event_id * 60 + g.j)
+                                     * 1000),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date
+            FROM events
+            JOIN (SELECT unnest(generate_series(0, 2)) AS j) g
+              ON g.j < 1 + event_id % 3
+        """,
+        # replica of cdx_index: SURT key of the fixture url, digit-only
+        # 14-char timestamp, sha-256 of the SQL-reconstructed body
+        "warc_cdx_index": """
+            SELECT 'org,example,w' || (event_id % 7) || ')/p/'
+                     || event_id || '/' || g.j AS urlkey,
+                   strftime(epoch_ms((1700000000 + event_id * 60 + g.j)
+                                     * 1000), '%Y%m%d%H%M%S') AS ts14,
+                   'http://w' || (event_id % 7) || '.example.org/p/'
+                     || event_id || '/' || g.j AS url,
+                   'text/html' AS mime,
+                   CAST(CASE WHEN (event_id + g.j) % 5 = 0
+                             THEN 404 ELSE 200 END AS INT) AS http_status,
+                   sha256(repeat('doc ' || event_id || ' ' || g.j || ' ',
+                                 3 + (event_id + g.j) % 7)) AS digest
+            FROM events
+            JOIN (SELECT unnest(generate_series(0, 2)) AS j) g
+              ON g.j < 1 + event_id % 3
         """,
         "crawl_change_rate": FR.change_rate_sql(
             f"SELECT {_PAGE_SQL} AS url, ts, event_id, event_type AS fp "

@@ -97,6 +97,10 @@ HEADLINE = [
     # round-4 additions
     "multimodal_phash_jpeg_dedup",  # progressive+baseline JPEG phash dedup
     "dedup_clusters",         # star-edge cluster resolution (O(n)/bucket)
+    # round-5 additions
+    "multimodal_mp3_meta",    # MP3 frame-header walk (container parse)
+    "multimodal_mp4_samples", # ISO-BMFF sample-table stride extraction
+    "warc_cdx_index",         # WARC gzip-member walk -> CDX capture index
 ]
 
 

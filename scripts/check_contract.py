@@ -38,7 +38,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str, out_json: str | None = None):
+def main(sf_dir: str, out_json: str | None = None,
+         only: set[str] | None = None):
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     results: dict[str, dict] = {}
     con = duckdb.connect()
@@ -48,6 +49,8 @@ def main(sf_dir: str, out_json: str | None = None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -121,7 +124,14 @@ def main(sf_dir: str, out_json: str | None = None):
 
 
 if __name__ == "__main__":
+    args = sys.argv[1:]
+    only = None
+    for a in list(args):
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+            args.remove(a)
     main(
-        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-        sys.argv[2] if len(sys.argv) > 2 else None,
+        args[0] if len(args) > 0 else "/root/testdata/sf0.01",
+        args[1] if len(args) > 1 else None,
+        only=only,
     )

@@ -1,0 +1,445 @@
+"""WARC (ISO 28500) web-archive source/sink + CDX indexing.
+
+The reference crawler persists fetched pages straight into its own store
+(SiteScraper.scala fetch path feeding the Supervisor's index); a
+production crawl at lake scale instead interchanges captures as WARC —
+the Common-Crawl/Wayback container every downstream training-data
+pipeline ingests. This module is that boundary for the Spark engine:
+
+* ``encode_record`` / ``encode_warc`` — build WARC/1.0 records and whole
+  files (optionally as the standard per-record-gzip-member ``.warc.gz``
+  layout, which is what makes single-record random access possible).
+* ``parse_warc_bytes`` — pure-Python record walker: per-gzip-member (or
+  plain-stream) splitting, WARC header parse, HTTP response-block parse
+  (status / headers / body). Corrupt members degrade to ``err`` rows and
+  the walker re-syncs on the next gzip magic — one bad capture never
+  fails a 100-TB scan task.
+* ``read_warc_records`` — the Arrow-batched ``mapInPandas`` scan stage:
+  (ref, payload) → one row per record with byte-exact (offset, length)
+  so ``payload[offset:offset+length]`` is a self-contained record — the
+  property CDX random access depends on (pinned in tests).
+* ``cdx_index`` — the (urlkey, ts14, url, mime, status, digest, ...)
+  capture index: SURT url key in Python (pinned contract below), sha-256
+  body digest computed JVM-side (``F.sha2``) so the only Python work is
+  the parse itself.
+* ``write_warc`` — documents → WARC blobs, one blob per Arrow batch
+  (embarrassingly parallel; no shuffle), round-trippable through the
+  reader.
+
+Scale shape: both directions are single ``mapInPandas`` scan stages over
+an already-partitioned payload table — zero shuffles; the CDX digest and
+any downstream grouping stay JVM-side. At 10^10 captures the cost is the
+decompression itself, which is exactly the cost any WARC consumer pays.
+
+SURT contract (pinned in tests/test_warc.py): lowercase scheme+host,
+strip one leading ``www.``, reverse host labels comma-joined, ``)/`` +
+path, ``?`` + ampersand-joined SORTED query params; fragments dropped;
+default ports dropped. This is the classic pywb/OpenWayback key shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+# ---------------------------------------------------------------- writer
+
+
+def _record_id(url: str, date: str) -> str:
+    """Deterministic urn:uuid record id (md5 of url+date folded into the
+    uuid shape) — reproducible runs produce byte-identical archives."""
+    h = hashlib.md5(f"{url} {date}".encode()).hexdigest()
+    return (
+        f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def encode_record(
+    warc_type: str, headers: dict[str, str], block: bytes
+) -> bytes:
+    """One plain WARC/1.0 record: version line, headers (Content-Length
+    computed here), blank line, block, two CRLFs."""
+    out = [b"WARC/1.0", b"WARC-Type: " + warc_type.encode()]
+    for k, v in headers.items():
+        out.append(f"{k}: {v}".encode())
+    out.append(f"Content-Length: {len(block)}".encode())
+    head = _CRLF.join(out) + _CRLF + _CRLF
+    return head + block + _CRLF + _CRLF
+
+
+def http_response_block(
+    status: int, reason: str, mime: str, body: bytes
+) -> bytes:
+    """An application/http;msgtype=response block."""
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {mime}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body
+
+
+def response_record(
+    url: str, date: str, status: int, reason: str, mime: str, body: bytes
+) -> bytes:
+    return encode_record(
+        "response",
+        {
+            "WARC-Record-ID": _record_id(url, date),
+            "WARC-Date": date,
+            "WARC-Target-URI": url,
+            "Content-Type": "application/http;msgtype=response",
+        },
+        http_response_block(status, reason, mime, body),
+    )
+
+
+def warcinfo_record(date: str, software: str = "spider-spark/1.0") -> bytes:
+    return encode_record(
+        "warcinfo",
+        {
+            "WARC-Record-ID": _record_id("warcinfo", date),
+            "WARC-Date": date,
+            "Content-Type": "application/warc-fields",
+        },
+        f"software: {software}\r\n".encode(),
+    )
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0, no name) — standard
+    .warc.gz stores each record as its own member."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(raw) + co.flush()
+
+
+def encode_warc(records: list[bytes], gzip_members: bool = True) -> bytes:
+    if gzip_members:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+# ---------------------------------------------------------------- reader
+
+
+def _parse_one(raw: bytes) -> dict:
+    """Parse ONE plain record's bytes → field dict (raises ValueError on
+    malformed input; callers convert to err rows)."""
+    sep = raw.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ValueError("no header terminator")
+    head = raw[:sep].decode("latin-1")
+    lines = head.split("\r\n")
+    if not lines[0].startswith("WARC/"):
+        raise ValueError(f"bad version line {lines[0][:20]!r}")
+    hdrs: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        hdrs[k.strip().lower()] = v.strip()
+    try:
+        clen = int(hdrs["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("missing/bad Content-Length") from None
+    block = raw[sep + 4 : sep + 4 + clen]
+    if len(block) < clen:
+        raise ValueError("truncated block")
+    rec = {
+        "warc_type": hdrs.get("warc-type"),
+        "url": hdrs.get("warc-target-uri"),
+        "warc_date": hdrs.get("warc-date"),
+        "record_id": hdrs.get("warc-record-id"),
+        "block_len": clen,
+        "http_status": None,
+        "mime": hdrs.get("content-type"),
+        "body": None,
+        "consumed": sep + 4 + clen,
+    }
+    ctype = (hdrs.get("content-type") or "").lower()
+    if ctype.startswith("application/http") and block[:5] == b"HTTP/":
+        hsep = block.find(_CRLF + _CRLF)
+        if hsep < 0:
+            raise ValueError("http block missing header terminator")
+        hlines = block[:hsep].decode("latin-1").split("\r\n")
+        parts = hlines[0].split(" ", 2)
+        try:
+            rec["http_status"] = int(parts[1])
+        except (IndexError, ValueError):
+            raise ValueError("bad http status line") from None
+        for ln in hlines[1:]:
+            k, _, v = ln.partition(":")
+            if k.strip().lower() == "content-type":
+                rec["mime"] = v.strip()
+        rec["body"] = block[hsep + 4 :]
+    return rec
+
+
+def parse_warc_bytes(blob: bytes) -> list[dict]:
+    """Walk a WARC blob (plain or per-record gzip members) → one dict per
+    record with byte-exact ``offset``/``length`` into ``blob``. A corrupt
+    gzip member or record yields an ``err`` dict and the walk re-syncs on
+    the next gzip magic; a corrupt PLAIN stream cannot be re-synced (no
+    framing left) so the remainder degrades to one err row."""
+    out: list[dict] = []
+    off, n, idx = 0, len(blob), 0
+    gz = blob[:3] == _GZ_MAGIC
+    while off < n:
+        if gz:
+            do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                raw = do.decompress(blob[off:])
+                if not do.eof:
+                    raise zlib.error("truncated member")
+                consumed = (n - off) - len(do.unused_data)
+                rec = _parse_one(raw)
+            except (zlib.error, ValueError) as e:
+                nxt = blob.find(_GZ_MAGIC, off + 1)
+                length = (nxt if nxt > 0 else n) - off
+                out.append(
+                    {"rec_idx": idx, "offset": off, "length": length,
+                     "err": f"{type(e).__name__}: {e}"}
+                )
+                off += length
+                idx += 1
+                continue
+            rec.update(rec_idx=idx, offset=off, length=consumed, err=None)
+            del rec["consumed"]
+            out.append(rec)
+            off += consumed
+        else:
+            try:
+                rec = _parse_one(blob[off:])
+            except ValueError as e:
+                out.append(
+                    {"rec_idx": idx, "offset": off, "length": n - off,
+                     "err": f"ValueError: {e}"}
+                )
+                break
+            consumed = rec.pop("consumed")
+            # trailing record boundary: two CRLFs (tolerate EOF without)
+            tail = blob[off + consumed : off + consumed + 4]
+            consumed += 4 if tail == _CRLF + _CRLF else len(tail)
+            rec.update(rec_idx=idx, offset=off, length=consumed, err=None)
+            out.append(rec)
+            off += consumed
+        idx += 1
+    return out
+
+
+WARC_RECORD_SCHEMA = (
+    "ref string, rec_idx int, offset bigint, length bigint, "
+    "warc_type string, url string, warc_date string, record_id string, "
+    "http_status int, mime string, block_len bigint, body binary, "
+    "err string"
+)
+
+_REC_COLS = [
+    "ref", "rec_idx", "offset", "length", "warc_type", "url",
+    "warc_date", "record_id", "http_status", "mime", "block_len",
+    "body", "err",
+]
+
+
+def read_warc_records(
+    df: DataFrame, payload_col: str = "payload", ref_col: str = "ref"
+) -> DataFrame:
+    """(ref, payload=WARC blob) → one row per record. One scan stage,
+    zero shuffles; err rows instead of task failures."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append({"ref": ref, "rec_idx": 0,
+                                 "err": "null payload"})
+                    continue
+                for rec in parse_warc_bytes(bytes(payload)):
+                    rec["ref"] = ref
+                    rows.append(rec)
+            out = pd.DataFrame(rows)
+            for c in _REC_COLS:
+                if c not in out.columns:
+                    out[c] = None
+            yield out[_REC_COLS]
+
+    return df.select(ref_col, payload_col).mapInPandas(
+        gen, schema=WARC_RECORD_SCHEMA
+    )
+
+
+# ------------------------------------------------------------------ CDX
+
+
+def surt_key(url: str) -> str | None:
+    """SURT url key (contract pinned in the module docstring)."""
+    if not url:
+        return None
+    u = url.strip()
+    low = u.lower()
+    for scheme in ("https://", "http://"):
+        if low.startswith(scheme):
+            u = u[len(scheme):]
+            break
+    u, _, _ = u.partition("#")
+    hostport, sep, pathq = u.partition("/")
+    pathq = sep + pathq if sep else "/"
+    host, _, port = hostport.partition(":")
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    rev = ",".join(reversed(host.split(".")))
+    if port and port not in ("80", "443"):
+        rev = f"{rev}:{port}"
+    path, qsep, query = pathq.partition("?")
+    key = rev + ")" + path
+    if qsep and query:
+        key += "?" + "&".join(sorted(query.split("&")))
+    return key
+
+
+def cdx_index(
+    df: DataFrame, payload_col: str = "payload", ref_col: str = "ref"
+) -> DataFrame:
+    """(ref, payload) → CDX capture index rows
+    (urlkey, ts14, url, mime, http_status, digest, offset, length, ref).
+
+    ts14 is WARC-Date digits; digest is the sha-256 hex of the HTTP body
+    computed JVM-side. offset/length are the byte-exact gzip-member (or
+    plain-record) spans from the reader, so
+    ``payload[offset:offset+length]`` replays the capture."""
+    recs = read_warc_records(df, payload_col, ref_col)
+    urlk = F.pandas_udf(
+        lambda s: s.map(surt_key), "string"
+    )
+    return (
+        recs.where(F.col("err").isNull()
+                   & (F.col("warc_type") == "response"))
+        .select(
+            urlk(F.col("url")).alias("urlkey"),
+            F.regexp_replace("warc_date", r"[^0-9]", "")
+            .substr(1, 14).alias("ts14"),
+            "url",
+            "mime",
+            "http_status",
+            F.sha2(F.col("body"), 256).alias("digest"),
+            "offset",
+            "length",
+            "ref",
+        )
+    )
+
+
+# ------------------------------------------------------------------ sink
+
+
+def write_warc(
+    df: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    status_col: str = "http_status",
+    mime_col: str = "mime",
+    body_col: str = "body",
+    gzip_members: bool = True,
+    with_warcinfo: bool = True,
+) -> DataFrame:
+    """Documents → (warc binary, n_records int), ONE blob per Arrow
+    batch — the embarrassingly-parallel export shape (partition count =
+    file count; no shuffle). Round-trips through read_warc_records."""
+    cols = [url_col, date_col, status_col, mime_col, body_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            if with_warcinfo:
+                recs.append(warcinfo_record(str(pdf[date_col].iloc[0])))
+            for url, date, status, mime, body in zip(
+                *(pdf[c] for c in cols)
+            ):
+                body_b = bytes(body) if body is not None else b""
+                reason = "OK" if int(status) == 200 else "X"
+                recs.append(
+                    response_record(
+                        str(url), str(date), int(status), reason,
+                        str(mime), body_b,
+                    )
+                )
+            blob = encode_warc(recs, gzip_members)
+            yield pd.DataFrame(
+                {"warc": [blob], "n_records": [len(recs)]}
+            )
+
+    return df.select(*cols).mapInPandas(
+        gen, schema="warc binary, n_records int"
+    )
+
+
+# -------------------------------------------------------------- fixture
+
+
+_EPOCH0 = 1700000000
+
+
+def warc_params(i: int) -> dict:
+    """Closed-form fixture parameters for id ``i`` (mirrored in the
+    driver oracle's SQL — see __spark_entry__.oracle_sql)."""
+    return {"n_responses": 1 + i % 3, "host": f"w{i % 7}.example.org"}
+
+
+def _fix_date(i: int, j: int) -> str:
+    return time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime(_EPOCH0 + i * 60 + j)
+    )
+
+
+def _fix_body(i: int, j: int) -> bytes:
+    return (f"doc {i} {j} " * (3 + (i + j) % 7)).encode()
+
+
+def _fix_status(i: int, j: int) -> int:
+    return 404 if (i + j) % 5 == 0 else 200
+
+
+def synth_warc(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """(id) → (ref='warc://id', payload=.warc.gz): a warcinfo record then
+    ``1 + id%3`` response records whose url/date/status/body are all
+    closed-form in (id, j) — DuckDB rebuilds every parsed column (and the
+    sha-256 digest, from the body string it reconstructs itself) while
+    Spark walks real gzip members and HTTP blocks."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs = [], []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                p = warc_params(i)
+                recs = [warcinfo_record(_fix_date(i, 0))]
+                for j in range(p["n_responses"]):
+                    st = _fix_status(i, j)
+                    recs.append(
+                        response_record(
+                            f"http://{p['host']}/p/{i}/{j}",
+                            _fix_date(i, j),
+                            st,
+                            "OK" if st == 200 else "Not Found",
+                            "text/html",
+                            _fix_body(i, j),
+                        )
+                    )
+                refs.append(f"warc://{i}")
+                blobs.append(encode_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"ref": refs, "payload": blobs})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="ref string, payload binary"
+    )

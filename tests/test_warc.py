@@ -1,0 +1,207 @@
+"""WARC source/sink: record codec round-trips (plain + gzip-member),
+byte-exact random access, corrupt-payload degradation + resync, the SURT
+urlkey contract, Spark read/write round-trips over the deterministic
+fixture, and full Spark≡DuckDB equality for the CDX index the driver
+gate replays.
+
+Reference scope note: the reference crawler persists captures directly
+into its own store (SiteScraper.scala fetch → Supervisor index); WARC is
+the interchange boundary a lake-scale crawl adds on top."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import duckdb
+import pytest
+
+from spider_spark.sources import warc
+
+
+def _resp(url="http://a.example/x", date="2023-11-14T22:13:20Z",
+          status=200, body=b"hello"):
+    return warc.response_record(url, date, status, "OK", "text/html", body)
+
+
+# ---------------------------------------------------------------- codec
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip(gz):
+    recs = [warc.warcinfo_record("2023-01-01T00:00:00Z"),
+            _resp(body=b"hello world"), _resp(url="http://b.example/",
+                                              status=404, body=b"")]
+    out = warc.parse_warc_bytes(warc.encode_warc(recs, gz))
+    assert [r["warc_type"] for r in out] == ["warcinfo", "response",
+                                             "response"]
+    assert all(r["err"] is None for r in out)
+    assert out[1]["body"] == b"hello world"
+    assert out[1]["http_status"] == 200
+    assert out[1]["mime"] == "text/html"
+    assert out[1]["url"] == "http://a.example/x"
+    assert out[2]["http_status"] == 404
+    assert out[2]["body"] == b""
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_random_access_spans(gz):
+    """payload[offset:offset+length] is a complete single record — the
+    property CDX replay depends on."""
+    recs = [_resp(body=bytes([65 + i]) * (10 + i)) for i in range(5)]
+    blob = warc.encode_warc(recs, gz)
+    out = warc.parse_warc_bytes(blob)
+    assert [r["rec_idx"] for r in out] == list(range(5))
+    # spans tile the blob exactly
+    assert out[0]["offset"] == 0
+    for a, b in zip(out, out[1:]):
+        assert a["offset"] + a["length"] == b["offset"]
+    assert out[-1]["offset"] + out[-1]["length"] == len(blob)
+    for i, r in enumerate(out):
+        seg = blob[r["offset"]:r["offset"] + r["length"]]
+        raw = zlib.decompress(seg, 16 + zlib.MAX_WBITS) if gz else seg
+        one = warc.parse_warc_bytes(raw)
+        assert len(one) == 1 and one[0]["body"] == bytes([65 + i]) * (10 + i)
+
+
+def test_corrupt_member_resyncs():
+    blob = warc.encode_warc([_resp(body=b"first"), _resp(body=b"second")])
+    first_len = warc.parse_warc_bytes(blob)[0]["length"]
+    bad = blob[:10] + b"XX" + blob[12:]
+    out = warc.parse_warc_bytes(bad)
+    assert out[0]["err"] is not None
+    assert out[0]["length"] == first_len  # resynced on the next magic
+    assert out[1]["err"] is None and out[1]["body"] == b"second"
+
+
+def test_corrupt_plain_stream_degrades_once():
+    blob = warc.encode_warc([_resp(body=b"first"), _resp(body=b"second")],
+                            gzip_members=False)
+    out = warc.parse_warc_bytes(b"GARBAGE " + blob)
+    assert len(out) == 1 and out[0]["err"] is not None
+
+
+def test_hostile_payloads():
+    # truncated member
+    blob = warc.encode_warc([_resp()])[: 20]
+    out = warc.parse_warc_bytes(blob)
+    assert len(out) == 1 and out[0]["err"] is not None
+    # truncated block in a plain record
+    raw = warc.encode_record("response", {"WARC-Target-URI": "u"}, b"abc")
+    cut = raw[: raw.rfind(b"abc") + 1]
+    out = warc.parse_warc_bytes(cut)
+    assert out[0]["err"] is not None and "truncated" in out[0]["err"]
+    # empty blob
+    assert warc.parse_warc_bytes(b"") == []
+
+
+def test_deterministic_encoding():
+    assert warc.encode_warc([_resp()]) == warc.encode_warc([_resp()])
+
+
+# ----------------------------------------------------------------- SURT
+
+
+@pytest.mark.parametrize("url,key", [
+    ("http://www.Example.com:80/a?b=2&a=1#f", "com,example)/a?a=1&b=2"),
+    ("https://sub.host.org:8443/p", "org,host,sub:8443)/p"),
+    ("http://example.com", "com,example)/"),
+    ("http://EXAMPLE.com/Path/Is/CaseSensitive",
+     "com,example)/Path/Is/CaseSensitive"),
+    ("https://example.com:443/x", "com,example)/x"),
+    ("http://h.example/x?", "example,h)/x"),
+    (None, None),
+    ("", None),
+])
+def test_surt_key(url, key):
+    assert warc.surt_key(url) == key
+
+
+# ---------------------------------------------------------------- spark
+
+
+def test_spark_fixture_parse_matches_closed_form(spark):
+    ids = spark.range(0, 40).selectExpr("id as event_id")
+    rows = warc.read_warc_records(warc.synth_warc(ids)).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.ref, []).append(r)
+    assert len(by_ref) == 40
+    for i in range(40):
+        recs = sorted(by_ref[f"warc://{i}"], key=lambda r: r.rec_idx)
+        p = warc.warc_params(i)
+        assert [r.warc_type for r in recs] == (
+            ["warcinfo"] + ["response"] * p["n_responses"])
+        for j, r in enumerate(recs[1:]):
+            assert r.err is None
+            assert r.url == f"http://{p['host']}/p/{i}/{j}"
+            assert r.http_status == warc._fix_status(i, j)
+            assert bytes(r.body) == warc._fix_body(i, j)
+            assert r.warc_date == warc._fix_date(i, j)
+
+
+def test_spark_write_read_roundtrip(spark):
+    docs = spark.range(0, 30).selectExpr(
+        "concat('http://h', id % 3, '.example/d/', id) as url",
+        "'2024-02-02T02:02:02Z' as warc_date",
+        "case when id % 7 = 0 then 404 else 200 end as http_status",
+        "'text/plain' as mime",
+        "cast(concat('body-', id) as binary) as body",
+    ).repartition(3)
+    blobs = warc.write_warc(docs, gzip_members=True)
+    back = warc.read_warc_records(
+        blobs.selectExpr("cast(n_records as string) as ref",
+                         "warc as payload"),
+        payload_col="payload",
+    )
+    got = back.where("warc_type = 'response'").selectExpr(
+        "url", "http_status", "cast(body as string) as body"
+    ).collect()
+    assert len(got) == 30
+    exp = {(f"http://h{i % 3}.example/d/{i}",
+            404 if i % 7 == 0 else 200, f"body-{i}") for i in range(30)}
+    assert {(r.url, r.http_status, r.body) for r in got} == exp
+    # warcinfo framing: one per partition blob
+    n_info = back.where("warc_type = 'warcinfo'").count()
+    assert n_info == blobs.count()
+
+
+def test_cdx_index_spark_vs_duckdb(spark):
+    """Full engine-vs-oracle equality on the CDX rows (the driver-gate
+    query's local twin): DuckDB reconstructs urlkey/ts14/digest from the
+    closed forms while Spark walks real gzip members."""
+    n = 60
+    ids = spark.range(0, n).selectExpr("id as event_id")
+    got = sorted(
+        warc.cdx_index(warc.synth_warc(ids))
+        .selectExpr("urlkey", "ts14", "url", "mime", "http_status",
+                    "digest")
+        .collect()
+    )
+    con = duckdb.connect()
+    exp = sorted(con.execute(f"""
+        WITH ev AS (SELECT unnest(generate_series(0, {n - 1})) AS id),
+        g AS (
+            SELECT id, j FROM ev
+            JOIN (SELECT unnest(generate_series(0, 2)) AS j) s
+              ON s.j < 1 + id % 3
+        )
+        SELECT 'org,example,w' || (id % 7) || ')/p/' || id || '/' || j
+                 AS urlkey,
+               strftime(epoch_ms((1700000000 + id * 60 + j) * 1000),
+                        '%Y%m%d%H%M%S') AS ts14,
+               'http://w' || (id % 7) || '.example.org/p/' || id || '/'
+                 || j AS url,
+               'text/html' AS mime,
+               CASE WHEN (id + j) % 5 = 0 THEN 404 ELSE 200 END
+                 AS http_status,
+               sha256(repeat('doc ' || id || ' ' || j || ' ',
+                             3 + (id + j) % 7)) AS digest
+        FROM g
+    """).fetchall())
+    assert [tuple(r) for r in got] == exp
+    # and the digest really is the body hash
+    i, j = 5, 1
+    assert (hashlib.sha256(warc._fix_body(i, j)).hexdigest()
+            == [r.digest for r in got
+                if r.url == f"http://w5.example.org/p/5/1"][0])
