@@ -1093,6 +1093,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q21_sole_failing_supplier(spark, sf):
+        # TPC-H Q21 shape on this schema: suppliers that were the SOLE
+        # returned-flag supplier on a multi-supplier finished order —
+        # the EXISTS(other supplier) + NOT EXISTS(other failing
+        # supplier) pair. Both quantifiers compile to hash semi-/anti-
+        # joins whose equi key is l_orderkey with the suppkey
+        # INEQUALITY riding the join condition (never a nested loop —
+        # plan-pinned), and the anti side is pre-filtered to returned
+        # rows so it shuffles the small slice only.
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        s = _t(spark, sf, "supplier")
+        fail = li.where(F.col("l_returnflag") == "R").select(
+            "l_orderkey", "l_suppkey"
+        )
+        l1 = (
+            fail.join(
+                o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .drop("o_orderkey")
+        )
+        l2 = li.select(
+            F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+        )
+        l3 = fail.select(
+            F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+        )
+        sole = (
+            l1.join(
+                l2,
+                (F.col("l_orderkey") == F.col("ok2"))
+                & (F.col("l_suppkey") != F.col("sk2")),
+                "left_semi",
+            )
+            .join(
+                l3,
+                (F.col("l_orderkey") == F.col("ok3"))
+                & (F.col("l_suppkey") != F.col("sk3")),
+                "left_anti",
+            )
+        )
+        return (
+            sole.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(25)
+        )
+
+    def q13_customer_distribution(spark, sf):
+        # TPC-H Q13 shape: customers LEFT-joined to a filtered orders
+        # side (the filter must ride the join, not drop the
+        # no-order customers), per-customer order counts, then the
+        # count-of-counts histogram — two combine-heavy aggregations,
+        # zero-order customers kept as c_count = 0.
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        percust = (
+            c.select("c_custkey")
+            .join(
+                o.where(F.col("o_orderpriority") != "1-URGENT").select(
+                    "o_custkey", "o_orderkey"
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left",
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        )
+        return percust.groupBy("c_count").agg(
+            F.count("*").cast("long").alias("custdist")
+        )
+
     def dedup_exact(spark, sf):
         docs = _t(spark, sf, "documents")
         return (
@@ -2124,6 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": q17_small_quantity,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q18_large_orders": q18_large_orders,
+        "q21_sole_failing_supplier": q21_sole_failing_supplier,
+        "q13_customer_distribution": q13_customer_distribution,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "text_token_count": text_token_count,
@@ -3092,6 +3168,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY 1 HAVING sum_qty > 150) big
             JOIN orders ON o_orderkey = big.l_orderkey
             JOIN customer ON c_custkey = o_custkey
+        """,
+        "q21_sole_failing_supplier": """
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+                           AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 25
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM (SELECT c_custkey,
+                         count(o_orderkey)::BIGINT AS c_count
+                  FROM customer
+                  LEFT JOIN orders ON o_custkey = c_custkey
+                       AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey) pc
+            GROUP BY c_count
         """,
         "dedup_exact": """
             SELECT fp, count(*) AS n_docs FROM (

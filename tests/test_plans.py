@@ -234,6 +234,28 @@ def test_q18_aggregates_before_join(spark):
     assert join < agg, plan
 
 
+def test_q21_quantifiers_are_hash_semi_and_anti_joins(spark):
+    """Q21 shape: the EXISTS(other supplier) and NOT EXISTS(other
+    failing supplier) quantifiers must compile to hash semi-/anti-joins
+    whose equi key is l_orderkey with the suppkey inequality riding the
+    join condition — never a nested loop or per-row subquery."""
+    plan = plan_str(spark, q(spark, "q21_sole_failing_supplier"), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q13_left_join_keeps_filter_in_join(spark):
+    """Q13 shape: the orders-side priority filter must sit under the
+    LEFT join (filtering the right side, preserving no-order customers),
+    and both aggregations must be hash aggregates."""
+    plan = plan_str(spark, q(spark, "q13_customer_distribution"), "simple")
+    assert "LeftOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_binned_quantiles_single_corpus_exchange(spark):
     """binned_quantiles: exactly one corpus-wide hash exchange (the
     histogram groupBy); everything after runs on #bins rows (the
