@@ -384,6 +384,41 @@ def write_warc(
     )
 
 
+def to_documents(
+    df: DataFrame, payload_col: str = "payload", ref_col: str = "ref"
+) -> DataFrame:
+    """WARC blobs → the documents-table shape the text pipeline eats:
+    (doc_id, url, fetched_ts14, http_status, mime, text). doc_id is the
+    capture identity ``urlkey@ts14`` (re-crawls of one URL stay distinct
+    docs — the Wayback capture key). Only OK html/text responses with a
+    body survive; everything else is the archive's concern, not the
+    corpus's. Plain transformation — works on batch AND streaming
+    inputs (the streaming-ness comes from the reader, like
+    streaming/ingest.py's operators)."""
+    recs = read_warc_records(df, payload_col, ref_col)
+    urlk = F.pandas_udf(lambda s: s.map(surt_key), "string")
+    ts14 = (
+        F.regexp_replace("warc_date", r"[^0-9]", "").substr(1, 14)
+    )
+    return (
+        recs.where(
+            F.col("err").isNull()
+            & (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("body").isNotNull()
+            & F.col("mime").startswith("text/")
+        )
+        .select(
+            F.concat(urlk(F.col("url")), F.lit("@"), ts14).alias("doc_id"),
+            "url",
+            ts14.alias("fetched_ts14"),
+            "http_status",
+            "mime",
+            F.col("body").cast("string").alias("text"),
+        )
+    )
+
+
 # -------------------------------------------------------------- fixture
 
 

@@ -166,6 +166,50 @@ def test_spark_write_read_roundtrip(spark):
     assert n_info == blobs.count()
 
 
+def test_to_documents_shape_and_gates(spark):
+    ids = spark.range(0, 25).selectExpr("id as event_id")
+    docs = warc.to_documents(warc.synth_warc(ids)).collect()
+    # only 200s survive (404s gated), all text/html with bodies
+    exp_n = sum(
+        1 for i in range(25)
+        for j in range(warc.warc_params(i)["n_responses"])
+        if warc._fix_status(i, j) == 200
+    )
+    assert len(docs) == exp_n
+    for r in docs:
+        assert r.http_status == 200 and r.mime == "text/html"
+        assert r.doc_id.endswith("@" + r.fetched_ts14)
+        assert r.doc_id.startswith("org,example,w")
+        assert r.text.startswith("doc ")
+
+
+def test_streaming_warc_ingest_equals_batch(spark, tmp_path):
+    """read_warc_records/to_documents are plain transformations — the
+    same operator over a file-source stream (AvailableNow) must emit
+    exactly the batch rows."""
+    from spider_spark.streaming.ingest import run_available_now
+
+    ids = spark.range(0, 20).selectExpr("id as event_id")
+    src = str(tmp_path / "warcblobs")
+    warc.synth_warc(ids).write.parquet(src)
+    batch = sorted(
+        (r.doc_id, r.text)
+        for r in warc.to_documents(spark.read.parquet(src)).collect()
+    )
+    stream_in = spark.readStream.schema(
+        "ref string, payload binary"
+    ).option("maxFilesPerTrigger", "2").parquet(src)
+    run_available_now(
+        warc.to_documents(stream_in), "warc_docs_stream",
+        str(tmp_path / "ckpt"),
+    )
+    got = sorted(
+        (r.doc_id, r.text)
+        for r in spark.sql("select * from warc_docs_stream").collect()
+    )
+    assert got == batch and len(got) > 0
+
+
 def test_cdx_index_spark_vs_duckdb(spark):
     """Full engine-vs-oracle equality on the CDX rows (the driver-gate
     query's local twin): DuckDB reconstructs urlkey/ts14/digest from the
