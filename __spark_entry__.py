@@ -1671,15 +1671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB replicates hash-free (media_fixtures.jpeg_quad_params)
         from spider_spark.analysis import media_fixtures as MF
 
-        # JPEG Huffman decode is inherently per-image (no cross-image
-        # vectorization), so the row caps its corpus like phash_near —
-        # 5000 images still cover every group × both encodings many
-        # times over
-        ev = (
-            _t(spark, sf, "events")
-            .select("event_id")
-            .where(F.col("event_id") < 5000)
-        )
+        # UNCAPPED since round 5: table-sized Huffman LUTs (codecs.
+        # _huff_lut) + full-parallelism fixture synthesis made the full
+        # 100k-image corpus cheaper than the old 5000-image capped row
+        ev = _t(spark, sf, "events").select("event_id")
         return M.phash_dedup(M.image_phash(MF.synth_jpeg_quad_image(ev))).select(
             "media_ref", "rep_ref", "is_dup"
         )
@@ -2568,7 +2563,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT 'img://' || CAST(event_id AS VARCHAR) AS media_ref,
                      event_id % 23 AS g
-              FROM events WHERE event_id < 5000
+              FROM events
             )
             SELECT media_ref,
                    min(media_ref) OVER (PARTITION BY g) AS rep_ref,

@@ -650,13 +650,16 @@ class _BitReader:
         return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
     def huff(self, table: "_HuffTable") -> int:
-        """One-shot prefix decode: peek 16 bits, index the table's LUT
-        (every index carries the symbol + code length of the unique
-        prefix code it starts with; length 0 = invalid prefix). Exactly
-        the T.81 bit-walk semantics, ~10x fewer Python operations."""
-        if self.nbits < 16:
+        """One-shot prefix decode: peek the table's max-code-length bits,
+        index its LUT (every index carries the symbol + code length of
+        the unique prefix code it starts with; length 0 = invalid
+        prefix). Exactly the T.81 bit-walk semantics, ~10x fewer Python
+        operations. (_fill always lands >=40 bits, so one fill covers
+        any peek width.)"""
+        b = table.lut_bits
+        if self.nbits < b:
             self._fill()
-        idx = (self.bits >> (self.nbits - 16)) & 0xFFFF
+        idx = (self.bits >> (self.nbits - b)) & table.lut_mask
         ln = table.lut_len[idx]
         if ln == 0:
             raise ValueError("bad JPEG huffman code")
@@ -674,31 +677,41 @@ class _BitReader:
 
 class _HuffTable(dict):
     """Canonical Huffman table: the {(length, code): symbol} dict plus a
-    flat 16-bit-prefix LUT for one-shot decode (lut_sym / lut_len as
-    plain Python lists — scalar list indexing beats numpy here)."""
+    flat max-code-length-prefix LUT for one-shot decode (lut_sym /
+    lut_len as plain Python lists — scalar list indexing beats numpy
+    here; lut_bits/lut_mask give the peek width)."""
 
-    __slots__ = ("lut_sym", "lut_len")
+    __slots__ = ("lut_sym", "lut_len", "lut_bits", "lut_mask")
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=256)
 def _huff_lut(counts: tuple[int, ...], symbols: bytes):
-    """16-bit prefix LUT for a canonical table. Cached: a corpus encoded
-    by one encoder reuses the same few DHT segments across every image,
-    so the 65536-entry build cost amortizes to a dict hit per image."""
-    sym = np.zeros(65536, dtype=np.int16)
-    ln = np.zeros(65536, dtype=np.uint8)
+    """Prefix LUT for a canonical table, sized 2^(max code length) — NOT
+    a fixed 2^16. Per-image canonical tables (this repo's encoders, and
+    any optimizing encoder) defeat the cross-image cache, so the build
+    cost must scale with the table itself: a single-length-L table costs
+    2^L entries (tens, not 65536). Standard libjpeg tables still top out
+    at 2^16 and amortize through the lru_cache."""
+    maxlen = 1
+    for i in range(16, 0, -1):
+        if counts[i - 1]:
+            maxlen = i
+            break
+    size = 1 << maxlen
+    sym = np.zeros(size, dtype=np.int16)
+    ln = np.zeros(size, dtype=np.uint8)
     code = 0
     k = 0
-    for length in range(1, 17):
+    for length in range(1, maxlen + 1):
         for _ in range(counts[length - 1]):
-            base = code << (16 - length)
-            span = 1 << (16 - length)
+            base = code << (maxlen - length)
+            span = 1 << (maxlen - length)
             sym[base : base + span] = symbols[k]
             ln[base : base + span] = length
             k += 1
             code += 1
         code <<= 1
-    return sym.tolist(), ln.tolist()
+    return sym.tolist(), ln.tolist(), maxlen, size - 1
 
 
 def _huff_table(counts: list[int], symbols: bytes) -> "_HuffTable":
@@ -712,7 +725,8 @@ def _huff_table(counts: list[int], symbols: bytes) -> "_HuffTable":
             k += 1
             code += 1
         code <<= 1
-    table.lut_sym, table.lut_len = _huff_lut(tuple(counts), bytes(symbols))
+    (table.lut_sym, table.lut_len, table.lut_bits,
+     table.lut_mask) = _huff_lut(tuple(counts), bytes(symbols))
     return table
 
 

@@ -27,6 +27,20 @@ from spider_spark.analysis import codecs
 PAYLOAD_SCHEMA = "media_ref string, payload binary"
 
 
+def _ids(df: DataFrame, id_col: str) -> DataFrame:
+    """The id column, spread across the session's full parallelism.
+
+    The synth stages (and the per-payload Python decoders downstream of
+    them) inherit the INPUT's partitioning — and a small parquet id
+    table plans 1-2 splits, serializing the whole Python pipeline onto
+    2 of N cores. A real 100-TB payload table arrives in thousands of
+    splits; the repartition (a shuffle of one int column — trivial)
+    restores that shape for the synthetic corpus. Row VALUES are
+    closed-form per id, so partitioning never changes any result."""
+    ids = df.select(id_col)
+    return ids.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def wav_params(i: int) -> dict:
     """Closed-form square-wave parameters for id ``i`` (mirrored in SQL)."""
     return {
@@ -55,7 +69,7 @@ def synth_wav(df: DataFrame, id_col: str = "event_id") -> DataFrame:
                 blobs.append(codecs.encode_wav(s, p["rate"]))
             yield pd.DataFrame({"media_ref": refs, "payload": blobs})
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
 def frame_params(i: int) -> dict:
@@ -84,7 +98,7 @@ def synth_frames(df: DataFrame, id_col: str = "event_id") -> DataFrame:
                 blobs.append(codecs.encode_frames(frames, fps=p["fps"]))
             yield pd.DataFrame({"media_ref": refs, "payload": blobs})
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
 def split_image_params(i: int) -> dict:
@@ -114,7 +128,7 @@ def synth_split_image(df: DataFrame, id_col: str = "event_id") -> DataFrame:
                 blobs.append(codecs.encode_ppm(img))
             yield pd.DataFrame({"media_ref": refs, "payload": blobs})
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
 def quad_image_params(i: int, group_mod: int = 23) -> dict:
@@ -197,7 +211,7 @@ def synth_quad_image(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
 def jpeg_quad_params(i: int, group_mod: int = 23) -> dict:
@@ -262,7 +276,7 @@ def synth_jpeg_quad_image(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
 def near_quad_image_params(i: int, groups: int = 150) -> dict:
@@ -302,7 +316,7 @@ def synth_near_quad_image(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
 def mp3_params(i: int) -> dict:
@@ -338,7 +352,7 @@ def synth_mp3(df: DataFrame, id_col: str = "event_id") -> DataFrame:
                 blobs.append(codecs.encode_mp3(specs, id3_size=p["id3"]))
             yield pd.DataFrame({"media_ref": refs, "payload": blobs})
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
 def mp4_params(i: int) -> dict:
@@ -388,4 +402,4 @@ def synth_mp4(df: DataFrame, id_col: str = "event_id") -> DataFrame:
                 )
             yield pd.DataFrame({"media_ref": refs, "payload": blobs})
 
-    return df.select(id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)

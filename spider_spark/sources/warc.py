@@ -475,6 +475,10 @@ def synth_warc(df: DataFrame, id_col: str = "event_id") -> DataFrame:
                 blobs.append(encode_warc(recs, gzip_members=True))
             yield pd.DataFrame({"ref": refs, "payload": blobs})
 
-    return df.select(id_col).mapInPandas(
-        gen, schema="ref string, payload binary"
+    # spread ids across full parallelism: a small parquet id table plans
+    # 1-2 splits, serializing the gzip/encode Python onto 2 cores (the
+    # media_fixtures._ids rationale; values are closed-form per id)
+    ids = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
+    return ids.mapInPandas(gen, schema="ref string, payload binary")
