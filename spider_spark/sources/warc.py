@@ -419,6 +419,49 @@ def to_documents(
     )
 
 
+def crawl_to_warc(
+    urls: DataFrame,
+    documents: DataFrame,
+    epoch0: int = 1700000000,
+    round_seconds: int = 60,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """A finished crawl's index → WARC capture blobs: the archive export
+    a production crawl ships alongside its parquet sinks (the reference
+    stores pages directly — SiteScraper.scala fetch → Supervisor index —
+    so this is the interchange layer on top).
+
+    ``urls`` is the engine's urls sink shape (url, ..., round);
+    ``documents`` the crawled web table (doc_id, spans, status,
+    content_type). Page markup is reconstructed JVM-side from the span
+    array (engine.html_from_spans — text spans in offset order), the
+    capture date derives deterministically from the crawl round, and the
+    whole export is the join plus one no-shuffle write_warc stage. Every
+    indexed capture is exported — including the 404s the crawl recorded;
+    an archive documents what was fetched, not what was kept."""
+    from spider_spark.engine import html_from_spans
+
+    docs = (
+        urls.select("url", "round")
+        .join(documents, urls["url"] == documents["doc_id"])
+        .select(
+            "url",
+            F.date_format(
+                F.timestamp_seconds(
+                    F.lit(epoch0) + F.col("round") * round_seconds
+                ),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("warc_date"),
+            F.coalesce(F.col("status"), F.lit(200)).alias("http_status"),
+            F.coalesce(F.col("content_type"), F.lit("text/html")).alias(
+                "mime"
+            ),
+            html_from_spans("spans").cast("binary").alias("body"),
+        )
+    )
+    return write_warc(docs, gzip_members=gzip_members)
+
+
 # -------------------------------------------------------------- fixture
 
 

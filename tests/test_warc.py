@@ -11,6 +11,7 @@ the interchange boundary a lake-scale crawl adds on top."""
 from __future__ import annotations
 
 import hashlib
+import time
 import zlib
 
 import duckdb
@@ -208,6 +209,37 @@ def test_streaming_warc_ingest_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from warc_docs_stream").collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_crawl_to_warc_roundtrip(spark):
+    """A crawled web exported as WARC replays byte-for-byte: every
+    indexed url appears once, bodies equal the span-reconstructed
+    markup, capture dates derive from the round."""
+    from spider_spark import fixtures
+    from spider_spark.functions.extract import spans_to_html
+
+    web = fixtures.demo_web()
+    tables = fixtures.web_to_tables(web)
+    docs = spark.createDataFrame(tables["documents"].to_pandas())
+    urls = docs.selectExpr(
+        "doc_id as url", "cast(doc_id like '%/a%' as int) as round"
+    )
+    blobs = warc.crawl_to_warc(urls, docs, epoch0=1700000000)
+    back = warc.read_warc_records(
+        blobs.selectExpr("'x' as ref", "warc as payload")
+    ).where("warc_type = 'response'").collect()
+    exp = {
+        d["doc_id"]: spans_to_html(d["spans"])
+        for d in tables["documents"].to_pylist()
+    }
+    assert {r.url for r in back} == set(exp)
+    assert len(back) == len(exp)
+    for r in back:
+        assert bytes(r.body).decode() == exp[r.url]
+        rnd = 1 if "/a" in r.url else 0
+        assert r.warc_date == time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(1700000000 + rnd * 60)
+        )
 
 
 def test_cdx_index_spark_vs_duckdb(spark):
