@@ -1696,6 +1696,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.image_phash(MF.synth_near_quad_image(ev, groups=150))
         )
 
+    def multimodal_audio_fp(spark, sf):
+        # REAL WAV decode → scale-invariant energy-delta fingerprint:
+        # frame energies in exact int64 on the raw integer samples, bit
+        # t = [E(t+1) > E(t)], frame count in the high byte. Amplitude
+        # patterns are closed-form in event_id (media_fixtures.
+        # fp_wav_params), so DuckDB computes the packed fingerprint
+        # arithmetically while Spark decodes real PCM bytes
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return M.audio_fingerprint(MF.synth_fp_wav(ev))
+
+    def multimodal_audio_fp_dedup(spark, sf):
+        # volume-scaled near-dup recovery: members of a content group
+        # differ by an integer volume scale k (different payload bytes)
+        # but share the fingerprint (energies scale by k² — comparisons
+        # invariant), so phash_dedup groups them; the oracle computes
+        # the fingerprint itself in SQL and groups by it, so even the
+        # rare cross-group fp collision is replicated exactly
+        from spider_spark.analysis import media_fixtures as MF
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return M.phash_dedup(
+            M.audio_fingerprint(MF.synth_fp_wav(ev)), hash_col="afp"
+        ).select("media_ref", "rep_ref", "is_dup")
+
     def multimodal_mp3_meta(spark, sf):
         # REAL MP3 container parse (frame-header walk + ID3v2 skip) over
         # synthesized MPEG-1 Layer III streams: frame count / bitrate
@@ -2245,6 +2271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_dedup": multimodal_phash_dedup,
         "multimodal_phash_jpeg_dedup": multimodal_phash_jpeg_dedup,
         "multimodal_phash_near": multimodal_phash_near,
+        "multimodal_audio_fp": multimodal_audio_fp,
+        "multimodal_audio_fp_dedup": multimodal_audio_fp_dedup,
         "multimodal_mp3_meta": multimodal_mp3_meta,
         "multimodal_mp4_samples": multimodal_mp4_samples,
         "warc_parse_records": warc_parse_records,
@@ -2608,6 +2636,62 @@ def oracle_sql() -> dict[str, str]:
               ON l.band = r.band AND l.key = r.key
                  AND l.media_ref < r.media_ref
             GROUP BY l.media_ref, r.media_ref
+        """,
+        # replica of audio_fingerprint over synth_fp_wav: frame-t
+        # amplitude a(t) = 256*(1 + ((g*(t+2) + t) % 11)) with
+        # g = id % 37, nf = 8 + g%5 frames; energies are 8*(k*a)² so
+        # bit t = [a(t+1) > a(t)] (the volume scale k cancels); packed
+        # | nf<<56 (media_fixtures.fp_wav_params)
+        "multimodal_audio_fp": """
+            WITH ev AS (
+              SELECT event_id AS id, event_id % 37 AS g,
+                     8 + (event_id % 37) % 5 AS nf
+              FROM events
+            ),
+            b AS (
+              SELECT id, nf,
+                     CASE WHEN (1 + ((g * (t + 3) + t + 1) % 11))
+                            > (1 + ((g * (t + 2) + t) % 11))
+                          THEN 1::BIGINT << t ELSE 0 END AS bit
+              FROM ev
+              JOIN (SELECT unnest(generate_series(0, 11)) AS t) s
+                ON s.t < nf - 1
+            )
+            SELECT 'afp://' || id AS media_ref,
+                   CAST(sum(bit) + (max(nf)::BIGINT << 56) AS BIGINT)
+                     AS afp,
+                   CAST(max(nf) AS INT) AS n_frames,
+                   CAST(NULL AS VARCHAR) AS err
+            FROM b GROUP BY id
+        """,
+        # same fingerprint computed in SQL, then the min-ref-per-group
+        # window — grouping by the fp VALUE, so any cross-group
+        # collision matches the engine exactly
+        "multimodal_audio_fp_dedup": """
+            WITH ev AS (
+              SELECT event_id AS id, event_id % 37 AS g,
+                     8 + (event_id % 37) % 5 AS nf
+              FROM events
+            ),
+            b AS (
+              SELECT id, nf,
+                     CASE WHEN (1 + ((g * (t + 3) + t + 1) % 11))
+                            > (1 + ((g * (t + 2) + t) % 11))
+                          THEN 1::BIGINT << t ELSE 0 END AS bit
+              FROM ev
+              JOIN (SELECT unnest(generate_series(0, 11)) AS t) s
+                ON s.t < nf - 1
+            ),
+            fp AS (
+              SELECT 'afp://' || id AS media_ref,
+                     sum(bit) + (max(nf)::BIGINT << 56) AS afp
+              FROM b GROUP BY id
+            )
+            SELECT media_ref,
+                   min(media_ref) OVER (PARTITION BY afp) AS rep_ref,
+                   media_ref <> min(media_ref) OVER (PARTITION BY afp)
+                     AS is_dup
+            FROM fp
         """,
         # replica of decode_mp3_features over synth_mp3: n = 3 + id%5
         # frames at 44.1 kHz; odd ids alternate 128/192 kbps from 128

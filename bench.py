@@ -101,6 +101,7 @@ HEADLINE = [
     "multimodal_mp3_meta",    # MP3 frame-header walk (container parse)
     "multimodal_mp4_samples", # ISO-BMFF sample-table stride extraction
     "warc_cdx_index",         # WARC gzip-member walk -> CDX capture index
+    "multimodal_audio_fp_dedup",  # scale-invariant audio fingerprint dedup
     "q21_sole_failing_supplier",  # TPC-H Q21 EXISTS/NOT-EXISTS shape
     "q13_customer_distribution",  # TPC-H Q13 outer-join histogram shape
 ]

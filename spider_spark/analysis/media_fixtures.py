@@ -101,6 +101,51 @@ def synth_frames(df: DataFrame, id_col: str = "event_id") -> DataFrame:
     return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
 
+def fp_wav_params(i: int, groups: int = 37) -> dict:
+    """Fingerprint-fixture parameters for id ``i`` (mirrored in SQL).
+
+    Audio CONTENT (the per-frame amplitude pattern) depends only on
+    ``g = i % groups``; members of a group differ by an integer volume
+    scale ``k`` and sample rate — different payload bytes, same
+    energy-delta fingerprint (scaling multiplies every frame energy by
+    k²). The planted structure audio_fingerprint + phash_dedup must
+    recover, exactly the jpeg-quad pattern on audio."""
+    g = i % groups
+    return {
+        "g": g,
+        "nf": 8 + g % 5,                        # frames of 8 samples
+        "k": 1 + (i // groups) % 4,             # volume scale
+        "rate": 8000 + (i % 3) * 4000,
+        # frame-t amplitude: mixes g multiplicatively with t so distinct
+        # groups get distinct comparison patterns (max 256*11*4 < 32768)
+        "amps": [
+            256 * (1 + ((g * (t + 2) + t) % 11)) for t in range(8 + g % 5)
+        ],
+    }
+
+
+def synth_fp_wav(
+    df: DataFrame, id_col: str = "event_id", groups: int = 37
+) -> DataFrame:
+    """(id) → (media_ref='afp://id', payload=16-bit WAV): frame ``t`` is
+    8 samples of a ±k·amps[t] square wave (fp_wav_params)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs = [], []
+            for i in pdf[id_col].astype("int64"):
+                p = fp_wav_params(int(i), groups)
+                s = np.empty(p["nf"] * 8, dtype=np.int16)
+                for t, a in enumerate(p["amps"]):
+                    s[t * 8 : (t + 1) * 8 : 2] = p["k"] * a
+                    s[t * 8 + 1 : (t + 1) * 8 : 2] = -p["k"] * a
+                refs.append(f"afp://{int(i)}")
+                blobs.append(codecs.encode_wav(s, p["rate"]))
+            yield pd.DataFrame({"media_ref": refs, "payload": blobs})
+
+    return _ids(df, id_col).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
 def split_image_params(i: int) -> dict:
     """Left/right split-image parameters for id ``i`` (mirrored in SQL)."""
     return {

@@ -247,6 +247,48 @@ def test_text_ops_deterministic(docs):
     assert toks["d1"] == 9
 
 
+def test_audio_fingerprint(spark):
+    """Energy-delta fingerprint: known value on a hand-built clip,
+    volume-scale invariance (the operator's whole point), length packed
+    in the high byte so different-length clips never collide, tie bits
+    are 0, and corrupt/null payloads degrade to err rows."""
+    import numpy as np
+
+    from spider_spark.analysis import codecs as C
+    from spider_spark.analysis import multimodal as M
+
+    def clip(amps, k=1):
+        s = np.empty(len(amps) * 8, np.int16)
+        for t, a in enumerate(amps):
+            s[t * 8 : (t + 1) * 8 : 2] = k * a
+            s[t * 8 + 1 : (t + 1) * 8 : 2] = -k * a
+        return bytearray(C.encode_wav(s, 8000))
+
+    amps = [512, 1024, 256, 256, 2048]  # up, down, TIE, up
+    rows = [
+        ("a:base", clip(amps)),
+        ("a:loud", clip(amps, k=3)),          # same fp, different bytes
+        ("a:short", clip(amps[:4])),          # prefix clip: other length
+        ("a:bad", bytearray(b"RIFFxxxxWAVE")),
+        ("a:null", None),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {r["media_ref"]: r for r in M.audio_fingerprint(df).collect()}
+    base = out["a:base"]
+    # bits: t0 up=1, t1 down=0, t2 tie=0, t3 up=1 -> 0b1001; nf=5<<56
+    assert base["afp"] == 0b1001 | (5 << 56) and base["n_frames"] == 5
+    assert out["a:loud"]["afp"] == base["afp"]
+    assert out["a:short"]["afp"] != base["afp"]
+    assert out["a:short"]["afp"] & ((1 << 48) - 1) == 0b001
+    assert out["a:bad"]["err"] is not None and out["a:bad"]["afp"] is None
+    assert out["a:null"]["err"] == "null payload"
+    # dedup groups the scaled pair, leaves the short clip + errs alone
+    dd = {r["media_ref"]: r for r in M.phash_dedup(
+        M.audio_fingerprint(df), hash_col="afp").collect()}
+    assert dd["a:loud"]["rep_ref"] == "a:base" and dd["a:loud"]["is_dup"]
+    assert not dd["a:short"]["is_dup"] and not dd["a:bad"]["is_dup"]
+
+
 def test_audio_codec_and_features(spark):
     """WAV encode→decode round-trips (16-bit stereo + 8-bit mono, extra
     RIFF chunks tolerated), features are exact for the square-wave
