@@ -1786,6 +1786,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "urlkey", "ts14", "url", "mime", "http_status", "digest"
         )
 
+    def warc_wet_extract(spark, sf):
+        # WET derivation (Common-Crawl conversion records): tag-strip +
+        # whitespace-collapse of the HTML body, pure JVM regexps over
+        # the parsed record table; the fixture page (title, paragraph,
+        # 1+id%4 anchors) is closed-form in event_id so DuckDB rebuilds
+        # the extracted text token-for-token; 404 captures (id%5==0)
+        # are gated out on both sides
+        from spider_spark.sources import warc as W
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return W.to_wet(W.synth_warc_html(ev)).select(
+            "url", "warc_date", "text"
+        )
+
+    def warc_wat_links(spark, sf):
+        # WAT derivation (metadata envelopes): title via regexp_extract,
+        # outlinks via regexp_extract_all — JVM-side over real parsed
+        # gzip members; DuckDB reconstructs title/links/body_len from
+        # the closed-form page (WAT covers 404 captures too)
+        from spider_spark.sources import warc as W
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return W.to_wat(W.synth_warc_html(ev)).select(
+            "url",
+            "warc_date",
+            "http_status",
+            "title",
+            F.array_join("links", " ").alias("links_cat"),
+            "n_links",
+            "body_len",
+        )
+
     def events_sessionize(spark, sf):
         # gap-based sessionization: lag + running sum over one (user, ts)
         # window partitioning — a single Exchange+Sort at any scale
@@ -2277,6 +2309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_samples": multimodal_mp4_samples,
         "warc_parse_records": warc_parse_records,
         "warc_cdx_index": warc_cdx_index,
+        "warc_wet_extract": warc_wet_extract,
+        "warc_wat_links": warc_wat_links,
         "events_sessionize": events_sessionize,
         "events_session_stats": events_session_stats,
         "events_tumbling": events_tumbling,
@@ -2770,6 +2804,59 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             JOIN (SELECT unnest(generate_series(0, 2)) AS j) g
               ON g.j < 1 + event_id % 3
+        """,
+        # replica of to_wet over synth_warc_html: the tag-stripped text
+        # of the closed-form page is 't id doc id text l0 .. l{id%4}';
+        # 404 captures (id%5==0) fail the conversion gate on both sides
+        "warc_wet_extract": """
+            SELECT 'http://w' || (event_id % 7) || '.example.org/p/'
+                     || event_id AS url,
+                   strftime(epoch_ms((1700000000 + event_id * 60)
+                                     * 1000),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   't ' || event_id || ' doc ' || event_id || ' text '
+                     || array_to_string(
+                          list_transform(
+                            generate_series(0, event_id % 4),
+                            k -> 'l' || k),
+                          ' ') AS text
+            FROM events
+            WHERE event_id % 5 != 0
+        """,
+        # replica of to_wat: title / outlink list / body length all
+        # rebuilt arithmetically from the closed-form page markup
+        "warc_wat_links": """
+            SELECT 'http://w' || (event_id % 7) || '.example.org/p/'
+                     || event_id AS url,
+                   strftime(epoch_ms((1700000000 + event_id * 60)
+                                     * 1000),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   CAST(CASE WHEN event_id % 5 = 0
+                             THEN 404 ELSE 200 END AS INT)
+                     AS http_status,
+                   't ' || event_id AS title,
+                   array_to_string(
+                     list_transform(
+                       generate_series(0, event_id % 4),
+                       k -> 'http://w' || ((event_id + k) % 7)
+                            || '.example.org/p/' || event_id || '/'
+                            || k),
+                     ' ') AS links_cat,
+                   CAST(1 + event_id % 4 AS INT) AS n_links,
+                   CAST(length(
+                     '<html><head><title>t ' || event_id
+                     || '</title></head><body><p>doc ' || event_id
+                     || ' text</p> '
+                     || array_to_string(
+                          list_transform(
+                            generate_series(0, event_id % 4),
+                            k -> '<a href="http://w'
+                                 || ((event_id + k) % 7)
+                                 || '.example.org/p/' || event_id
+                                 || '/' || k || '">l' || k || '</a>'),
+                          ' ')
+                     || '</body></html>') AS BIGINT) AS body_len
+            FROM events
         """,
         "crawl_change_rate": FR.change_rate_sql(
             f"SELECT {_PAGE_SQL} AS url, ts, event_id, event_type AS fp "

@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_audio_fp_dedup",  # scale-invariant audio fingerprint dedup
     "q21_sole_failing_supplier",  # TPC-H Q21 EXISTS/NOT-EXISTS shape
     "q13_customer_distribution",  # TPC-H Q13 outer-join histogram shape
+    "warc_wet_extract",       # WET conversion: JVM tag-strip text extract
 ]
 
 

@@ -179,6 +179,12 @@ def _parse_one(raw: bytes) -> dict:
             if k.strip().lower() == "content-type":
                 rec["mime"] = v.strip()
         rec["body"] = block[hsep + 4 :]
+    elif rec["warc_type"] in ("conversion", "metadata"):
+        # WET/WAT records carry their payload directly as the block
+        # (text/plain extract, application/json envelope) — surface it
+        # so the readers round-trip; refers_to links back to the capture
+        rec["body"] = block
+        rec["refers_to"] = hdrs.get("warc-refers-to")
     return rec
 
 
@@ -237,14 +243,14 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
 WARC_RECORD_SCHEMA = (
     "ref string, rec_idx int, offset bigint, length bigint, "
     "warc_type string, url string, warc_date string, record_id string, "
-    "http_status int, mime string, block_len bigint, body binary, "
-    "err string"
+    "refers_to string, http_status int, mime string, block_len bigint, "
+    "body binary, err string"
 )
 
 _REC_COLS = [
     "ref", "rec_idx", "offset", "length", "warc_type", "url",
-    "warc_date", "record_id", "http_status", "mime", "block_len",
-    "body", "err",
+    "warc_date", "record_id", "refers_to", "http_status", "mime",
+    "block_len", "body", "err",
 ]
 
 
@@ -462,6 +468,200 @@ def crawl_to_warc(
     return write_warc(docs, gzip_members=gzip_members)
 
 
+# --------------------------------------------------------------- WET/WAT
+#
+# The two derived archives every Common-Crawl-style corpus ships next to
+# its WARCs: WET (extracted plain text as WARC *conversion* records —
+# what most LLM corpora actually ingest) and WAT (per-capture metadata
+# JSON as WARC *metadata* records: title, outlinks, lengths). Both
+# derivations are pure JVM column expressions (regexp tag-strip /
+# regexp_extract_all link scan) over the parsed record table, so the
+# only Python in the path is the WARC walk itself; the sinks are the
+# same one-blob-per-Arrow-batch no-shuffle shape as write_warc.
+
+
+def wet_text(col) -> "F.Column":
+    """Extracted plain text of an HTML body column: drop tags, collapse
+    whitespace, trim — the classic WET conversion. Pure JVM expression
+    (replicated verbatim by the DuckDB oracle)."""
+    s = F.regexp_replace(col.cast("string"), "<[^>]*>", " ")
+    return F.trim(F.regexp_replace(s, "\\s+", " "))
+
+
+def to_wet(
+    df: DataFrame, payload_col: str = "payload", ref_col: str = "ref"
+) -> DataFrame:
+    """WARC blobs → WET rows (ref, url, warc_date, refers_to, text): one
+    per OK text/html capture, text = tag-stripped body. The conversion
+    gate matches Common Crawl's: only 200 HTML responses convert."""
+    recs = read_warc_records(df, payload_col, ref_col)
+    return (
+        recs.where(
+            F.col("err").isNull()
+            & (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("body").isNotNull()
+            & F.col("mime").startswith("text/html")
+        )
+        .select(
+            "ref",
+            "url",
+            "warc_date",
+            F.col("record_id").alias("refers_to"),
+            wet_text(F.col("body")).alias("text"),
+        )
+    )
+
+
+def conversion_record(
+    url: str, date: str, refers_to: str, text: bytes
+) -> bytes:
+    """One WET conversion record pointing back at its capture."""
+    return encode_record(
+        "conversion",
+        {
+            "WARC-Record-ID": _record_id("conversion:" + url, date),
+            "WARC-Refers-To": refers_to,
+            "WARC-Date": date,
+            "WARC-Target-URI": url,
+            "Content-Type": "text/plain",
+        },
+        text,
+    )
+
+
+def metadata_record(
+    url: str, date: str, refers_to: str, envelope_json: bytes
+) -> bytes:
+    """One WAT metadata record whose block is the JSON envelope."""
+    return encode_record(
+        "metadata",
+        {
+            "WARC-Record-ID": _record_id("metadata:" + url, date),
+            "WARC-Refers-To": refers_to,
+            "WARC-Date": date,
+            "WARC-Target-URI": url,
+            "Content-Type": "application/json",
+        },
+        envelope_json,
+    )
+
+
+def write_wet(
+    df: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    refers_col: str = "refers_to",
+    text_col: str = "text",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WET rows (to_wet's shape) → (wet binary, n_records int), one blob
+    per Arrow batch — no shuffle; round-trips through
+    read_warc_records (conversion records surface their block as
+    ``body``)."""
+    cols = [url_col, date_col, refers_col, text_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = [
+                conversion_record(
+                    str(u), str(d), str(r), str(t).encode()
+                )
+                for u, d, r, t in zip(*(pdf[c] for c in cols))
+            ]
+            yield pd.DataFrame(
+                {"wet": [encode_warc(recs, gzip_members)],
+                 "n_records": [len(recs)]}
+            )
+
+    return df.select(*cols).mapInPandas(
+        gen, schema="wet binary, n_records int"
+    )
+
+
+def to_wat(
+    df: DataFrame, payload_col: str = "payload", ref_col: str = "ref"
+) -> DataFrame:
+    """WARC blobs → WAT rows, one per parsed response capture:
+    (ref, rec_idx, url, warc_date, refers_to=record_id, http_status,
+    mime, body_len, title, links array, n_links). Title and outlinks
+    come from JVM regexp expressions over the body (regexp_extract /
+    regexp_extract_all) — no Python beyond the record walk."""
+    recs = read_warc_records(df, payload_col, ref_col)
+    body_s = F.col("body").cast("string")
+    links = F.regexp_extract_all(body_s, F.lit('href="([^"]+)"'), 1)
+    return (
+        recs.where(
+            F.col("err").isNull() & (F.col("warc_type") == "response")
+        )
+        .select(
+            "ref",
+            F.col("rec_idx").cast("int").alias("rec_idx"),
+            "url",
+            "warc_date",
+            F.col("record_id").alias("refers_to"),
+            "http_status",
+            "mime",
+            F.length("body").cast("bigint").alias("body_len"),
+            F.regexp_extract(
+                body_s, "<title>([^<]*)</title>", 1
+            ).alias("title"),
+            links.alias("links"),
+            F.size(links).cast("int").alias("n_links"),
+        )
+    )
+
+
+def write_wat(
+    df: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    refers_col: str = "refers_to",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WAT rows (to_wat's shape) → (wat binary, n_records int). The JSON
+    envelope is built JVM-side (``F.to_json`` over a struct mirroring
+    the WAT Envelope essentials); the sink only frames records."""
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.col(url_col).alias("WARC-Target-URI"),
+                F.col(date_col).alias("WARC-Date"),
+            ).alias("WARC-Header-Metadata"),
+            F.struct(
+                F.col("http_status").alias("Response-Status"),
+                F.col("mime").alias("Content-Type"),
+                F.col("body_len").alias("Entity-Length"),
+                F.col("title").alias("Title"),
+                F.col("links").alias("Links"),
+            ).alias("Payload-Metadata"),
+        )
+    )
+    slim = df.select(
+        url_col, date_col, refers_col, env.alias("envelope")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = [
+                metadata_record(str(u), str(d), str(r), str(e).encode())
+                for u, d, r, e in zip(
+                    pdf[url_col], pdf[date_col], pdf[refers_col],
+                    pdf["envelope"],
+                )
+            ]
+            yield pd.DataFrame(
+                {"wat": [encode_warc(recs, gzip_members)],
+                 "n_records": [len(recs)]}
+            )
+
+    return slim.mapInPandas(gen, schema="wat binary, n_records int")
+
+
 # -------------------------------------------------------------- fixture
 
 
@@ -521,6 +721,53 @@ def synth_warc(df: DataFrame, id_col: str = "event_id") -> DataFrame:
     # spread ids across full parallelism: a small parquet id table plans
     # 1-2 splits, serializing the gzip/encode Python onto 2 cores (the
     # media_fixtures._ids rationale; values are closed-form per id)
+    ids = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return ids.mapInPandas(gen, schema="ref string, payload binary")
+
+
+def _fix_html_body(i: int) -> bytes:
+    """Closed-form HTML page for id ``i``: a title, a text paragraph and
+    ``1 + i%4`` anchors — every WET/WAT-derived field (extracted text,
+    title, outlink list, lengths) is SQL-reconstructable from ``i``."""
+    links = " ".join(
+        f'<a href="http://w{(i + k) % 7}.example.org/p/{i}/{k}">l{k}</a>'
+        for k in range(1 + i % 4)
+    )
+    return (
+        f"<html><head><title>t {i}</title></head>"
+        f"<body><p>doc {i} text</p> {links}</body></html>"
+    ).encode()
+
+
+def synth_warc_html(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """(id) → (ref='warch://id', payload=.warc.gz): a warcinfo record
+    plus ONE text/html response whose body is ``_fix_html_body(id)``
+    (status 404 when ``id%5==0`` — exercising the WET conversion gate),
+    date ``_fix_date(id, 0)``, url ``http://w{id%7}.example.org/p/id``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, blobs = [], []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                st = 404 if i % 5 == 0 else 200
+                recs = [
+                    warcinfo_record(_fix_date(i, 0)),
+                    response_record(
+                        f"http://w{i % 7}.example.org/p/{i}",
+                        _fix_date(i, 0),
+                        st,
+                        "OK" if st == 200 else "Not Found",
+                        "text/html",
+                        _fix_html_body(i),
+                    ),
+                ]
+                refs.append(f"warch://{i}")
+                blobs.append(encode_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"ref": refs, "payload": blobs})
+
     ids = df.select(id_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )

@@ -281,3 +281,78 @@ def test_cdx_index_spark_vs_duckdb(spark):
     assert (hashlib.sha256(warc._fix_body(i, j)).hexdigest()
             == [r.digest for r in got
                 if r.url == f"http://w5.example.org/p/5/1"][0])
+
+
+# -------------------------------------------------------------- WET/WAT
+
+
+def test_wet_roundtrip_and_gate(spark):
+    ids = spark.range(0, 40).selectExpr("id as event_id")
+    wet_rows = warc.to_wet(warc.synth_warc_html(ids))
+    got = {r.url: r for r in wet_rows.collect()}
+    # conversion gate: 404s (id%5==0) dropped
+    assert len(got) == sum(1 for i in range(40) if i % 5 != 0)
+    for i in range(40):
+        if i % 5 == 0:
+            continue
+        u = f"http://w{i % 7}.example.org/p/{i}"
+        toks = [f"t {i}", f"doc {i} text"] + [
+            f"l{k}" for k in range(1 + i % 4)
+        ]
+        assert got[u].text == " ".join(toks)
+        assert got[u].refers_to.startswith("<urn:uuid:")
+    # sink → reader round-trip: conversion records surface text as body
+    blobs = warc.write_wet(wet_rows)
+    back = warc.read_warc_records(
+        blobs.selectExpr("'b' as ref", "wet as payload")
+    ).where("warc_type = 'conversion'")
+    back_rows = back.selectExpr(
+        "url", "cast(body as string) as text", "refers_to", "mime"
+    ).collect()
+    assert len(back_rows) == len(got)
+    for r in back_rows:
+        assert r.text == got[r.url].text
+        assert r.refers_to == got[r.url].refers_to
+        assert r.mime == "text/plain"
+
+
+def test_wat_fields_and_roundtrip(spark):
+    ids = spark.range(0, 30).selectExpr("id as event_id")
+    wat = warc.to_wat(warc.synth_warc_html(ids))
+    got = {r.url: r for r in wat.collect()}
+    assert len(got) == 30  # WAT covers 404 captures too
+    for i in range(30):
+        u = f"http://w{i % 7}.example.org/p/{i}"
+        r = got[u]
+        assert r.title == f"t {i}"
+        assert r.n_links == 1 + i % 4
+        assert list(r.links) == [
+            f"http://w{(i + k) % 7}.example.org/p/{i}/{k}"
+            for k in range(1 + i % 4)
+        ]
+        assert r.http_status == (404 if i % 5 == 0 else 200)
+        assert r.body_len == len(warc._fix_html_body(i))
+    # metadata-record sink round-trip: JSON envelope parses back
+    import json as _json
+
+    blobs = warc.write_wat(wat)
+    back = warc.read_warc_records(
+        blobs.selectExpr("'b' as ref", "wat as payload")
+    ).where("warc_type = 'metadata'")
+    for r in back.selectExpr(
+        "url", "cast(body as string) as env", "mime"
+    ).collect():
+        assert r.mime == "application/json"
+        env = _json.loads(r.env)
+        i = int(r.url.rsplit("/", 1)[1])
+        pm = env["Payload-Metadata"]
+        assert pm["Title"] == f"t {i}"
+        assert len(pm["Links"]) == 1 + i % 4
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == r.url
+
+
+def test_wet_wat_deterministic(spark):
+    ids = spark.range(0, 12).selectExpr("id as event_id")
+    a = warc.synth_warc_html(ids).orderBy("ref").collect()
+    b = warc.synth_warc_html(ids).orderBy("ref").collect()
+    assert [bytes(r.payload) for r in a] == [bytes(r.payload) for r in b]
