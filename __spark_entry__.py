@@ -1167,6 +1167,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("custdist")
         )
 
+    def q11_important_parts(spark, sf):
+        # TPC-H Q11 shape: per-group value HAVING > fraction-of-global
+        # scalar subquery. The global total reuses the per-part partial
+        # sums (one combine-heavy shuffle feeds both levels) and rides
+        # a 1-ROW BROADCAST join — never a recompute of lineitem, never
+        # a driver collect. Exact decimal arithmetic; the fraction test
+        # is cross-multiplied (value*1000 > total) so both engines
+        # compare exact decimals, no division.
+        li = _t(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,6)")
+        per = li.groupBy("l_partkey").agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+                "val"
+            )
+        )
+        total = per.agg(F.sum("val").alias("tot"))
+        return (
+            per.join(F.broadcast(total))
+            .where(F.col("val") * 1500 > F.col("tot"))
+            .select(
+                "l_partkey",
+                F.round("val", 2).cast("double").alias("value"),
+            )
+        )
+
+    def q15_top_supplier(spark, sf):
+        # TPC-H Q15 shape: the revenue view + scalar-max subquery —
+        # suppliers whose quarterly revenue EQUALS the global max. The
+        # max comes from the same aggregated view (tiny) as a 1-row
+        # broadcast; ties all surface, exactly as the spec's view
+        # formulation requires. Decimal-exact so the equality join
+        # cannot be lost to float summation order.
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        dec = lambda c: F.col(c).cast("decimal(18,6)")
+        rev = (
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01"))
+            )
+            .groupBy("l_suppkey")
+            .agg(
+                F.sum(
+                    dec("l_extendedprice") * (1 - dec("l_discount"))
+                ).alias("total_rev")
+            )
+        )
+        mx = rev.agg(F.max("total_rev").alias("mx"))
+        return (
+            rev.join(F.broadcast(mx))
+            .where(F.col("total_rev") == F.col("mx"))
+            .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+            .select(
+                "s_suppkey",
+                "s_name",
+                F.round("total_rev", 2).cast("double").alias("total_rev"),
+            )
+        )
+
+    def q22_dormant_customers(spark, sf):
+        # TPC-H Q22 shape: above-average balance (scalar AVG subquery
+        # over the positive-balance slice) AND dormant — no orders
+        # since 2000 (anti-join on the filtered orders slice; this
+        # schema's every customer has SOME order, so recency is the
+        # dormancy that leaves a non-trivial answer to verify),
+        # grouped by nation. The average test is cross-multiplied
+        # (bal*n > sum) so it stays exact-decimal — avg() would return
+        # a double in DuckDB and a wider decimal in Spark, the one
+        # place the engines could legally disagree.
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        dec = lambda col: F.col(col).cast("decimal(18,6)")
+        stats = c.where(F.col("c_acctbal") > 0).agg(
+            F.sum(dec("c_acctbal")).alias("s"),
+            F.count("*").cast("decimal(18,0)").alias("n"),
+        )
+        return (
+            c.join(F.broadcast(stats))
+            .where(dec("c_acctbal") * F.col("n") > F.col("s"))
+            .join(
+                o.where(
+                    F.col("o_orderdate") >= F.lit("2000-01-01")
+                ).select("o_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            )
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").cast("long").alias("numcust"),
+                F.round(F.sum(dec("c_acctbal")), 2)
+                .cast("double")
+                .alias("totacctbal"),
+            )
+        )
+
     def dedup_exact(spark, sf):
         docs = _t(spark, sf, "documents")
         return (
@@ -2253,6 +2348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q21_sole_failing_supplier": q21_sole_failing_supplier,
         "q13_customer_distribution": q13_customer_distribution,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
+        "q22_dormant_customers": q22_dormant_customers,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "text_token_count": text_token_count,
@@ -3362,6 +3460,51 @@ def oracle_sql() -> dict[str, str]:
                        AND o_orderpriority <> '1-URGENT'
                   GROUP BY c_custkey) pc
             GROUP BY c_count
+        """,
+        # Q11 shape: cross-multiplied fraction test over exact decimals
+        "q11_important_parts": """
+            SELECT l_partkey, round(val, 2)::DOUBLE AS value
+            FROM (SELECT l_partkey,
+                         sum(l_extendedprice::DECIMAL(18,6)
+                             * (1 - l_discount::DECIMAL(18,6))) AS val
+                  FROM lineitem GROUP BY l_partkey) p
+            WHERE val * 1500 >
+                  (SELECT sum(l_extendedprice::DECIMAL(18,6)
+                              * (1 - l_discount::DECIMAL(18,6)))
+                   FROM lineitem)
+        """,
+        # Q15 shape: revenue view + scalar max; decimal-exact equality
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(l_extendedprice::DECIMAL(18,6)
+                           * (1 - l_discount::DECIMAL(18,6)))
+                         AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   round(total_rev, 2)::DOUBLE AS total_rev
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        # Q22 shape: cross-multiplied above-average test + NOT EXISTS
+        "q22_dormant_customers": """
+            SELECT c_nationkey, count(*)::BIGINT AS numcust,
+                   round(sum(c_acctbal::DECIMAL(18,6)), 2)::DOUBLE
+                     AS totacctbal
+            FROM customer
+            WHERE c_acctbal::DECIMAL(18,6)
+                  * (SELECT count(*)::DECIMAL(18,0) FROM customer
+                     WHERE c_acctbal > 0)
+                  > (SELECT sum(c_acctbal::DECIMAL(18,6)) FROM customer
+                     WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
         """,
         "dedup_exact": """
             SELECT fp, count(*) AS n_docs FROM (

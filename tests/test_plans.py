@@ -107,6 +107,8 @@ ALLPAIRS_OK = {
     "text_surprisal",  # crossJoin of the broadcast 1-row corpus-total N
     # (vocab x 1-row scalar; the window alternative would funnel the whole
     # vocabulary through a single unpartitioned task)
+    "q11_important_parts",  # 1-row global-total broadcast attach
+    "q22_dormant_customers",  # 1-row avg-stats broadcast attach
 }
 
 
@@ -254,6 +256,42 @@ def test_q13_left_join_keeps_filter_in_join(spark):
     assert "LeftOuter" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q11_fraction_test_is_one_row_broadcast(spark):
+    """Q11 shape: the global-total scalar subquery must attach as a
+    1-ROW broadcast (BroadcastNestedLoopJoin over a single aggregated
+    row is the cheap and correct shape here — the per-part side streams
+    through it); the per-part aggregation is a hash aggregate and
+    nothing plans a real cartesian."""
+    plan = plan_str(spark, q(spark, "q11_important_parts"), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # the only nested-loop is the 1-row stats attach
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_q15_max_equality_and_supplier_join_are_hash(spark):
+    """Q15 shape: Catalyst folds the crossJoin(1-row max) + equality
+    filter into an EQUI join on total_rev — pin that rewrite (zero
+    nested loops anywhere) plus hash equi joins for max-match and the
+    supplier lookup."""
+    plan = plan_str(spark, q(spark, "q15_top_supplier"), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    ), plan
+
+
+def test_q22_dormancy_is_hash_anti_join(spark):
+    """Q22 shape: NOT EXISTS(recent order) compiles to a hash LeftAnti
+    on o_custkey with the orders-side date filter pushed below it; the
+    above-average test is the 1-row stats broadcast."""
+    plan = plan_str(spark, q(spark, "q22_dormant_customers"), "simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
 def test_binned_quantiles_single_corpus_exchange(spark):
