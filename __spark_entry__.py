@@ -1842,6 +1842,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return M.sample_mp4_payloads(MF.synth_mp4(ev), stride=2)
 
+    def feed_parse_entries(spark, sf):
+        # RSS/Atom feed-entry extraction (the discovery channel next to
+        # R21's sitemaps): dialect detect + regexp_extract_all blocks +
+        # posexplode + per-field regexps, ALL JVM expressions; fixture
+        # rotates Atom/RSS with CDATA titles so both dialects' link
+        # semantics (element text vs href attribute) verify against the
+        # arithmetic DuckDB rebuild
+        from spider_spark.sources import feeds as FD
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return FD.feed_entries(FD.synth_feeds(ev))
+
+    def multimodal_pdf_text(spark, sf):
+        # REAL PDF container parse (xref table, page tree, FlateDecode
+        # content streams, Tj/TJ text operators) over synthesized
+        # multi-page PDFs; page count / text are closed-form in
+        # (event_id, page_idx) (pdfdoc.pdf_fix_pages) so DuckDB rebuilds
+        # every column while Spark walks real xref offsets — half the
+        # fixture streams are zlib'd so both filter paths execute
+        from spider_spark.analysis import pdfdoc as PD
+
+        ev = _t(spark, sf, "events").select("event_id")
+        return PD.decode_pdf_pages(PD.synth_pdf(ev))
+
     def warc_parse_records(spark, sf):
         # REAL WARC walk (per-record gzip members, WARC header parse,
         # HTTP response-block split) over synthesized .warc.gz blobs:
@@ -2236,6 +2260,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = docs.withColumn("html", F.expr(MD.metadata_page_expr()))
         return MD.page_metadata(d)
 
+    def text_page_jsonld(spark, sf):
+        # schema.org JSON-LD structured data: regexp block slice +
+        # get_json_object paths, single codegen scan; fixture rotates
+        # present/absent/MALFORMED blocks so the degrade-to-NULL
+        # branch is oracle-verified too (DuckDB gates with json_valid
+        # where Spark's get_json_object nulls natively)
+        from spider_spark.analysis import metadata as MD
+
+        docs = _t(spark, sf, "documents")
+        d = docs.withColumn("html", F.expr(MD.jsonld_page_expr()))
+        return MD.jsonld_extract(d)
+
+    def crawl_charset_decode(spark, sf):
+        # fetch-boundary charset detection + transcode: BOM / meta-tag /
+        # default routes rotate by doc id over real encoded bytes
+        # (utf-8-sig, utf-16-le, latin-1, cp1252, plain utf-8); the
+        # decode is an Arrow-batched pandas UDF (the one inherently
+        # Python codec boundary), detection contract pinned in
+        # tests/test_charset.py; DuckDB rebuilds charset + decoded text
+        # closed-form from the id
+        from spider_spark.functions import charset as CS
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        return CS.decode_documents(CS.synth_charset_docs(docs))
+
     def r8_yield_budget(spark, sf):
         # yield-proportional global-budget split (largest remainder over
         # integer new-URLs-per-fetch yields — the engine's
@@ -2405,6 +2454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_fp_dedup": multimodal_audio_fp_dedup,
         "multimodal_mp3_meta": multimodal_mp3_meta,
         "multimodal_mp4_samples": multimodal_mp4_samples,
+        "multimodal_pdf_text": multimodal_pdf_text,
+        "feed_parse_entries": feed_parse_entries,
         "warc_parse_records": warc_parse_records,
         "warc_cdx_index": warc_cdx_index,
         "warc_wet_extract": warc_wet_extract,
@@ -2421,6 +2472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_epoch_shuffle": text_epoch_shuffle,
         "export_manifest": export_manifest,
         "text_page_metadata": text_page_metadata,
+        "text_page_jsonld": text_page_jsonld,
+        "crawl_charset_decode": crawl_charset_decode,
         "r8_yield_budget": r8_yield_budget,
         "lake_zorder_key": lake_zorder_key,
         "lake_compaction_plan": lake_compaction_plan,
@@ -2862,6 +2915,50 @@ def oracle_sql() -> dict[str, str]:
               ON g.k < 2 + e.event_id % 6
             WHERE e.event_id % 5 = 0
         """,
+        # replica of feed_entries over synth_feeds: Atom on even ids,
+        # RSS on odd, 1 + id%4 entries, every field closed-form in
+        # (event_id, k) (sources/feeds.feed_fix_xml)
+        "feed_parse_entries": """
+            SELECT 'feed://' || event_id AS ref,
+                   CASE WHEN event_id % 2 = 0
+                        THEN 'atom' ELSE 'rss' END AS kind,
+                   CAST(g.k AS INT) AS entry_idx,
+                   'Post ' || event_id || '.' || g.k AS title,
+                   'http://f' || (event_id % 7) || '.example.org/'
+                     || CASE WHEN event_id % 2 = 0
+                             THEN 'a' ELSE 'r' END
+                     || '/' || event_id || '/' || g.k AS link,
+                   CASE WHEN event_id % 2 = 0
+                        THEN '2024-01-'
+                          || lpad(CAST(1 + (event_id + g.k) % 28
+                                       AS VARCHAR), 2, '0')
+                          || 'T00:00:00Z'
+                        ELSE 'Mon, '
+                          || lpad(CAST(1 + (event_id + g.k) % 28
+                                       AS VARCHAR), 2, '0')
+                          || ' Jan 2024 00:00:00 GMT'
+                   END AS published,
+                   'urn:e:' || event_id || ':' || g.k AS guid
+            FROM events
+            JOIN (SELECT unnest(generate_series(0, 3)) AS k) g
+              ON g.k < 1 + event_id % 4
+        """,
+        # replica of decode_pdf_pages over synth_pdf: 1 + id%3 pages,
+        # page j's text is the Tj line + newline + the TJ concat
+        # (pdfdoc.pdf_fix_pages)
+        "multimodal_pdf_text": """
+            SELECT 'pdf://' || event_id AS media_ref,
+                   CAST(g.j AS INT) AS page_idx,
+                   '1.4' AS version,
+                   CAST(1 + event_id % 3 AS INT) AS n_pages,
+                   'Doc ' || event_id || ' page ' || g.j || ' (pdf)'
+                     || chr(10) || 'A' || event_id || 'B' || g.j
+                     AS page_text,
+                   CAST(NULL AS VARCHAR) AS err
+            FROM events
+            JOIN (SELECT unnest(generate_series(0, 2)) AS j) g
+              ON g.j < 1 + event_id % 3
+        """,
         # replica of read_warc_records over synth_warc: 1 + id%3
         # response records per blob (rec_idx j+1 after the warcinfo),
         # url/status/date closed-form, body = repeat('doc id j ',
@@ -3047,6 +3144,31 @@ def oracle_sql() -> dict[str, str]:
         "text_page_metadata": MDX.page_metadata_sql(
             "documents", MDX.metadata_page_duckdb()
         ),
+        "text_page_jsonld": MDX.jsonld_extract_sql(
+            "documents", MDX.jsonld_page_duckdb()
+        ),
+        # replica of crawl_charset_decode: charset route and decoded
+        # text are both closed-form in the doc id (functions/charset
+        # _FIX_MODES rotation); non-ASCII literals are UTF-8 SQL text
+        "crawl_charset_decode": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'utf-8'
+                     WHEN 1 THEN 'utf-16-le'
+                     WHEN 2 THEN 'latin-1'
+                     WHEN 3 THEN 'cp1252'
+                     ELSE 'utf-8' END AS charset,
+                   CASE
+                     WHEN doc_id % 5 IN (2, 3) THEN
+                       '<html><head><meta charset="'
+                       || CASE doc_id % 5 WHEN 2 THEN 'latin-1'
+                                          ELSE 'cp1252' END
+                       || '"></head><body>héllo wörld ' || doc_id
+                       || ' dès ünïcode</body></html>'
+                     ELSE 'héllo wörld ' || doc_id || ' dès ünïcode'
+                   END AS text
+            FROM documents
+        """,
         "r8_yield_budget": PO.yield_budgets_sql(
             "(SELECT event_type AS host, count(*) AS fetched, "
             "count(DISTINCT user_id) AS new_urls FROM events GROUP BY 1) st",

@@ -105,6 +105,7 @@ HEADLINE = [
     "q21_sole_failing_supplier",  # TPC-H Q21 EXISTS/NOT-EXISTS shape
     "q13_customer_distribution",  # TPC-H Q13 outer-join histogram shape
     "warc_wet_extract",       # WET conversion: JVM tag-strip text extract
+    "multimodal_pdf_text",    # PDF xref/page-tree walk + text operators
 ]
 
 

@@ -109,6 +109,105 @@ def page_metadata_sql(
     """
 
 
+_JSONLD = (
+    r'(?i)<script[^>]*type="application/ld\+json"[^>]*>([\s\S]*?)'
+    r"</script>"
+)
+
+
+def jsonld_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, ld_type, ld_name, ld_date) from the FIRST
+    ``<script type="application/ld+json">`` block — the schema.org
+    structured data most product/article pages declare (and most
+    retrieval/dedup pipelines prefer over scraped fields when present).
+    Block located by regexp, fields read with Spark's JSON path
+    expressions (``get_json_object``) — a malformed block yields NULLs,
+    never a task failure; single codegen scan, no UDF."""
+    h = f"coalesce({html_col}, '')"
+    p = _JSONLD.replace("\\", "\\\\").replace("'", "\\'")
+    block = f"nullif(regexp_extract({h}, '{p}', 1), '')"
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"get_json_object({block}, '$[\\'@type\\']')").alias(
+            "ld_type"
+        ),
+        F.expr(f"get_json_object({block}, '$.name')").alias("ld_name"),
+        F.expr(f"get_json_object({block}, '$.datePublished')").alias(
+            "ld_date"
+        ),
+    )
+
+
+def jsonld_extract_sql(
+    table: str, html_expr: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of :func:`jsonld_extract` over ``html_expr``."""
+    h = f"coalesce({html_expr}, '')"
+    p = _JSONLD.replace("'", "''")
+    # DuckDB's json functions RAISE on malformed JSON where Spark's
+    # get_json_object returns NULL — json_valid gates the same degrade
+    block = (
+        f"nullif(CASE WHEN json_valid(regexp_extract({h}, '{p}', 1)) "
+        f"THEN regexp_extract({h}, '{p}', 1) END, '')"
+    )
+    return f"""
+    SELECT {id_col} AS doc_id,
+           json_extract_string({block}, '$."@type"') AS ld_type,
+           json_extract_string({block}, '$.name') AS ld_name,
+           json_extract_string({block}, '$.datePublished') AS ld_date
+    FROM {table}
+    """
+
+
+def jsonld_page_expr(text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Spark-SQL synth fixture: a page whose JSON-LD block is closed-form
+    in the doc id — type alternates Article/Product, ids divisible by 7
+    carry NO block (the NULL branch), ids divisible by 11 carry a
+    MALFORMED block (the degrade-to-NULL branch)."""
+    return f"""
+    concat(
+      '<html><head><title>t</title>',
+      CASE
+        WHEN {id_col} % 7 = 0 THEN ''
+        WHEN {id_col} % 11 = 0 THEN
+          '<script type="application/ld+json">not json at all</script>'
+        ELSE concat(
+          '<script type="application/ld+json">',
+          '{{"@type":"',
+          CASE WHEN {id_col} % 2 = 0 THEN 'Article' ELSE 'Product' END,
+          '","name":"item ', cast({id_col} as string),
+          '","datePublished":"2024-0',
+          cast(1 + {id_col} % 9 as string), '-01"}}</script>')
+      END,
+      '</head><body><p>body</p></body></html>')
+    """
+
+
+def jsonld_page_duckdb(
+    text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replica of :func:`jsonld_page_expr`."""
+    return f"""
+      '<html><head><title>t</title>'
+      || CASE
+           WHEN {id_col} % 7 = 0 THEN ''
+           WHEN {id_col} % 11 = 0 THEN
+             '<script type="application/ld+json">not json at all</script>'
+           ELSE
+             '<script type="application/ld+json">'
+             || '{{"@type":"'
+             || CASE WHEN {id_col} % 2 = 0
+                     THEN 'Article' ELSE 'Product' END
+             || '","name":"item ' || CAST({id_col} AS VARCHAR)
+             || '","datePublished":"2024-0'
+             || CAST(1 + {id_col} % 9 AS VARCHAR) || '-01"}}</script>'
+         END
+      || '</head><body><p>body</p></body></html>'
+    """
+
+
 def metadata_page_expr(text_col: str = "text", id_col: str = "doc_id") -> str:
     """Spark-SQL synth fixture (the boilerplate.synth_page_expr idiom):
     an HTML head/body whose metadata fields vary deterministically with

@@ -107,3 +107,90 @@ def test_page_metadata_synth_fixture_equality(spark):
     by_id = {t[0]: t for t in got}
     assert by_id[6][3] is not None and by_id[7][3] is None
     assert by_id[4][2] is not None and by_id[5][2] is None
+
+
+# -------------------------------------------------------------- JSON-LD
+
+
+JSONLD_PAGES = [
+    (
+        1,
+        '<html><head><script type="application/ld+json">'
+        '{"@context":"https://schema.org","@type":"Article",'
+        '"name":"My Story","datePublished":"2024-03-01"}'
+        "</script></head><body>x</body></html>",
+    ),
+    # first block wins
+    (
+        2,
+        '<script type="application/ld+json">{"@type":"A","name":"one"}'
+        '</script><script type="application/ld+json">'
+        '{"@type":"B","name":"two"}</script>',
+    ),
+    (3, '<script type="application/ld+json">not json</script>'),  # NULLs
+    (4, "<p>no structured data</p>"),
+    (5, None),
+    (  # multi-line block, partial fields
+        6,
+        '<script type="application/ld+json">\n{"@type": "Product",\n'
+        ' "name": "Widget"}\n</script>',
+    ),
+]
+
+
+def test_jsonld_known_values(spark):
+    df = _df(spark, JSONLD_PAGES)
+    got = {r.doc_id: r for r in MD.jsonld_extract(df).collect()}
+    assert got[1].ld_type == "Article"
+    assert got[1].ld_name == "My Story"
+    assert got[1].ld_date == "2024-03-01"
+    assert (got[2].ld_type, got[2].ld_name) == ("A", "one")
+    assert got[3].ld_type is None and got[3].ld_name is None
+    assert got[4].ld_type is None
+    assert got[5].ld_type is None
+    assert (got[6].ld_type, got[6].ld_name, got[6].ld_date) == (
+        "Product", "Widget", None,
+    )
+
+
+def test_jsonld_duckdb_equality(spark):
+    df = _df(spark, JSONLD_PAGES)
+    a = (
+        MD.jsonld_extract(df)
+        .orderBy("doc_id")
+        .toPandas()
+        .fillna("_")
+    )
+    con = duckdb.connect()
+    con.register("pages", df.toPandas())
+    b = (
+        con.sql(
+            MD.jsonld_extract_sql("pages", "html") + " ORDER BY doc_id"
+        )
+        .df()
+        .fillna("_")
+    )
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_jsonld_synth_fixture_equality(spark):
+    ids = spark.range(0, 50).selectExpr("id as doc_id", "'w' as text")
+    import pyspark.sql.functions as F
+
+    d = ids.withColumn("html", F.expr(MD.jsonld_page_expr()))
+    a = MD.jsonld_extract(d).orderBy("doc_id").toPandas().fillna("_")
+    con = duckdb.connect()
+    con.register("docs", ids.toPandas())
+    b = (
+        con.sql(
+            MD.jsonld_extract_sql("docs", MD.jsonld_page_duckdb())
+            + " ORDER BY doc_id"
+        )
+        .df()
+        .fillna("_")
+    )
+    assert a.values.tolist() == b.values.tolist()
+    # every branch fired: absent (7s), malformed (11s), article, product
+    byid = {int(r[0]): r[1] for r in a.values.tolist()}
+    assert byid[7] == "_" and byid[11] == "_"
+    assert byid[2] == "Article" and byid[1] == "Product"
