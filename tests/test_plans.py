@@ -294,6 +294,35 @@ def test_q22_dormancy_is_hash_anti_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
+def test_feed_extraction_is_jvm_only(spark):
+    """feed_entries over a PLAIN string column: dialect detect, block
+    split, explode and every per-field extraction are JVM expressions —
+    ZERO Python stages (the driver row's fixture synth is the only
+    Python in its plan, and Spark legally evaluates that fixture UDF
+    once per consuming expression, which is why the pin is on the
+    operator, not the composed row)."""
+    from spider_spark.sources.feeds import feed_entries
+
+    df = spark.createDataFrame(
+        [("r", "<rss><channel><item><title>t</title></item></channel>"
+          "</rss>")],
+        "ref string, xml string",
+    )
+    plan = plan_str(spark, feed_entries(df), "simple")
+    assert "Generate posexplode" in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_jsonld_single_scan_no_python(spark):
+    """jsonld_extract over the SQL-expression fixture: zero Python
+    stages, zero exchanges — one codegen projection."""
+    plan = plan_str(spark, q(spark, "text_page_jsonld"), "simple")
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan
+
+
 def test_binned_quantiles_single_corpus_exchange(spark):
     """binned_quantiles: exactly one corpus-wide hash exchange (the
     histogram groupBy); everything after runs on #bins rows (the

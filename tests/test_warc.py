@@ -356,3 +356,29 @@ def test_wet_wat_deterministic(spark):
     a = warc.synth_warc_html(ids).orderBy("ref").collect()
     b = warc.synth_warc_html(ids).orderBy("ref").collect()
     assert [bytes(r.payload) for r in a] == [bytes(r.payload) for r in b]
+
+
+def test_streaming_wet_equals_batch(spark, tmp_path):
+    """to_wet is a plain transformation too — the WET derivation over a
+    file-source stream (AvailableNow) must emit exactly the batch rows
+    (the shape a continuous crawl uses to ship WET alongside WARC)."""
+    from spider_spark.streaming.ingest import run_available_now
+
+    ids = spark.range(0, 25).selectExpr("id as event_id")
+    src = str(tmp_path / "warchtml")
+    warc.synth_warc_html(ids).write.parquet(src)
+    batch = sorted(
+        (r.url, r.text)
+        for r in warc.to_wet(spark.read.parquet(src)).collect()
+    )
+    stream_in = spark.readStream.schema(
+        "ref string, payload binary"
+    ).option("maxFilesPerTrigger", "3").parquet(src)
+    run_available_now(
+        warc.to_wet(stream_in), "wet_stream", str(tmp_path / "ckpt")
+    )
+    got = sorted(
+        (r.url, r.text)
+        for r in spark.sql("select * from wet_stream").collect()
+    )
+    assert got == batch and len(got) > 0
