@@ -1262,6 +1262,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q16_supplier_counts(spark, sf):
+        # TPC-H Q16 shape: supplier-count-per-part-attribute with a
+        # NOT IN supplier exclusion — the exclusion compiles to a hash
+        # anti-join (6-row broadcast), the partsupp stand-in is the
+        # distinct (partkey, suppkey) projection of lineitem (one
+        # combine-heavy shuffle), and countDistinct is the second
+        # two-phase aggregate.
+        li = _t(spark, sf, "lineitem")
+        p = _t(spark, sf, "part")
+        s = _t(spark, sf, "supplier")
+        ps = li.select("l_partkey", "l_suppkey").distinct()
+        excl = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+        return (
+            ps.join(
+                p.where(
+                    (F.col("p_brand") != "Brand#2")
+                    & ~F.col("p_type").startswith("ECONOMY")
+                ),
+                F.col("p_partkey") == F.col("l_partkey"),
+            )
+            .join(
+                excl, F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti",
+            )
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(
+                F.countDistinct("l_suppkey")
+                .cast("long")
+                .alias("supplier_cnt")
+            )
+        )
+
+    def q20_dominant_suppliers(spark, sf):
+        # TPC-H Q20 shape: the nested IN(agg-threshold subquery) —
+        # suppliers shipping >50% of a part's 1996 volume. Per-(part,
+        # supplier) partial sums feed the per-part totals (the reuse
+        # Q20's partsupp correlation wants), the >half test is
+        # cross-multiplied exact decimal (q*2 > tq), and the supplier
+        # lookup is a semi-join. No scalar subquery per row anywhere.
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        dec = lambda c: F.col(c).cast("decimal(18,6)")
+        per = (
+            li.where(F.year("l_shipdate") == 1996)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(dec("l_quantity")).alias("q"))
+        )
+        tot = per.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+        dom = (
+            per.join(tot, "l_partkey")
+            .where(F.col("q") * 2 > F.col("tq"))
+            .select("l_suppkey")
+            .distinct()
+        )
+        return s.join(
+            dom, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        ).select("s_suppkey", "s_name", "s_nationkey")
+
     def dedup_exact(spark, sf):
         docs = _t(spark, sf, "documents")
         return (
@@ -2400,6 +2458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
         "q22_dormant_customers": q22_dormant_customers,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "text_token_count": text_token_count,
@@ -3610,6 +3670,37 @@ def oracle_sql() -> dict[str, str]:
                    round(total_rev, 2)::DOUBLE AS total_rev
             FROM rev JOIN supplier ON s_suppkey = l_suppkey
             WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        # Q16 shape: NOT IN exclusion + distinct partsupp projection
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey
+                  FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#2'
+              AND p_type NOT LIKE 'ECONOMY%'
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        # Q20 shape: dominant-supplier threshold, cross-multiplied
+        "q20_dominant_suppliers": """
+            WITH per AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(l_quantity::DECIMAL(18,6)) AS q
+                FROM lineitem
+                WHERE year(l_shipdate) = 1996
+                GROUP BY l_partkey, l_suppkey),
+            tot AS (SELECT l_partkey, sum(q) AS tq FROM per
+                    GROUP BY l_partkey)
+            SELECT s_suppkey, s_name, s_nationkey
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT DISTINCT l_suppkey
+                FROM per JOIN tot USING (l_partkey)
+                WHERE q * 2 > tq)
         """,
         # Q22 shape: cross-multiplied above-average test + NOT EXISTS
         "q22_dormant_customers": """

@@ -662,6 +662,71 @@ def write_wat(
     return slim.mapInPandas(gen, schema="wat binary, n_records int")
 
 
+def _record_id_col(url_col, date_col) -> "F.Column":
+    """JVM twin of :func:`_record_id` (md5 of 'url date' folded into the
+    urn:uuid shape) — lets WET/WAT rows point at the record ids the
+    WARC export will write, without any Python."""
+    h = F.md5(F.concat(url_col, F.lit(" "), date_col))
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"),
+    )
+
+
+def crawl_to_wet(
+    urls: DataFrame,
+    documents: DataFrame,
+    epoch0: int = 1700000000,
+    round_seconds: int = 60,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """The crawl's WET export, derived DIRECTLY from the span store —
+    no WARC round trip: page markup reconstructs JVM-side
+    (engine.html_from_spans), the text is the same wet_text tag-strip
+    the WARC-derived path uses, and refers_to carries the record id the
+    corresponding crawl_to_warc capture gets (``_record_id_col`` is the
+    JVM twin of the writer's ``_record_id``), so the two exports
+    cross-link without ever materializing each other. OK html captures
+    only — the WET conversion gate."""
+    from spider_spark.engine import html_from_spans
+
+    date = F.date_format(
+        F.timestamp_seconds(
+            F.lit(epoch0) + F.col("round") * round_seconds
+        ),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    ).alias("warc_date")
+    rows = (
+        urls.select("url", "round")
+        .join(documents, urls["url"] == documents["doc_id"])
+        .where(
+            (F.coalesce(F.col("status"), F.lit(200)) == 200)
+            & (
+                F.coalesce(F.col("content_type"), F.lit("text/html"))
+                .startswith("text/html")
+            )
+        )
+        .select(
+            "url",
+            date,
+            html_from_spans("spans").alias("_html"),
+        )
+        .select(
+            "url",
+            "warc_date",
+            _record_id_col(F.col("url"), F.col("warc_date")).alias(
+                "refers_to"
+            ),
+            wet_text(F.col("_html")).alias("text"),
+        )
+    )
+    return write_wet(rows, gzip_members=gzip_members)
+
+
 # -------------------------------------------------------------- fixture
 
 

@@ -294,6 +294,27 @@ def test_q22_dormancy_is_hash_anti_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
+def test_q16_exclusion_is_hash_anti_join(spark):
+    """Q16 shape: the NOT IN supplier exclusion compiles to a hash
+    LeftAnti; the distinct partsupp projection and countDistinct are
+    hash aggregates; nothing plans a nested loop."""
+    plan = plan_str(spark, q(spark, "q16_supplier_counts"), "simple")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q20_threshold_is_semi_join(spark):
+    """Q20 shape: the IN(agg-threshold subquery) surfaces as a hash
+    semi-join over the pre-aggregated dominant-supplier set — never a
+    per-supplier correlated probe."""
+    plan = plan_str(spark, q(spark, "q20_dominant_suppliers"), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_feed_extraction_is_jvm_only(spark):
     """feed_entries over a PLAIN string column: dialect detect, block
     split, explode and every per-field extraction are JVM expressions —

@@ -382,3 +382,39 @@ def test_streaming_wet_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from wet_stream").collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_crawl_to_wet_equals_warc_derived_wet(spark):
+    """The direct crawl→WET path must equal to_wet over the crawl's own
+    WARC export, row for row — including refers_to, which pins the JVM
+    _record_id_col as the exact twin of the writer's _record_id."""
+    from spider_spark import fixtures
+
+    web = fixtures.demo_web()
+    tables = fixtures.web_to_tables(web)
+    docs = spark.createDataFrame(tables["documents"].to_pandas())
+    urls = docs.selectExpr(
+        "doc_id as url", "cast(doc_id like '%/a%' as int) as round"
+    )
+    # direct path: spans → markup → tag-strip → conversion records
+    direct = warc.crawl_to_wet(urls, docs, epoch0=1700000000)
+    d_rows = warc.read_warc_records(
+        direct.selectExpr("'d' as ref", "wet as payload")
+    ).where("warc_type = 'conversion'")
+    d = sorted(
+        (r.url, r.warc_date, r.refers_to, bytes(r.body).decode())
+        for r in d_rows.collect()
+    )
+    # round-trip path: crawl → WARC blobs → to_wet → conversion records
+    blobs = warc.crawl_to_warc(urls, docs, epoch0=1700000000)
+    wet2 = warc.write_wet(
+        warc.to_wet(blobs.selectExpr("'x' as ref", "warc as payload"))
+    )
+    w_rows = warc.read_warc_records(
+        wet2.selectExpr("'w' as ref", "wet as payload")
+    ).where("warc_type = 'conversion'")
+    w = sorted(
+        (r.url, r.warc_date, r.refers_to, bytes(r.body).decode())
+        for r in w_rows.collect()
+    )
+    assert d == w and len(d) > 0
