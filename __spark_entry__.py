@@ -1912,6 +1912,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events").select("event_id")
         return FD.feed_entries(FD.synth_feeds(ev))
 
+    def feed_discover_links(spark, sf):
+        # <link rel=alternate> feed advertisements — the page-scan →
+        # feed-frontier hook; type-first AND href-first attribute
+        # orders, pure JVM regexps; fixture ids %3==0 advertise rss,
+        # %3==1 atom (reversed order), %15==0 both
+        from spider_spark.sources import feeds as FD
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        d = docs.withColumn("html", F.expr(FD.feedlink_page_expr()))
+        return FD.discover_feed_links(d)
+
     def multimodal_pdf_text(spark, sf):
         # REAL PDF container parse (xref table, page tree, FlateDecode
         # content streams, Tj/TJ text operators) over synthesized
@@ -2516,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_samples": multimodal_mp4_samples,
         "multimodal_pdf_text": multimodal_pdf_text,
         "feed_parse_entries": feed_parse_entries,
+        "feed_discover_links": feed_discover_links,
         "warc_parse_records": warc_parse_records,
         "warc_cdx_index": warc_cdx_index,
         "warc_wet_extract": warc_wet_extract,
@@ -2974,6 +2986,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT unnest(generate_series(0, 6, 2)) AS k) g
               ON g.k < 2 + e.event_id % 6
             WHERE e.event_id % 5 = 0
+        """,
+        # replica of discover_feed_links over feedlink_page_expr:
+        # output rebuilt closed-form (rss on %3==0 type-first, atom on
+        # %3==1 href-first, both on %15==0)
+        "feed_discover_links": """
+            SELECT doc_id, 'rss' AS feed_kind,
+                   'http://f' || (doc_id % 7) || '.example.org/rss/'
+                     || doc_id AS feed_url
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 'atom' AS feed_kind,
+                   'http://f' || (doc_id % 7) || '.example.org/atom/'
+                     || doc_id AS feed_url
+            FROM documents WHERE doc_id % 3 = 1 OR doc_id % 15 = 0
         """,
         # replica of feed_entries over synth_feeds: Atom on even ids,
         # RSS on odd, 1 + id%4 entries, every field closed-form in

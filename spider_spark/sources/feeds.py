@@ -93,6 +93,89 @@ def feed_entries(
     )
 
 
+_RSS_ALT = (
+    r'(?i)<link[^>]*type="application/rss\+xml"[^>]*href="([^"]*)"'
+)
+_RSS_ALT_REV = (
+    r'(?i)<link[^>]*href="([^"]*)"[^>]*type="application/rss\+xml"'
+)
+_ATOM_ALT = (
+    r'(?i)<link[^>]*type="application/atom\+xml"[^>]*href="([^"]*)"'
+)
+_ATOM_ALT_REV = (
+    r'(?i)<link[^>]*href="([^"]*)"[^>]*type="application/atom\+xml"'
+)
+
+
+def discover_feed_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, feed_kind, feed_url) — the ``<link rel=alternate>``
+    feed advertisements in a page's head, the hook that connects the
+    page scan to the feed frontier (a crawl that sees a page once can
+    poll its feed forever after). Attribute order handled like
+    metadata.py's meta patterns (type-first and href-first, unioned);
+    all JVM expressions, one scan + one generator per dialect."""
+    x = f"coalesce({html_col}, '')"
+
+    def found(p1: str, p2: str, kind: str) -> DataFrame:
+        arr = (
+            f"array_union(regexp_extract_all({x}, {_sq(p1)}, 1), "
+            f"regexp_extract_all({x}, {_sq(p2)}, 1))"
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(kind).alias("feed_kind"),
+            F.explode(F.expr(arr)).alias("feed_url"),
+        )
+
+    return found(_RSS_ALT, _RSS_ALT_REV, "rss").unionByName(
+        found(_ATOM_ALT, _ATOM_ALT_REV, "atom")
+    )
+
+
+def feedlink_page_expr(id_col: str = "doc_id") -> str:
+    """Spark-SQL synth page: ids %3==0 advertise an RSS feed
+    (type-first), %3==1 an Atom feed (href-FIRST — the reversed
+    attribute order), %3==2 none; ids %15==0 advertise BOTH."""
+    return f"""
+    concat(
+      '<html><head><title>t</title>',
+      CASE WHEN {id_col} % 3 = 0 THEN concat(
+        '<link rel="alternate" type="application/rss+xml" href="',
+        'http://f', cast({id_col} % 7 as string),
+        '.example.org/rss/', cast({id_col} as string), '">')
+      ELSE '' END,
+      CASE WHEN {id_col} % 3 = 1 OR {id_col} % 15 = 0 THEN concat(
+        '<link rel="alternate" href="http://f',
+        cast({id_col} % 7 as string), '.example.org/atom/',
+        cast({id_col} as string), '" type="application/atom+xml">')
+      ELSE '' END,
+      '</head><body><p>page</p></body></html>')
+    """
+
+
+def feedlink_page_duckdb(id_col: str = "doc_id") -> str:
+    """DuckDB replica of :func:`feedlink_page_expr` (unused by the
+    driver oracle, which rebuilds the OUTPUT closed-form; kept for
+    parity tests that want the page itself)."""
+    return f"""
+      '<html><head><title>t</title>'
+      || CASE WHEN {id_col} % 3 = 0 THEN
+           '<link rel="alternate" type="application/rss+xml" href="'
+           || 'http://f' || CAST({id_col} % 7 AS VARCHAR)
+           || '.example.org/rss/' || CAST({id_col} AS VARCHAR) || '">'
+         ELSE '' END
+      || CASE WHEN {id_col} % 3 = 1 OR {id_col} % 15 = 0 THEN
+           '<link rel="alternate" href="http://f'
+           || CAST({id_col} % 7 AS VARCHAR) || '.example.org/atom/'
+           || CAST({id_col} AS VARCHAR)
+           || '" type="application/atom+xml">'
+         ELSE '' END
+      || '</head><body><p>page</p></body></html>'
+    """
+
+
 # -------------------------------------------------------------- fixture
 
 

@@ -727,6 +727,56 @@ def crawl_to_wet(
     return write_wet(rows, gzip_members=gzip_members)
 
 
+def crawl_to_wat(
+    urls: DataFrame,
+    documents: DataFrame,
+    epoch0: int = 1700000000,
+    round_seconds: int = 60,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """The crawl's WAT export, derived directly from the span store
+    (crawl_to_wet's sibling): title/outlinks/lengths come from the same
+    JVM regexps to_wat uses, over the span-reconstructed markup; every
+    indexed capture is covered (including the 404s — WAT documents the
+    archive, not the corpus). Pinned row-identical to to_wat over the
+    crawl's own WARC export."""
+    from spider_spark.engine import html_from_spans
+
+    date = F.date_format(
+        F.timestamp_seconds(
+            F.lit(epoch0) + F.col("round") * round_seconds
+        ),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    ).alias("warc_date")
+    html = F.coalesce(html_from_spans("spans"), F.lit(""))
+    links = F.regexp_extract_all(html, F.lit('href="([^"]+)"'), 1)
+    rows = (
+        urls.select("url", "round")
+        .join(documents, urls["url"] == documents["doc_id"])
+        .select(
+            "url",
+            date,
+            F.coalesce(F.col("status"), F.lit(200)).alias("http_status"),
+            F.coalesce(F.col("content_type"), F.lit("text/html")).alias(
+                "mime"
+            ),
+            F.length(html.cast("binary")).cast("bigint").alias(
+                "body_len"
+            ),
+            F.regexp_extract(html, "<title>([^<]*)</title>", 1).alias(
+                "title"
+            ),
+            links.alias("links"),
+            F.size(links).cast("int").alias("n_links"),
+        )
+        .withColumn(
+            "refers_to",
+            _record_id_col(F.col("url"), F.col("warc_date")),
+        )
+    )
+    return write_wat(rows, gzip_members=gzip_members)
+
+
 # -------------------------------------------------------------- fixture
 
 

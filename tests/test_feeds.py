@@ -86,3 +86,50 @@ def test_fixture_matches_closed_form(spark):
             assert r.published == exp_date
             total += 1
     assert len(rows) == total
+
+
+def test_discover_feed_links_known_values(spark):
+    pages = [
+        (1, '<link rel="alternate" type="application/rss+xml" '
+            'href="http://x/rss">'),
+        (2, '<link rel="alternate" href="http://x/atom" '
+            'type="application/atom+xml">'),  # href-first
+        (3, '<link rel="stylesheet" href="http://x/css">'),  # not a feed
+        (4, None),
+        (5, '<LINK TYPE="application/rss+xml" HREF="http://x/RSS">'
+            '<link type="application/atom+xml" href="http://x/a">'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = sorted(
+        (r.doc_id, r.feed_kind, r.feed_url)
+        for r in FD.discover_feed_links(df).collect()
+    )
+    assert got == [
+        (1, "rss", "http://x/rss"),
+        (2, "atom", "http://x/atom"),
+        (5, "atom", "http://x/a"),
+        (5, "rss", "http://x/RSS"),
+    ]
+
+
+def test_discover_fixture_matches_closed_form(spark):
+    import pyspark.sql.functions as F
+
+    ids = spark.range(0, 60).selectExpr("id as doc_id")
+    d = ids.withColumn("html", F.expr(FD.feedlink_page_expr()))
+    got = sorted(
+        (r.doc_id, r.feed_kind, r.feed_url)
+        for r in FD.discover_feed_links(d).collect()
+    )
+    exp = []
+    for i in range(60):
+        if i % 3 == 0:
+            exp.append((i, "rss", f"http://f{i % 7}.example.org/rss/{i}"))
+        if i % 3 == 1 or i % 15 == 0:
+            exp.append(
+                (i, "atom", f"http://f{i % 7}.example.org/atom/{i}")
+            )
+    assert got == sorted(exp)
+    # the both-feeds branch fired
+    assert (0, "rss", "http://f0.example.org/rss/0") in got
+    assert (0, "atom", "http://f0.example.org/atom/0") in got

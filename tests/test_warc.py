@@ -418,3 +418,69 @@ def test_crawl_to_wet_equals_warc_derived_wet(spark):
         for r in w_rows.collect()
     )
     assert d == w and len(d) > 0
+
+
+def test_crawl_to_wat_equals_warc_derived_wat(spark):
+    """The direct crawl→WAT path must equal to_wat over the crawl's
+    WARC export — same envelopes (title, links, lengths, status),
+    same refers_to record ids."""
+    import json as _json
+
+    from spider_spark import fixtures
+
+    web = fixtures.demo_web()
+    tables = fixtures.web_to_tables(web)
+    docs = spark.createDataFrame(tables["documents"].to_pandas())
+    urls = docs.selectExpr(
+        "doc_id as url", "cast(doc_id like '%/a%' as int) as round"
+    )
+
+    def envelopes(blob_df, col):
+        recs = warc.read_warc_records(
+            blob_df.selectExpr("'x' as ref", f"{col} as payload")
+        ).where("warc_type = 'metadata'")
+        out = []
+        for r in recs.collect():
+            env = _json.loads(bytes(r.body).decode())
+            out.append(
+                (r.url, r.warc_date, r.refers_to,
+                 _json.dumps(env, sort_keys=True))
+            )
+        return sorted(out)
+
+    direct = envelopes(
+        warc.crawl_to_wat(urls, docs, epoch0=1700000000), "wat"
+    )
+    blobs = warc.crawl_to_warc(urls, docs, epoch0=1700000000)
+    derived = envelopes(
+        warc.write_wat(
+            warc.to_wat(blobs.selectExpr("'x' as ref", "warc as payload"))
+        ),
+        "wat",
+    )
+    assert direct == derived and len(direct) > 0
+
+
+def test_streaming_wat_equals_batch(spark, tmp_path):
+    """to_wat over a file-source stream equals batch (plain
+    transformation, like to_wet/to_documents)."""
+    from spider_spark.streaming.ingest import run_available_now
+
+    ids = spark.range(0, 20).selectExpr("id as event_id")
+    src = str(tmp_path / "warchtml2")
+    warc.synth_warc_html(ids).write.parquet(src)
+    batch = sorted(
+        (r.url, r.title, r.n_links)
+        for r in warc.to_wat(spark.read.parquet(src)).collect()
+    )
+    stream_in = spark.readStream.schema(
+        "ref string, payload binary"
+    ).option("maxFilesPerTrigger", "3").parquet(src)
+    run_available_now(
+        warc.to_wat(stream_in), "wat_stream", str(tmp_path / "ckpt")
+    )
+    got = sorted(
+        (r.url, r.title, r.n_links)
+        for r in spark.sql("select * from wat_stream").collect()
+    )
+    assert got == batch and len(got) > 0
