@@ -677,6 +677,35 @@ def _record_id_col(url_col, date_col) -> "F.Column":
     )
 
 
+def wet_to_documents(
+    df: DataFrame, payload_col: str = "payload", ref_col: str = "ref"
+) -> DataFrame:
+    """WET blobs → the documents-table shape (doc_id, url,
+    fetched_ts14, text) — the ingestion twin of ``to_documents`` for
+    pipelines that receive WET instead of full WARC (most public-corpus
+    consumers do: Common Crawl's WET is ~1/10 the bytes of its WARC).
+    Same capture identity ``urlkey@ts14``; plain transformation, so it
+    runs unchanged over batch and streaming inputs."""
+    recs = read_warc_records(df, payload_col, ref_col)
+    urlk = F.pandas_udf(lambda s: s.map(surt_key), "string")
+    ts14 = F.regexp_replace("warc_date", r"[^0-9]", "").substr(1, 14)
+    return (
+        recs.where(
+            F.col("err").isNull()
+            & (F.col("warc_type") == "conversion")
+            & F.col("body").isNotNull()
+        )
+        .select(
+            F.concat(urlk(F.col("url")), F.lit("@"), ts14).alias(
+                "doc_id"
+            ),
+            "url",
+            ts14.alias("fetched_ts14"),
+            F.col("body").cast("string").alias("text"),
+        )
+    )
+
+
 def crawl_to_wet(
     urls: DataFrame,
     documents: DataFrame,

@@ -484,3 +484,25 @@ def test_streaming_wat_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from wat_stream").collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_wet_to_documents_matches_warc_derived_corpus(spark):
+    """A corpus ingested from WET alone must carry the same capture
+    identities and extracted text as the WET derivation itself — and
+    its text must equal wet_text over the WARC-derived documents."""
+    ids = spark.range(0, 30).selectExpr("id as event_id")
+    blobs = warc.synth_warc_html(ids)
+    wet_rows = warc.to_wet(blobs)
+    wet_blobs = warc.write_wet(wet_rows)
+    docs = {
+        r.doc_id: r
+        for r in warc.wet_to_documents(
+            wet_blobs.selectExpr("'w' as ref", "wet as payload")
+        ).collect()
+    }
+    exp = {r.url: r.text for r in wet_rows.collect()}
+    assert len(docs) == len(exp) > 0
+    for d in docs.values():
+        assert d.text == exp[d.url]
+        assert d.doc_id.endswith("@" + d.fetched_ts14)
+        assert d.doc_id.startswith("org,example,w")
